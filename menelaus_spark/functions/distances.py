@@ -1,0 +1,113 @@
+"""Histogram / frequency divergence measures (driver-side numpy on
+collected B-bin summaries; B <= sqrt(n) so these arrays are tiny).
+
+Each function documents the reference semantics it reproduces
+(file:line into /root/reference). The same formulas also exist as pure
+DataFrame aggregations in ``menelaus_spark/operators/drift_sql.py`` for
+the scale path + DuckDB-oracle checks; these numpy twins feed the
+sequential epsilon/beta state machines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hellinger(ref_hist: np.ndarray, test_hist: np.ndarray) -> float:
+    """Hellinger distance between two aligned-bin count histograms.
+
+    Semantics of menelaus' HDDDM per-feature distance
+    (/root/reference/menelaus/data_drift/histogram_density_method.py:400-424):
+    sqrt( sum_bins ( sqrt(t_i/T) - sqrt(r_i/R) )^2 ).
+    """
+    r = np.asarray(ref_hist, dtype=np.float64)
+    t = np.asarray(test_hist, dtype=np.float64)
+    rs, ts = r.sum(), t.sum()
+    if rs == 0 or ts == 0:
+        return 0.0
+    return float(np.sqrt(np.sum((np.sqrt(t / ts) - np.sqrt(r / rs)) ** 2)))
+
+
+def jensen_shannon(p: np.ndarray, q: np.ndarray, base: float | None = None) -> float:
+    """Jensen-Shannon distance (sqrt of the divergence), matching
+    scipy.spatial.distance.jensenshannon semantics, which menelaus uses
+    as its "KL" divergence option
+    (/root/reference/menelaus/data_drift/histogram_density_method.py:536-552).
+    """
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    ps, qs = p.sum(), q.sum()
+    if ps == 0 or qs == 0:
+        return 0.0
+    p, q = p / ps, q / qs
+    m = 0.5 * (p + q)
+
+    def rel_entr(a, b):
+        mask = a > 0
+        out = np.zeros_like(a)
+        out[mask] = a[mask] * np.log(a[mask] / b[mask])
+        return out
+
+    js = 0.5 * (rel_entr(p, m).sum() + rel_entr(q, m).sum())
+    if base is not None:
+        js /= np.log(base)
+    return float(np.sqrt(max(js, 0.0)))
+
+
+def kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
+    """KL(p || q) on already-positive smoothed distributions — the kdq
+    leaf-histogram comparison (scipy.stats.entropy semantics used at
+    /root/reference/menelaus/partitioners/KDQTreePartitioner.py:115-134).
+    """
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    p = p / p.sum()
+    q = q / q.sum()
+    mask = p > 0
+    return float(np.sum(p[mask] * np.log(p[mask] / q[mask])))
+
+
+def dasu_smooth(counts: np.ndarray) -> np.ndarray:
+    """(c + 0.5) / (total + n_bins/2) smoothing, matching
+    /root/reference/menelaus/partitioners/KDQTreePartitioner.py:136-150."""
+    c = np.asarray(counts, dtype=np.float64)
+    return (c + 0.5) / (c.sum() + c.size / 2.0)
+
+
+def psi(ref_freq: np.ndarray, test_freq: np.ndarray, eps: float = 1e-4) -> float:
+    """Population Stability Index over aligned category frequencies:
+    sum((p - q) * ln(p / q)), zero-frequency cells floored at eps.
+    (Not in the reference — required by BASELINE.json north_star.)
+    """
+    r = np.asarray(ref_freq, dtype=np.float64)
+    t = np.asarray(test_freq, dtype=np.float64)
+    rs, ts = r.sum(), t.sum()
+    if rs == 0 or ts == 0:
+        return 0.0
+    p = np.maximum(r / rs, eps)
+    q = np.maximum(t / ts, eps)
+    return float(np.sum((q - p) * np.log(q / p)))
+
+
+def ks_statistic(ref_hist: np.ndarray, test_hist: np.ndarray) -> float:
+    """Two-sample Kolmogorov-Smirnov statistic approximated on aligned
+    cumulative histograms: max |CDF_ref - CDF_test| over bin edges.
+    (Not in the reference — required by BASELINE.json north_star.)
+    """
+    r = np.asarray(ref_hist, dtype=np.float64)
+    t = np.asarray(test_hist, dtype=np.float64)
+    rs, ts = r.sum(), t.sum()
+    if rs == 0 or ts == 0:
+        return 0.0
+    return float(np.max(np.abs(np.cumsum(r) / rs - np.cumsum(t) / ts)))
+
+
+def intersection_divergence(p: np.ndarray, q: np.ndarray) -> float:
+    """1 - sum(min(p_i, q_i)) on normalized histograms, matching
+    /root/reference/menelaus/data_drift/pca_cd.py:347-371."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    ps, qs = p.sum(), q.sum()
+    if ps == 0 or qs == 0:
+        return 0.0
+    return float(1.0 - np.sum(np.minimum(p / ps, q / qs)))

@@ -1,0 +1,98 @@
+"""Constraint checks: schema conformance, uniqueness, referential
+integrity, null-rate / range rules, decoded-PCM integrity.
+
+Each check returns (list[Verdict-ready dict fields], violations
+DataFrame in VIOLATION_SCHEMA shape minus partition/check columns —
+the runner stamps those on). Violations stay DISTRIBUTED DataFrames;
+only the per-check scalar statistics are collected.
+
+These generalize the reference's schema-freeze validation
+(/root/reference/menelaus/detector.py:43-124, 221-307): menelaus
+validates "same columns as the first batch"; we validate against a
+declared StructType, plus the uniqueness / referential / range rules
+the north_star adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def schema_check(df: DataFrame, expected: T.StructType) -> tuple[bool, dict[str, str]]:
+    """Declared-schema conformance: exact name->type match (ordering
+    ignored; menelaus freezes names on first batch, detector.py:59-67).
+    Driver-side metadata only — zero data reads."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    problems = {}
+    for name, dtype in exp.items():
+        if name not in actual:
+            problems[name] = f"missing (expected {dtype})"
+        elif actual[name] != dtype:
+            problems[name] = f"type {actual[name]} != expected {dtype}"
+    for name in actual:
+        if name not in exp:
+            problems[name] = "unexpected column"
+    return (not problems), problems
+
+
+def uniqueness_violations(df: DataFrame, key: str) -> DataFrame:
+    """Duplicate-key groups -> violation rows (key, n_dup).
+
+    Exact, fully distributed: groupBy(key).count().filter(n > 1).
+    At 10^12 rows this is one shuffle on the key; a cheap
+    approx_count_distinct pre-check can skip it when counts already
+    match, which the runner exploits.
+    """
+    return (
+        df.groupBy(F.col(key).alias("row_key"))
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+def uniqueness_fast_path(df: DataFrame, key: str) -> tuple[int, int]:
+    """(n_rows, approx_distinct) — if equal within sketch error, the
+    exact dup scan can be skipped."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key).alias("d"),
+    ).collect()[0]
+    return int(row["n"]), int(row["d"])
+
+
+def referential_orphans(child: DataFrame, parent: DataFrame, key: str) -> DataFrame:
+    """Child keys with no parent -> left-anti join (the Spark-native
+    generalization of menelaus input-conformance, SURVEY.md §2.3).
+    Catalyst/AQE picks broadcast-anti when the parent is small."""
+    return child.join(parent, on=key, how="left_anti").select(F.col(key).alias("row_key"))
+
+
+def null_rate(df: DataFrame, col: str) -> tuple[float, int]:
+    row = df.agg(
+        F.avg(F.col(col).isNull().cast("double")).alias("rate"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return float(row["rate"] or 0.0), int(row["n"])
+
+
+def range_violations(df: DataFrame, col: str, lo=None, hi=None, key: str = None) -> DataFrame:
+    """Rows with col outside [lo, hi] (inclusive bounds)."""
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        cond = cond | (F.col(col) > F.lit(hi))
+    keyc = F.col(key) if key else F.monotonically_increasing_id().cast("string")
+    return df.filter(cond).select(
+        keyc.alias("row_key"), F.col(col).cast("string").alias("value")
+    )
+
+
+def accepted_values_violations(df: DataFrame, col: str, allowed: list, key: str = None) -> DataFrame:
+    keyc = F.col(key) if key else F.monotonically_increasing_id().cast("string")
+    return df.filter(~F.col(col).isin(allowed) | F.col(col).isNull()).select(
+        keyc.alias("row_key"), F.col(col).cast("string").alias("value")
+    )

@@ -1,0 +1,167 @@
+"""Deterministic synthetic audio clip + transcript table generator.
+
+Shape per BASELINE.json input_hint:
+    (clip_id string, bytes binary, sr_hz int, dur_ms int,
+     codec string, transcript string, part int)
+
+Generation is DISTRIBUTED (``spark.range`` -> ``mapInPandas``) and
+keyed per clip index: every clip's randomness comes from
+``np.random.default_rng([seed, clip_idx])``, so output is byte-identical
+regardless of partitioning / parallelism — the property the resume and
+fidelity tests rely on. At 10^12 rows this generator is embarrassingly
+parallel with zero shuffle.
+
+Drift injection (FIXTURES.md §1): per-partition overrides shift the
+dur_ms mean (HDDDM/KS positive), reshuffle codec probabilities (PSI
+positive), or scale the audio noise variance (kdq positive, mirroring
+the reference's ``50 * data`` fixture at
+/root/reference/tests/menelaus/data_drift/test_kdq_tree.py:30,52).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from menelaus_spark.audio import wav_encode
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("transcript", T.StringType(), True),
+        T.StructField("part", T.IntegerType(), False),
+    ]
+)
+
+SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000])
+SR_PROBS = np.array([0.5, 0.3, 0.1, 0.07, 0.03])
+CODEC_CHOICES = np.array(["pcm", "opus", "mp3", "aac", "flac"])
+CODEC_PROBS = np.array([0.55, 0.25, 0.12, 0.05, 0.03])  # deliberate Zipf-ish skew
+_WORDS = np.array(
+    "the a of and to in is on for with audio clip speech sound noise signal "
+    "hello world data quick brown fox lazy dog time record voice test".split()
+)
+
+
+def default_drift_spec() -> dict[int, dict]:
+    """Reference-like partitions 0..4; drifted partitions later."""
+    return {
+        5: {"dur_mu_shift": 0.8},             # dur_ms mean shift -> HDDDM/KS fire
+        6: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]},  # PSI fires
+        7: {"noise_scale": 50.0},             # feature-space drift -> kdq fires
+        # 8, 9, ... unchanged = negative controls
+    }
+
+
+def _gen_rows(
+    ids: np.ndarray,
+    seed: int,
+    n_parts: int,
+    rows_per_part: int,
+    drift: dict[int, dict],
+    null_frac: float,
+    dup_frac: float,
+    dur_mu: float,
+    dur_sigma: float,
+    dur_clip: tuple[int, int],
+    test_scale: bool,
+) -> pd.DataFrame:
+    out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part")}
+    for idx in ids:
+        idx = int(idx)
+        part = min(idx // rows_per_part, n_parts - 1)
+        d = drift.get(part, {})
+        rng = np.random.default_rng([seed, idx])
+        # clip_id (configurable duplicate fraction for uniqueness tests)
+        if dup_frac > 0 and idx > 0 and rng.random() < dup_frac:
+            clip_id = f"clip_{idx - 1:012d}"
+        else:
+            clip_id = f"clip_{idx:012d}"
+        # sample rate / duration / codec
+        sr = int(rng.choice(SR_CHOICES, p=SR_PROBS))
+        if test_scale:
+            sr = min(sr, 16000)  # keep byte volume sane in unit tests
+        mu = dur_mu + float(d.get("dur_mu_shift", 0.0))
+        dur = int(np.clip(np.exp(rng.normal(mu, dur_sigma)), *dur_clip))
+        codec_probs = np.asarray(d.get("codec_probs", CODEC_PROBS), dtype=float)
+        codec = str(rng.choice(CODEC_CHOICES, p=codec_probs / codec_probs.sum()))
+        # audio payload: seeded sine + noise mixture, PCM16 WAV container
+        n = max(1, int(round(dur * sr / 1000.0)))
+        t = np.arange(n, dtype=np.float64) / sr
+        f0 = rng.uniform(80.0, 1000.0)
+        noise_scale = float(d.get("noise_scale", 1.0))
+        sig = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * noise_scale * rng.standard_normal(n)
+        pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+        # transcript: seeded token sequence, length ~ duration
+        if null_frac > 0 and rng.random() < null_frac:
+            transcript = None
+        else:
+            n_tok = max(1, int(dur / 400))
+            transcript = " ".join(rng.choice(_WORDS, size=n_tok))
+        out["clip_id"].append(clip_id)
+        out["bytes"].append(wav_encode(pcm, sr))
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(dur)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+        out["part"].append(part)
+    pdf = pd.DataFrame(out)
+    pdf["sr_hz"] = pdf["sr_hz"].astype("int32")
+    pdf["dur_ms"] = pdf["dur_ms"].astype("int32")
+    pdf["part"] = pdf["part"].astype("int32")
+    return pdf
+
+
+def audio_table(
+    spark: SparkSession,
+    n_rows: int = 800,
+    n_parts: int = 10,
+    seed: int = 42,
+    drift: dict[int, dict] | None = None,
+    null_frac: float = 0.02,
+    dup_frac: float = 0.0,
+    dur_mu: float = 6.6,   # exp(6.6) ~ 735 ms at test scale
+    dur_sigma: float = 0.5,
+    dur_clip: tuple[int, int] = (200, 3000),
+    test_scale: bool = True,
+) -> DataFrame:
+    """Build the audio table as a distributed DataFrame."""
+    drift = default_drift_spec() if drift is None else drift
+    rows_per_part = max(1, n_rows // n_parts)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gen_rows(
+                pdf["id"].to_numpy(), seed, n_parts, rows_per_part, drift,
+                null_frac, dup_frac, dur_mu, dur_sigma, dur_clip, test_scale,
+            )
+
+    return spark.range(n_rows).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def transcripts_table(audio_df: DataFrame, orphan_frac: float = 0.0, seed: int = 42) -> DataFrame:
+    """Companion (clip_id, transcript) side table for the referential
+    clip<->transcript check; drops a deterministic ``orphan_frac`` of
+    clips so the anti-join has known violations."""
+    from pyspark.sql import functions as F
+
+    df = audio_df.select("clip_id", "transcript")
+    if orphan_frac > 0:
+        # deterministic drop keyed on clip_id hash, not sample(): resume-stable
+        cut = int(orphan_frac * 2**32) - 2**31
+        df = df.filter(F.hash(F.col("clip_id"), F.lit(seed)) >= cut)
+    return df
+
+
+def write_audio_table(df: DataFrame, path: str) -> None:
+    """Persist partitioned by ``part`` — the Iceberg-style partition
+    layout (Iceberg runtime jar is absent in this environment; the
+    partitioned-parquet fallback preserves identical partition pruning
+    semantics, SURVEY.md §7.2)."""
+    df.write.mode("overwrite").partitionBy("part").parquet(path)

@@ -1,0 +1,72 @@
+import math
+
+import numpy as np
+
+from menelaus_spark.functions import stats
+from menelaus_spark.functions import distances as D
+
+
+def test_norm_ppf_cdf_inverse():
+    for p in [0.001, 0.025, 0.05, 0.5, 0.9, 0.975, 0.999]:
+        x = stats.norm_ppf(p)
+        assert abs(stats.norm_cdf(x) - p) < 1e-9
+
+
+def test_norm_ppf_known_values():
+    assert abs(stats.norm_ppf(0.975) - 1.959963985) < 1e-6
+    assert abs(stats.norm_ppf(0.5)) < 1e-12
+
+
+def test_t_ppf_known_values():
+    # textbook t-table values
+    assert abs(stats.t_ppf(0.975, 10) - 2.2281) < 1e-3
+    assert abs(stats.t_ppf(0.95, 5) - 2.0150) < 1e-3
+    # converges to normal for large df
+    assert abs(stats.t_ppf(0.975, 100000) - stats.norm_ppf(0.975)) < 1e-3
+
+
+def test_betainc_symmetry():
+    assert abs(stats.betainc(2.0, 3.0, 0.4) + stats.betainc(3.0, 2.0, 0.6) - 1.0) < 1e-12
+
+
+def test_hellinger_bounds_and_known():
+    same = np.array([10, 20, 30.0])
+    assert D.hellinger(same, same) == 0.0
+    disjoint = np.array([1.0, 0, 0]), np.array([0, 0, 1.0])
+    assert abs(D.hellinger(*disjoint) - math.sqrt(2)) < 1e-12
+
+
+def test_jensen_shannon_matches_manual():
+    p = np.array([0.5, 0.5, 0.0])
+    q = np.array([0.0, 0.1, 0.9])
+    m = (p + q) / 2
+    js = 0.5 * sum(pi * math.log(pi / mi) for pi, mi in zip(p, m) if pi > 0) + 0.5 * sum(
+        qi * math.log(qi / mi) for qi, mi in zip(q, m) if qi > 0
+    )
+    assert abs(D.jensen_shannon(p, q) - math.sqrt(js)) < 1e-12
+    assert D.jensen_shannon(p, p) == 0.0
+
+
+def test_kl_and_dasu():
+    c = np.array([2, 1, 2, 1.0])
+    sm = D.dasu_smooth(c)
+    assert abs(sm.sum() - 1.0) < 1e-12
+    assert np.allclose(sm, (c + 0.5) / (c.sum() + 2.0))
+    assert D.kl_divergence(sm, sm) == 0.0
+
+
+def test_psi_and_ks():
+    r = np.array([50, 30, 20.0])
+    assert D.psi(r, r) == 0.0
+    t = np.array([20, 30, 50.0])
+    assert D.psi(r, t) > 0.1
+    assert D.ks_statistic(r, r) == 0.0
+    # KS of fully shifted mass
+    assert abs(D.ks_statistic(np.array([1.0, 0]), np.array([0, 1.0])) - 1.0) < 1e-12
+
+
+def test_intersection():
+    p = np.array([1.0, 0.0])
+    q = np.array([0.0, 1.0])
+    assert D.intersection_divergence(p, p) == 0.0
+    assert abs(D.intersection_divergence(p, q) - 1.0) < 1e-12

@@ -1,0 +1,96 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from menelaus_spark import audio, tables
+from menelaus_spark.operators import constraints, histograms, profile
+
+
+def test_audio_table_deterministic_across_parallelism(spark):
+    a = tables.audio_table(spark, n_rows=60, n_parts=3).orderBy("clip_id").collect()
+    b = (
+        tables.audio_table(spark, n_rows=60, n_parts=3)
+        .repartition(7)
+        .orderBy("clip_id")
+        .collect()
+    )
+    assert [r["clip_id"] for r in a] == [r["clip_id"] for r in b]
+    assert all(bytes(x["bytes"]) == bytes(y["bytes"]) for x, y in zip(a, b))
+    # decodable, SNR oracle holds trivially (same generator)
+    sr, pcm = audio.wav_decode(bytes(a[0]["bytes"]))
+    assert sr == a[0]["sr_hz"]
+    assert abs(len(pcm) - a[0]["dur_ms"] * sr / 1000.0) <= 1
+
+
+def test_schema_check(spark):
+    df = tables.audio_table(spark, n_rows=10, n_parts=1)
+    ok, problems = constraints.schema_check(df, tables.AUDIO_SCHEMA)
+    assert ok, problems
+    bad = df.drop("codec").withColumn("extra", F.lit(1))
+    ok, problems = constraints.schema_check(bad, tables.AUDIO_SCHEMA)
+    assert not ok
+    assert "codec" in problems and "extra" in problems
+
+
+def test_uniqueness_and_referential(spark):
+    df = tables.audio_table(spark, n_rows=100, n_parts=2, dup_frac=0.1)
+    dups = constraints.uniqueness_violations(df, "clip_id")
+    assert dups.count() > 0
+    n, d = constraints.uniqueness_fast_path(df, "clip_id")
+    assert d < n
+    clean = tables.audio_table(spark, n_rows=100, n_parts=2, dup_frac=0.0)
+    assert constraints.uniqueness_violations(clean, "clip_id").count() == 0
+
+    trans = tables.transcripts_table(clean, orphan_frac=0.2)
+    orphans = constraints.referential_orphans(
+        clean.select("clip_id"), trans.select("clip_id"), "clip_id"
+    )
+    n_orphans = orphans.count()
+    assert 5 < n_orphans < 40  # ~20% of 100
+
+
+def test_null_rate_and_profile(spark):
+    df = tables.audio_table(spark, n_rows=200, n_parts=2, null_frac=0.1)
+    rate, n = constraints.null_rate(df, "transcript")
+    assert n == 200
+    assert 0.02 < rate < 0.25
+    stats = profile.profile(df, ["dur_ms", "sr_hz"], all_cols=["transcript", "dur_ms"])
+    assert stats["n_rows"] == 200
+    assert stats["dur_ms__min"] >= 200
+    assert stats["dur_ms__max"] <= 3000
+    assert stats["dur_ms__q50"] is not None
+    assert stats["transcript__nulls"] == round(rate * 200)
+
+
+def test_histogram_matches_numpy(spark):
+    df = tables.audio_table(spark, n_rows=300, n_parts=3)
+    pdf = df.select("dur_ms", "sr_hz").toPandas()
+    ranges = histograms.joint_minmax(df, ["dur_ms", "sr_hz"])
+    nbins = 12
+    hist = histograms.multi_feature_histogram(
+        df, {c: ranges[c] for c in ["dur_ms", "sr_hz"]}, nbins
+    )
+    mat = histograms.collect_histogram_matrix(hist, ["dur_ms", "sr_hz"], nbins)
+    for i, c in enumerate(["dur_ms", "sr_hz"]):
+        lo, hi = histograms.numpy_range(*ranges[c])
+        expected, _ = np.histogram(pdf[c].to_numpy(), bins=nbins, range=(lo, hi))
+        assert np.array_equal(mat[i], expected), c
+
+
+def test_histogram_constant_column(spark):
+    # np.histogram degenerate-range semantics (constant batches are a
+    # reference fixture: test_histogram_density_method.py:74-75)
+    df = spark.range(100).select(F.lit(1.0).alias("x"))
+    ranges = histograms.joint_minmax(df, ["x"])
+    assert ranges["x"] == (1.0, 1.0)
+    hist = histograms.multi_feature_histogram(df, ranges, 10)
+    mat = histograms.collect_histogram_matrix(hist, ["x"], 10)
+    expected, _ = np.histogram(np.ones(100), bins=10, range=(1.0, 1.0))
+    assert np.array_equal(mat[0], expected)
+
+
+def test_range_and_accepted_values(spark):
+    df = tables.audio_table(spark, n_rows=50, n_parts=1)
+    assert constraints.range_violations(df, "dur_ms", lo=200, hi=3000, key="clip_id").count() == 0
+    assert constraints.range_violations(df, "dur_ms", lo=200, hi=250, key="clip_id").count() > 0
+    bad = constraints.accepted_values_violations(df, "codec", ["pcm", "opus"], key="clip_id")
+    assert 0 < bad.count() < 50
