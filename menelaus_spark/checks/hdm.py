@@ -1,0 +1,396 @@
+"""Histogram Density Method (HDM) batch drift detector — HDDDM and
+CDBD — re-expressed Spark-first.
+
+Semantics reproduce the reference implementation at
+/root/reference/menelaus/data_drift/histogram_density_method.py
+(Ditzler & Polikar 2011 Hellinger drift detection; Lindstrom 2013
+CDBD), including:
+
+- bins = floor(sqrt(reference_n)) computed from the *previous* batch's
+  reference size (reset :343-369, grow :335-341);
+- joint per-feature min/max of reference+test aligns the bins (:267-276);
+- per-feature Hellinger (HDDDM) or Jensen-Shannon (CDBD "KL")
+  distance, averaged over features (:279-287);
+- epsilon = |dist_t - dist_{t-1}| (:306), bootstrap initial epsilon on
+  the 2nd batch since reset for detect_batch in {1,2} (:300-304,
+  :472-534, including the sum/num_subsets normalization :532);
+- adaptive threshold beta (tstat or stdev) with the reference's exact
+  bookkeeping: removal of the bootstrap epsilon on batch 3 (:440-442),
+  d_scale handling (:445-448), the ``total_epsilon += epsilon[-2]``
+  running-mean recurrence (:451), stdev over all-but-last epsilon
+  (:456-459), t df = reference_n + test_n - 2 (:462-463);
+- on drift: reference := test batch, lambda := total_batches,
+  feature_info attribution (:318-333); next update() resets counters
+  and, for detect_batch == 1, re-splits the reference in half and
+  re-enters update() with the second half as a proxy test batch
+  (:352-369);
+- no drift: reference grows by the test batch (:335-341).
+
+Spark-first split: ALL data passes are distributed — one count, one
+joint min/max, and ONE salted multi-(role, feature) histogram shuffle
+per update; the epsilon/beta decision runs on the collected
+(2 x n_features x bins) count matrix, which is O(sqrt(n)) scalars.
+The reference's pandas ``sample(n, replace=True)`` bootstrap becomes
+seeded ``DataFrame.sample(withReplacement=True, fraction, seed)``
+(per-(subset) seeds -> byte-identical on resume; the reference draws
+unseeded, its tests seed numpy globally).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from menelaus_spark.functions import distances as dist
+from menelaus_spark.functions import stats
+from menelaus_spark.operators import histograms as H
+
+DRIFT = "drift"
+
+
+class HDM:
+    """Spark-native Histogram Density Method.
+
+    Args mirror the reference (histogram_density_method.py:134-201);
+    ``order_col`` names a totally-ordered column used for the
+    deterministic detect_batch=1 half-split (the reference splits by
+    positional order; a distributed table needs an explicit order key).
+    """
+
+    def __init__(
+        self,
+        divergence="H",
+        detect_batch: int = 1,
+        statistic: str = "tstat",
+        significance: float = 0.05,
+        subsets: int = 5,
+        order_col: str | None = None,
+        seed: int = 42,
+        n_salt: int = 16,
+    ):
+        if callable(divergence):
+            self.distance_function = divergence
+        elif divergence == "H":
+            self.distance_function = dist.hellinger
+        elif divergence == "KL":
+            self.distance_function = dist.jensen_shannon
+        else:
+            raise ValueError(f"unknown divergence {divergence!r}")
+        self.detect_batch = detect_batch
+        self.statistic = statistic
+        self.significance = significance
+        self.subsets = subsets
+        self.order_col = order_col
+        self.seed = seed
+        self.n_salt = n_salt
+
+        self.total_batches = 0
+        self.batches_since_reset = 0
+        self.drift_state: str | None = None
+        self._lambda = 0
+        self._input_cols: list[str] | None = None
+        self.distances: dict[int, float] = {}
+        self.epsilon_values: dict[int, float] = {}
+        self.thresholds: dict[int, float] = {}
+        self.beta: float | None = None
+        self.feature_info: dict | None = None
+        self.feature_epsilons: list[float] | None = None
+        self._prev_distance: float | None = None
+        self._prev_feature_distances: list[float] | None = None
+        self.epsilon: list[float] = []
+        self.total_epsilon = 0.0
+        self.reference_n = 0
+        self._bins = 0
+        self._reference: list[tuple[str, DataFrame]] = []
+        self.reference_batch_ids: list[str] = []
+
+    # -- input validation (schema freeze, reference detector.py:221-307) --
+
+    def _features(self, df: DataFrame) -> list[str]:
+        return [c for c in df.columns if c != self.order_col]
+
+    def _validate(self, df: DataFrame, n: int) -> None:
+        cols = self._features(df)
+        if self._input_cols is None:
+            self._input_cols = cols
+        elif cols != self._input_cols:
+            raise ValueError("Columns of new data must match with columns of prior data.")
+        if n <= 1:
+            raise ValueError("Input for batch detectors should contain more than one observation.")
+
+    # -- public API (mirrors set_reference/update, :224-341) --
+
+    def set_reference(self, df: DataFrame, batch_id: str = "reference") -> None:
+        df = df.persist()
+        n = df.count()
+        self._validate(df, n)
+        self._reference = [(batch_id, df)]
+        self.reference_batch_ids = [batch_id]
+        self.reset()
+
+    def update(self, df: DataFrame, batch_id: str | None = None) -> str | None:
+        if self.drift_state == DRIFT:
+            self.reset()
+        df = df.persist()
+        test_n = df.count()
+        self._validate(df, test_n)
+        batch_id = batch_id if batch_id is not None else f"batch_{self.total_batches + 1}"
+        self._update_inner(df, batch_id, test_n)
+        return self.drift_state
+
+    # -- internals --
+
+    def _ref_df(self) -> DataFrame:
+        out = self._reference[0][1]
+        for _, d in self._reference[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _update_inner(self, X: DataFrame, batch_id: str, test_n: int) -> None:
+        self.total_batches += 1
+        self.batches_since_reset += 1
+        cols = self._input_cols
+        ref = self._ref_df()
+
+        # one distributed pass: joint per-feature min/max over ref+test
+        both = ref.unionByName(X)
+        ranges = H.joint_minmax(both, cols)
+        # one distributed pass: (role, feature, bin) salted histogram
+        ref_mat, test_mat = self._role_histograms(ref, X, ranges, self._bins)
+        self._reference_density = ref_mat
+
+        feature_distances = [
+            float(self.distance_function(ref_mat[f], test_mat[f])) for f in range(len(cols))
+        ]
+        self.current_distance = float(np.mean(feature_distances))
+        self.distances[self.total_batches] = self.current_distance
+
+        if self.total_batches > 1 and self._prev_feature_distances is not None:
+            self.feature_epsilons = [
+                a - b for a, b in zip(feature_distances, self._prev_feature_distances)
+            ]
+
+        if self.batches_since_reset >= 2:
+            if self.batches_since_reset == 2 and self.detect_batch != 3:
+                self.epsilon.append(self._estimate_initial_epsilon(ranges))
+            current_epsilon = abs(self.current_distance - self._prev_distance)
+            self.epsilon.append(current_epsilon)
+            self.epsilon_values[self.total_batches] = current_epsilon
+
+            can_detect = (self.detect_batch != 3 and self.batches_since_reset >= 2) or (
+                self.detect_batch == 3 and self.batches_since_reset >= 3
+            )
+            if can_detect:
+                self.beta = self._adaptive_threshold(self.statistic, test_n)
+                self.thresholds[self.total_batches] = self.beta
+                if current_epsilon > self.beta:
+                    if len(cols) > 1 and self.feature_epsilons is not None:
+                        self.feature_info = {
+                            "epsilons": self.feature_epsilons,
+                            "feature_distances": feature_distances,
+                            "max_drift_feature": cols[
+                                int(np.argmax(self.feature_epsilons))
+                            ],
+                        }
+                    self.drift_state = DRIFT
+                    self._reference = [(batch_id, X)]
+                    self.reference_batch_ids = [batch_id]
+                    self._lambda = self.total_batches
+
+        if self.drift_state != DRIFT:
+            self._prev_distance = self.current_distance
+            self._prev_feature_distances = feature_distances
+            self._reference.append((batch_id, X))
+            self.reference_batch_ids.append(batch_id)
+            self.reference_n += test_n
+            self._bins = int(np.floor(np.sqrt(self.reference_n)))
+
+    def reset(self) -> None:
+        self.batches_since_reset = 0
+        self.drift_state = None
+        proxy = None
+        if self.detect_batch == 1:
+            first, proxy = self._split_half(self._reference[0][1])
+            bid = self._reference[0][0]
+            first = first.persist()
+            self._reference = [(f"{bid}#half0", first)]
+            self.reference_batch_ids = [f"{bid}#half0"]
+            self.reference_n = first.count()
+        else:
+            self.reference_n = sum(d.count() for _, d in self._reference)
+        self._bins = int(np.floor(np.sqrt(self.reference_n)))
+        self.epsilon = []
+        self.total_epsilon = 0.0
+        if proxy is not None:
+            proxy = proxy.persist()
+            bid = self.reference_batch_ids[0].replace("#half0", "#half1")
+            self._update_inner(proxy, bid, proxy.count())
+
+    def _split_half(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Deterministic positional half-split on ``order_col`` (the
+        reference splits pandas positionally, :352-361). Uses the exact
+        n//2-th order statistic, so no global sort / single-task window
+        is needed — scalable to an arbitrarily large initial reference."""
+        if self.order_col is None:
+            raise ValueError("detect_batch=1 requires order_col for a deterministic half-split")
+        n = df.count()
+        k = n // 2  # first half has n//2 rows (reference: iloc[:n//2])
+        if k == 0:
+            return df, df.limit(0)
+        cut = df.select(self.order_col).orderBy(self.order_col).limit(k).agg(
+            F.max(self.order_col)
+        ).collect()[0][0]
+        first = df.filter(F.col(self.order_col) <= F.lit(cut))
+        second = df.filter(F.col(self.order_col) > F.lit(cut))
+        return first, second
+
+    def _role_histograms(
+        self, ref: DataFrame, test: DataFrame, ranges: dict, nbins: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Reference + test histograms for every feature in ONE salted
+        aggregation: rows -> explode(struct(role, feature, bin)) ->
+        two-stage count. Returns two (n_features, nbins) matrices."""
+        cols = list(ranges.keys())
+        tagged = ref.select(*cols, F.lit(0).alias("__role")).unionByName(
+            test.select(*cols, F.lit(1).alias("__role"))
+        )
+        structs = [
+            F.struct(
+                F.col("__role").alias("role"),
+                F.lit(c).alias("feature"),
+                H.bin_index_col(F.col(c).cast("double"), lo, hi, nbins).alias("bin"),
+            )
+            for c, (lo, hi) in ranges.items()
+        ]
+        exploded = (
+            tagged.select(F.explode(F.array(*structs)).alias("rfb"))
+            .select("rfb.role", "rfb.feature", "rfb.bin")
+            .filter(F.col("bin").isNotNull())
+        )
+        counts = H.salted_count(exploded, ["role", "feature", "bin"], n_salt=self.n_salt)
+        mats = [np.zeros((len(cols), nbins)) for _ in range(2)]
+        fidx = {c: i for i, c in enumerate(cols)}
+        for row in counts.collect():
+            mats[int(row["role"])][fidx[row["feature"]], int(row["bin"])] = float(row["count"])
+        return mats[0], mats[1]
+
+    def _single_histograms(self, df: DataFrame, ranges: dict, nbins: int) -> np.ndarray:
+        cols = list(ranges.keys())
+        hist = H.multi_feature_histogram(df, ranges, nbins, n_salt=self.n_salt)
+        return H.collect_histogram_matrix(hist, cols, nbins)
+
+    def _estimate_initial_epsilon(self, ranges: dict) -> float:
+        """Bootstrapped initial epsilon (:472-534). Distributed: each
+        of ``subsets`` seeded with-replacement samples of the reference
+        gets one histogram pass; pairwise distance diffs on the driver.
+        (Reference draws exactly (1-1/k)*n rows; fraction-based Spark
+        sampling draws Binomial(n, f) — same expectation, documented
+        deviation for scale.)"""
+        ref = self._ref_df()
+        fraction = 1.0 - 1.0 / self.subsets
+        boot_hists = []
+        for i in range(self.subsets):
+            sample = ref.sample(withReplacement=True, fraction=fraction, seed=self.seed + i)
+            boot_hists.append(self._single_histograms(sample, ranges, self._bins))
+        distances = []
+        for i in range(len(boot_hists)):
+            for j in range(i + 1, len(boot_hists)):
+                total = sum(
+                    float(self.distance_function(boot_hists[i][f], boot_hists[j][f]))
+                    for f in range(len(self._input_cols))
+                )
+                distances.append(total)
+        eps = 0.0
+        for i in range(len(distances)):
+            for j in range(i + 1, len(distances)):
+                eps += abs(distances[i] - distances[j])
+        return eps / self.subsets
+
+    def _adaptive_threshold(self, stat: str, test_n: int) -> float:
+        if self.batches_since_reset == 3 and self.detect_batch != 3:
+            self.total_epsilon -= self.epsilon[0]
+            self.epsilon = self.epsilon[1:]
+        if self.batches_since_reset == 2 and self.detect_batch != 3:
+            d_scale = 1.0
+        else:
+            d_scale = float(self.total_batches - self._lambda - 1)
+        self.total_epsilon += self.epsilon[-2]
+        epsilon_hat = self.total_epsilon / d_scale
+        total_stdev = sum((e - epsilon_hat) ** 2 for e in self.epsilon[:-1])
+        stdev = float(np.sqrt(total_stdev / d_scale))
+        if stat == "tstat":
+            t_stat = stats.t_ppf(1 - self.significance / 2, self.reference_n + test_n - 2)
+            return float(epsilon_hat + t_stat * (stdev / np.sqrt(d_scale)))
+        return float(epsilon_hat + self.significance * stdev)
+
+    # -- checkpoint support --
+
+    def get_state(self) -> dict:
+        """Serializable scalar state (reference data is reconstructed
+        by the runner from ``reference_batch_ids`` lineage)."""
+        return {
+            "total_batches": self.total_batches,
+            "batches_since_reset": self.batches_since_reset,
+            "drift_state": self.drift_state,
+            "lambda": self._lambda,
+            "input_cols": self._input_cols,
+            "epsilon": list(self.epsilon),
+            "total_epsilon": self.total_epsilon,
+            "reference_n": self.reference_n,
+            "bins": self._bins,
+            "beta": self.beta,
+            "prev_distance": self._prev_distance,
+            "prev_feature_distances": self._prev_feature_distances,
+            "reference_batch_ids": list(self.reference_batch_ids),
+            "distances": {str(k): v for k, v in self.distances.items()},
+            "epsilon_values": {str(k): v for k, v in self.epsilon_values.items()},
+            "thresholds": {str(k): v for k, v in self.thresholds.items()},
+        }
+
+    def set_state(self, state: dict, reference: list[tuple[str, DataFrame]]) -> None:
+        self.total_batches = state["total_batches"]
+        self.batches_since_reset = state["batches_since_reset"]
+        self.drift_state = state["drift_state"]
+        self._lambda = state["lambda"]
+        self._input_cols = state["input_cols"]
+        self.epsilon = list(state["epsilon"])
+        self.total_epsilon = state["total_epsilon"]
+        self.reference_n = state["reference_n"]
+        self._bins = state["bins"]
+        self.beta = state["beta"]
+        self._prev_distance = state["prev_distance"]
+        self._prev_feature_distances = state["prev_feature_distances"]
+        self.reference_batch_ids = list(state["reference_batch_ids"])
+        self.distances = {int(k): v for k, v in state["distances"].items()}
+        self.epsilon_values = {int(k): v for k, v in state["epsilon_values"].items()}
+        self.thresholds = {int(k): v for k, v in state["thresholds"].items()}
+        self._reference = [(bid, df.persist()) for bid, df in reference]
+
+
+class HDDDM(HDM):
+    """Hellinger Distance Drift Detection Method
+    (/root/reference/menelaus/data_drift/hdddm.py:4-217)."""
+
+    def __init__(self, detect_batch=1, statistic="tstat", significance=0.05,
+                 subsets=5, **kw):
+        super().__init__(divergence="H", detect_batch=detect_batch,
+                         statistic=statistic, significance=significance,
+                         subsets=subsets, **kw)
+
+
+class CDBD(HDM):
+    """Confidence Distribution Batch Detection — univariate KL/JS
+    (/root/reference/menelaus/data_drift/cdbd.py:4-185, including the
+    one-column guard at :165-167)."""
+
+    def __init__(self, detect_batch=1, statistic="tstat", significance=0.05,
+                 subsets=5, divergence="KL", **kw):
+        super().__init__(divergence=divergence, detect_batch=detect_batch,
+                         statistic=statistic, significance=significance,
+                         subsets=subsets, **kw)
+
+    def _validate(self, df, n):
+        if len(self._features(df)) != 1:
+            raise ValueError("CDBD is univariate and only accepts one feature column.")
+        super()._validate(df, n)

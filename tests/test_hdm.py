@@ -1,0 +1,221 @@
+"""Differential tests for the HDM state machine against the reference's
+own test expectations (/root/reference/tests/menelaus/data_drift/
+test_histogram_density_method.py — counters, epsilon-list lengths,
+lambda, reference size, drift/no-drift outcomes)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from menelaus_spark.checks.hdm import CDBD, HDDDM, HDM
+
+
+def _sdf(spark, arr):
+    """numpy (n, 3) -> Spark DF with order column __idx + f0..f2."""
+    arr = np.asarray(arr, dtype=float)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    pdf = pd.DataFrame(arr, columns=[f"f{i}" for i in range(arr.shape[1])])
+    pdf.insert(0, "__idx", range(len(pdf)))
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def const_batch():
+    return np.tile(np.repeat(1.0, 100).reshape(-1, 1), (1, 3))
+
+
+@pytest.fixture(scope="module")
+def shift_batch():
+    np.random.seed(1)
+    d = np.random.randint(2, 10, 150).astype(float)
+    return np.tile(d.reshape(-1, 1), (1, 3))
+
+
+def _hdm(**kw):
+    kw.setdefault("divergence", "H")
+    kw.setdefault("detect_batch", 1)
+    kw.setdefault("statistic", "tstat")
+    kw.setdefault("significance", 0.05)
+    kw.setdefault("subsets", 5)
+    kw.setdefault("order_col", "__idx")
+    return HDM(**kw)
+
+
+def test_histogram_bins_from_half_reference(spark, const_batch):
+    # test_histogram_density_method.py:45-67: detect_batch=1 splits the
+    # reference; bins = floor(sqrt(len(first_half)))
+    hdm = _hdm()
+    hdm.set_reference(_sdf(spark, const_batch))
+    assert hdm._reference_density.shape[0] == 3
+    assert hdm._reference_density.shape[1] == int(np.floor(np.sqrt(50)))
+
+
+def test_detect_batch_1_init(spark, const_batch):
+    hdm = _hdm()
+    hdm.set_reference(_sdf(spark, const_batch))
+    assert hdm.total_batches == 1
+    assert hdm.batches_since_reset == 1
+    assert hdm.drift_state is None
+    assert hdm._prev_feature_distances is not None
+    assert hdm.reference_n == 100
+    assert hdm._prev_distance is not None
+
+
+def test_detect_batch_1_no_drift(spark, const_batch):
+    hdm = _hdm()
+    hdm.set_reference(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.total_batches == 2
+    assert hdm.batches_since_reset == 2
+    assert hdm.drift_state is None
+    assert hdm.reference_n == 200
+    assert hdm.feature_epsilons is not None
+    assert len(hdm.epsilon) == 2
+    assert hdm.beta is not None
+
+
+def test_detect_batch_1_epsilon_trim(spark, const_batch):
+    hdm = _hdm()
+    hdm.set_reference(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.drift_state is None
+    assert len(hdm.epsilon) == 2  # bootstrap epsilon removed on batch 3
+
+
+def test_detect_batch_1_drift_and_reset(spark, const_batch, shift_batch):
+    hdm = _hdm()
+    hdm.set_reference(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, shift_batch))
+    assert hdm.feature_epsilons is not None
+    assert hdm.drift_state == "drift"
+    assert hdm._lambda == 2
+    assert hdm.reference_n == 100  # stale until reset, as in reference
+    assert hdm._ref_df().count() == 150  # reference replaced by test
+    assert hdm.feature_info is not None
+
+    hdm.update(_sdf(spark, shift_batch))  # triggers reset + proxy re-entry
+    assert hdm.total_batches == 4
+    assert hdm.batches_since_reset == 2
+    assert len(hdm.epsilon) == 2
+    assert hdm.beta is not None
+    assert hdm.drift_state is None
+
+
+def test_detect_batch_2_init_and_no_drift(spark, const_batch):
+    hdm = _hdm(detect_batch=2)
+    hdm.set_reference(_sdf(spark, const_batch))
+    assert hdm.total_batches == 0
+    assert hdm.batches_since_reset == 0
+    assert hdm.reference_n == 100
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.drift_state is None
+    assert hdm.reference_n == 200
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.drift_state is None
+    assert hdm.total_batches == 2
+    assert len(hdm.epsilon) == 2
+    assert hdm.beta is not None
+
+
+def test_detect_batch_2_drift_and_reset(spark, const_batch, shift_batch):
+    hdm = _hdm(detect_batch=2)
+    hdm.set_reference(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, shift_batch))
+    assert hdm.drift_state == "drift"
+    assert hdm._lambda == 2
+    assert hdm._ref_df().count() == 150
+    hdm.update(_sdf(spark, shift_batch))
+    assert hdm.total_batches == 3
+    assert hdm.batches_since_reset == 1
+    assert len(hdm.epsilon) == 0
+    assert hdm.beta is not None
+    assert hdm.drift_state is None
+
+
+def test_detect_batch_3_full_cycle(spark, const_batch, shift_batch):
+    hdm = _hdm(detect_batch=3)
+    hdm.set_reference(_sdf(spark, const_batch))
+    assert hdm.total_batches == 0
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.reference_n == 200
+    hdm.update(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.drift_state is None
+    assert hdm.total_batches == 3
+    assert len(hdm.epsilon) == 2
+    assert hdm.beta is not None
+    # drift on a fresh detector's third batch
+    hdm2 = _hdm(detect_batch=3)
+    hdm2.set_reference(_sdf(spark, const_batch))
+    hdm2.update(_sdf(spark, const_batch))
+    hdm2.update(_sdf(spark, const_batch))
+    hdm2.update(_sdf(spark, shift_batch))
+    assert hdm2.drift_state == "drift"
+    assert hdm2._lambda == 3
+    assert hdm2._ref_df().count() == 150
+    hdm2.update(_sdf(spark, shift_batch))
+    assert hdm2.total_batches == 4
+    assert hdm2.batches_since_reset == 1
+    assert len(hdm2.epsilon) == 0
+    assert hdm2.drift_state is None
+
+
+def test_stdev_vs_tstat_differ(spark, const_batch, shift_batch):
+    # test_histogram_density_method.py:7-42 asserts the two statistics
+    # give different betas. In the reference that test passes via the
+    # UNSEEDED bootstrap (two runs draw different subsets); with our
+    # seeded bootstrap both reduce to epsilon_hat when the epsilon
+    # stdev is 0, so we assert the distinction where stdev > 0:
+    # detect_batch=3, three varied batches.
+    def run(statistic):
+        h = _hdm(statistic=statistic, detect_batch=3)
+        h.set_reference(_sdf(spark, shift_batch))
+        h.update(_sdf(spark, const_batch))
+        h.update(_sdf(spark, shift_batch))
+        h.update(_sdf(spark, const_batch))
+        return h.thresholds[3]
+
+    assert run("stdev") != run("tstat")
+
+
+def test_KL_univariate_drift(spark):
+    # test_histogram_density_method.py:452-500: uniform(0,1) vs uniform(3,4)
+    np.random.seed(1)
+    ref = np.random.uniform(0, 1, 100)
+    test = np.random.uniform(3, 4, 100)
+    hdm = _hdm(divergence="KL", detect_batch=1)
+    hdm.set_reference(_sdf(spark, ref))
+    hdm.update(_sdf(spark, test))
+    assert hdm.drift_state == "drift"
+
+
+def test_cdbd_univariate_guard(spark, const_batch):
+    cdbd = CDBD(order_col="__idx")
+    with pytest.raises(ValueError):
+        cdbd.set_reference(_sdf(spark, const_batch))  # 3 columns -> error
+    cdbd2 = CDBD(order_col="__idx")
+    cdbd2.set_reference(_sdf(spark, const_batch[:, 0]))
+    assert cdbd2.total_batches == 1
+
+
+def test_custom_divergence(spark, const_batch):
+    # extension point: user-supplied divergence callable
+    # (test_histogram_density_method.py:502-535)
+    def manhattan(ref_hist, test_hist):
+        return float(np.abs(np.asarray(ref_hist) - np.asarray(test_hist)).sum())
+
+    hdm = _hdm(divergence=manhattan)
+    hdm.set_reference(_sdf(spark, const_batch))
+    hdm.update(_sdf(spark, const_batch))
+    assert hdm.total_batches == 2
+    assert hdm.current_distance == 0.0
+
+
+def test_hdddm_schema_freeze(spark, const_batch):
+    h = HDDDM(order_col="__idx")
+    h.set_reference(_sdf(spark, const_batch))
+    with pytest.raises(ValueError):
+        h.update(_sdf(spark, const_batch[:, :2]))  # wrong column count
