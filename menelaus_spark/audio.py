@@ -115,6 +115,28 @@ def features_for_batch(bufs, codecs) -> np.ndarray:
     return out
 
 
+def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
+                codec_col: str = "codec"):
+    """(key, f0..f11) feature DataFrame via mapInPandas — the Arrow-
+    batched decode + feature path (no per-row Python in the plan; the
+    numpy kernel runs per Arrow batch). Only (key, bytes, codec) are
+    read: Catalyst prunes every other column, so the huge binary column
+    is the only heavy input and it never shuffles."""
+    import pandas as pd
+
+    feature_cols = [f"f{i}" for i in range(N_FEATURES)]
+    schema = f"{key_col} string, " + ", ".join(f"{c} double" for c in feature_cols)
+
+    def extract(batches):
+        for pdf in batches:
+            mat = features_for_batch(pdf[bytes_col].tolist(), pdf[codec_col].tolist())
+            out = pd.DataFrame(mat.astype(np.float64), columns=feature_cols)
+            out.insert(0, key_col, pdf[key_col].to_numpy())
+            yield out
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(extract, schema=schema)
+
+
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio (dB) between two PCM arrays; the per-row
     fidelity oracle (input_hint: decoded-PCM allclose, SNR >= 30 dB)."""

@@ -1,0 +1,121 @@
+"""End-to-end ValidationSuite tests on the drifted synthetic audio
+table: drift checks fire on the injected partitions (FIXTURES.md §1
+recipe), negative controls stay quiet, and a killed/resumed run
+reproduces a byte-identical verdict table (north_rule)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from menelaus_spark import tables
+from menelaus_spark.runner import ValidationSuite
+
+
+def _suite(spark, tmp_path, name, **kw):
+    return ValidationSuite(
+        spark,
+        checkpoint_dir=str(tmp_path / name),
+        expected_schema=tables.AUDIO_SCHEMA,
+        null_rate_max={"transcript": 0.2},
+        ranges={"dur_ms": (200, 3000)},
+        accepted_values={"codec": ["pcm", "opus", "mp3", "aac", "flac"]},
+        kdq_params={"count_ubound": 20, "bootstrap_samples": 100},
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def audio_df(spark, tmp_path_factory):
+    # 200 rows/partition: enough that PSI sampling noise on the rare
+    # Zipf-tail codecs stays well under the 0.2 threshold on the
+    # negative-control partitions
+    path = str(tmp_path_factory.mktemp("audio") / "table")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=2000, n_parts=10, null_frac=0.02), path
+    )
+    return spark.read.parquet(path)
+
+
+def _by_check(verdicts):
+    out = {}
+    for r in verdicts:
+        out[(r["partition_key"], r["check_name"])] = r
+    return out
+
+
+def test_full_suite_drift_detection(spark, tmp_path, audio_df):
+    suite = _suite(spark, tmp_path, "full")
+    verdicts_df, violations_df = suite.run(audio_df)
+    rows = [r.asDict(recursive=True) for r in verdicts_df.collect()]
+    v = _by_check(rows)
+
+    # schema + constraints pass everywhere
+    for pk in map(str, range(10)):
+        assert v[(pk, "schema")]["state"] == "pass"
+        assert v[(pk, "range:dur_ms")]["state"] == "pass"
+        assert v[(pk, "unique:clip_id")]["state"] == "pass"
+
+    # injected drift partitions (tables.default_drift_spec):
+    assert v[("5", "ks:dur_ms")]["state"] == "drift"       # dur_ms mean shift
+    assert v[("6", "psi:codec")]["state"] == "drift"       # codec reshuffle
+    assert v[("7", "kdq_tree")]["state"] == "drift"        # 50x noise in PCM
+
+    # negative controls: KS/PSI quiet on unchanged partitions
+    for pk in ("1", "2", "3", "4", "8", "9"):
+        assert v[(pk, "ks:dur_ms")]["state"] == "pass", pk
+        assert v[(pk, "psi:codec")]["state"] == "pass", pk
+    # no drift on non-shifted partitions before the injection point
+    for pk in ("1", "2", "3", "4"):
+        assert v[(pk, "kdq_tree")]["state"] == "pass", pk
+
+    assert violations_df.count() == 0
+
+
+def test_resume_byte_identical(spark, tmp_path, audio_df):
+    # single-shot run
+    s_full = _suite(spark, tmp_path, "oneshot")
+    full_v, _ = s_full.run(audio_df)
+    full_rows = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in full_v.collect())
+
+    # "killed" run: first 4 partitions only
+    s_a = _suite(spark, tmp_path, "resumable")
+    s_a.run(audio_df.filter(F.col("part") < 4))
+    # resumed run in a NEW suite instance over the full table
+    s_b = _suite(spark, tmp_path, "resumable")
+    resumed_v, _ = s_b.run(audio_df)
+    resumed_rows = sorted(
+        json.dumps(r.asDict(recursive=True), sort_keys=True) for r in resumed_v.collect()
+    )
+    assert resumed_rows == full_rows
+    # resumed run only processed the unvisited partitions
+    assert s_b.manifest.records[3]["partition_key"] == "3"
+    assert len(s_b.manifest.records) == 10
+    # lineage fingerprints recorded per partition
+    assert all("fingerprint" in r and r["fingerprint"]["n"] > 0 for r in s_b.manifest.records)
+
+
+def test_violations_surface(spark, tmp_path):
+    df = spark.createDataFrame(
+        tables.audio_table(
+            spark, n_rows=200, n_parts=2, dup_frac=0.05, null_frac=0.5, drift={}
+        ).toPandas()
+    )
+    suite = _suite(spark, tmp_path, "viol", kdq_features=False)
+    verdicts_df, violations_df = suite.run(df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("0", "null_rate:transcript")]["state"] == "fail"
+    assert v[("0", "unique:clip_id")]["state"] == "fail"
+    assert violations_df.filter(F.col("check_name") == "unique:clip_id").count() > 0
+
+
+def test_referential_check(spark, tmp_path):
+    df = spark.createDataFrame(
+        tables.audio_table(spark, n_rows=200, n_parts=2, drift={}).toPandas()
+    )
+    trans = tables.transcripts_table(df, orphan_frac=0.2)
+    suite = _suite(spark, tmp_path, "ref", kdq_features=False, referential=trans)
+    verdicts_df, violations_df = suite.run(df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("0", "referential:transcript")]["state"] == "fail"
+    assert violations_df.filter(F.col("check_name") == "referential:transcript").count() > 10
