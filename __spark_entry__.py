@@ -1,38 +1,730 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 +
+the training-data pipeline ops) over the driver testdata tables;
+``oracle_sql()`` provides the equivalent DuckDB SQL for every
+SQL-expressible operator. Column names/rounding are aligned on both
+sides (the driver hash-compares values after sorting columns by name).
+
+Non-SQL-expressible entries (sequential drift state machines, pandas-
+UDF fingerprints, the audio validation suite) intentionally have no
+oracle — the driver records a rows-only check for those.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import menelaus_spark  # noqa: F401  (ensures PYTHONPATH export for workers)
+from menelaus_spark import audio, tables
+from menelaus_spark.operators import dedup, similarity
+from menelaus_spark.operators import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# relational core
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """Single-pass column profile (engine operator profile.profile_aggs
+    shape, exact quantiles for oracle comparability)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
+        F.round(F.min("l_extendedprice"), 4).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 4).alias("price_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+    )
+
+
+def q_profile_events_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+            F.round(F.avg("value"), 4).alias("v_mean"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """Top-3 orders by totalprice per customer (ranking window)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """GROUPING SETS rollup of revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """Left-anti referential check: lineitem -> orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    from menelaus_spark.operators.constraints import referential_orphans
+
+    orphans = referential_orphans(
+        li.select(F.col("l_orderkey").alias("key")),
+        o.select(F.col("o_orderkey").alias("key")), "key",
+    )
+    return orphans.groupBy().agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def q_uniqueness_events_user(spark, sf_dir):
+    """Duplicate-key groups (uniqueness violations) of events.user_id."""
+    ev = _t(spark, sf_dir, "events")
+    from menelaus_spark.operators.constraints import uniqueness_violations
+
+    return uniqueness_violations(ev, "user_id").select(
+        F.col("row_key").cast("long").alias("user_id"), F.col("n_dup")
+    ).orderBy("user_id")
+
+
+def q_asof_last_view_before_purchase(spark, sf_dir):
+    """As-of join: for each purchase event, the most recent prior view
+    by the same user (join + groupBy max realization)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    return (
+        p.join(v, on="user_id", how="left")
+        .filter(F.col("v_ts") <= F.col("p_ts"))
+        .groupBy("purchase_id")
+        .agg(
+            # parquet timestamps arrive as TIMESTAMP_NTZ; cast through
+            # session-UTC timestamp to epoch seconds (matches DuckDB's
+            # naive epoch_ms // 1000)
+            F.max(F.col("v_ts").cast("timestamp").cast("long")).alias("last_view_epoch")
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# histogram / divergence operators (engine building blocks, SQL-checkable)
+
+HIST_BINS = 64
+
+
+def q_hist_extendedprice(spark, sf_dir):
+    """Aligned-bin histogram of l_extendedprice (the HDM histogram
+    kernel) with data-derived range."""
+    from menelaus_spark.operators.histograms import bin_index_col, joint_minmax, salted_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = joint_minmax(li, ["l_extendedprice"])["l_extendedprice"]
+    binned = li.select(
+        bin_index_col(F.col("l_extendedprice").cast("double"), lo, hi, HIST_BINS).alias("bin")
+    ).filter(F.col("bin").isNotNull())
+    return salted_count(binned, ["bin"]).orderBy("bin")
+
+
+def q_hellinger_returnflag(spark, sf_dir):
+    """Hellinger distance between l_extendedprice distributions of
+    returnflag R vs A over aligned bins — fully as DataFrame aggregation."""
+    from menelaus_spark.operators.histograms import bin_index_col, joint_minmax
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin(["R", "A"]))
+    lo, hi = joint_minmax(li, ["l_extendedprice"])["l_extendedprice"]
+    binned = li.select(
+        "l_returnflag",
+        bin_index_col(F.col("l_extendedprice").cast("double"), lo, hi, HIST_BINS).alias("bin"),
+    ).filter(F.col("bin").isNotNull())
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r_cnt"),
+        F.sum((F.col("l_returnflag") == "A").cast("long")).alias("a_cnt"),
+    )
+    totals = counts.agg(F.sum("r_cnt").alias("rt"), F.sum("a_cnt").alias("at"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.sqrt(F.col("r_cnt") / F.col("rt"))
+                                   - F.sqrt(F.col("a_cnt") / F.col("at")), 2))),
+                6,
+            ).alias("hellinger")
+        )
+    )
+
+
+def q_psi_event_type_halves(spark, sf_dir):
+    """PSI of event_type frequencies: even vs odd event_id halves
+    (category-frequency join, eps-floored log-ratio sum)."""
+    ev = _t(spark, sf_dir, "events").withColumn("half", F.pmod("event_id", F.lit(2)))
+    freqs = ev.groupBy("event_type").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("half") == 1).cast("long")).alias("c1"),
+    )
+    tot = freqs.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    eps = 1e-4
+    return (
+        freqs.crossJoin(F.broadcast(tot))
+        .select(
+            F.greatest(F.col("c0") / F.col("t0"), F.lit(eps)).alias("p"),
+            F.greatest(F.col("c1") / F.col("t1"), F.lit(eps)).alias("q"),
+        )
+        .agg(F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi"))
+    )
+
+
+def q_ks_value_click_vs_error(spark, sf_dir):
+    """Two-sample KS statistic between `value` distributions of click
+    vs error events via cumulative aligned histograms + window cumsum."""
+    from pyspark.sql import Window
+
+    from menelaus_spark.operators.histograms import bin_index_col, joint_minmax
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(["click", "error"]))
+    lo, hi = joint_minmax(ev, ["value"])["value"]
+    binned = ev.select(
+        "event_type",
+        bin_index_col(F.col("value").cast("double"), lo, hi, HIST_BINS).alias("bin"),
+    ).filter(F.col("bin").isNotNull())
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("c2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    return (
+        counts.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.max(F.abs(F.col("cum1") / F.col("t1") - F.col("cum2") / F.col("t2"))), 6).alias("ks"))
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup / similarity / text pipeline ops
+
+MINHASH_K = 8
+
+
+def q_minhash_documents(spark, sf_dir):
+    """MinHash signatures (k=8, md5-prefix hash family) as scalar
+    columns for exact oracle comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n=3, k=MINHASH_K)
+    cols = [F.col("doc_id")] + [
+        F.element_at("sig", i + 1).alias(f"h{i}") for i in range(MINHASH_K)
+    ]
+    return sig.filter(F.size("sig") > 0).select(*cols).orderBy("doc_id")
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id").select(
+        "text_hash", "n_dups", "keep_id"
+    ).orderBy("text_hash")
+
+
+def q_ngram_jaccard_documents(spark, sf_dir):
+    """Blocked n-gram Jaccard near-dup pairs (block = lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.12, block_col="lang"
+    ).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                          threshold=0.35, block_col="label")
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cos4")
+    ).orderBy("id_a", "id_b")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for three corpus query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    queries = [(str(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=5)
+    return out.select(
+        F.col("query_id"), F.col("vec_id"), F.round("cosine", 4).alias("cos4"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_features(docs).select(
+        "doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+        "stopword_ratio", "quality_score",
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return T.lang_id(docs).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) entries
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return T.doc_fingerprint(docs, "doc_id").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def q_simhash_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id").select("doc_id", "simhash").orderBy("doc_id")
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    queries = [(str(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    out = similarity.lsh_ann_topk(emb, "vec_id", "embedding", queries, k=5,
+                                  n_planes=4, multiprobe_hamming=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank")
+
+
+def _lineitem_year_batches(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn("yr", F.year("l_shipdate"))
+    years = sorted(r[0] for r in li.select("yr").distinct().collect())
+    return li, years
+
+
+def q_hdddm_lineitem(spark, sf_dir):
+    """HDDDM drift sequence over lineitem year-batches (quantity,
+    extendedprice, discount) — the reference flagship state machine."""
+    from menelaus_spark.checks.hdm import HDDDM
+
+    li, years = _lineitem_year_batches(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    det = HDDDM(detect_batch=2, seed=42)
+    rows = []
+    for i, yr in enumerate(years):
+        batch = li.filter(F.col("yr") == yr).select(*[F.col(c).cast("double") for c in cols])
+        if i == 0:
+            det.set_reference(batch, batch_id=str(yr))
+            rows.append((str(yr), "reference", None, None))
+        else:
+            state = det.update(batch, batch_id=str(yr))
+            rows.append((str(yr), state or "pass",
+                         det.epsilon[-1] if det.epsilon else None, det.beta))
+    return spark.createDataFrame(
+        rows, schema="year string, state string, epsilon double, beta double"
+    )
+
+
+def q_kdq_lineitem(spark, sf_dir):
+    """kdq-tree drift over lineitem year-batches."""
+    from menelaus_spark.checks.kdqtree import KdqTreeBatch
+
+    li, years = _lineitem_year_batches(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    det = KdqTreeBatch(count_ubound=100, bootstrap_samples=100, seed=42)
+    rows = []
+    for i, yr in enumerate(years):
+        batch = li.filter(F.col("yr") == yr).select(*[F.col(c).cast("double") for c in cols])
+        if i == 0:
+            det.set_reference(batch)
+            rows.append((str(yr), "reference", None, None))
+        else:
+            state = det.update(batch)
+            rows.append((str(yr), state or "pass", det.test_dist, det._critical_dist))
+    return spark.createDataFrame(
+        rows, schema="year string, state string, kl double, critical double"
+    )
+
+
+def q_streaming_traces(spark, sf_dir):
+    """Page-Hinkley + CUSUM traces over per-user-bucket ordered event
+    values (applyInPandas per group)."""
+    from menelaus_spark.streaming.detectors import PageHinkley, apply_streaming_detector
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.pmod("user_id", F.lit(8)).cast("string")
+    )
+    trace = apply_streaming_detector(
+        ev, lambda: PageHinkley(burn_in=30), group_col="grp",
+        order_col="event_id", value_cols=["value"],
+    )
+    return trace.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("state") == "drift").cast("long")).alias("n_drift"),
+    ).orderBy("group")
+
+
+def q_audio_suite(spark, sf_dir):
+    """Flagship: full constraint + drift validation of the synthetic
+    audio table (deterministic seed 42, injected drift partitions),
+    fresh checkpoint each call."""
+    from menelaus_spark.runner import ValidationSuite
+
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=600, n_parts=6,
+                                drift={3: {"dur_mu_shift": 0.8},
+                                       4: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]}})
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: HDDDM drift sequence
+    over lineitem year-batches (loads driver parquet, exercises the
+    distributed histogram engine + sequential state machine)."""
+    return q_hdddm_lineitem(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "profile_lineitem": q_profile_lineitem,
+        "profile_events_by_type": q_profile_events_by_type,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "rollup_revenue": q_rollup_revenue,
+        "referential_orphans": q_referential_orphans,
+        "uniqueness_events_user": q_uniqueness_events_user,
+        "asof_last_view_before_purchase": q_asof_last_view_before_purchase,
+        # histogram / divergence kernels
+        "hist_extendedprice": q_hist_extendedprice,
+        "hellinger_returnflag": q_hellinger_returnflag,
+        "psi_event_type_halves": q_psi_event_type_halves,
+        "ks_value_click_vs_error": q_ks_value_click_vs_error,
+        # dedup / similarity / text
+        "minhash_documents": q_minhash_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        # rows-only (no SQL equivalent)
+        "doc_fingerprints": q_doc_fingerprints,
+        "simhash_documents": q_simhash_documents,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "hdddm_lineitem": q_hdddm_lineitem,
+        "kdq_lineitem": q_kdq_lineitem,
+        "streaming_traces": q_streaming_traces,
+        "audio_suite": q_audio_suite,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+_TOKS_SQL = "string_split_regex(trim(lower(coalesce(text,''))), '\\s+')"
+_TOKS_GUARDED = (
+    f"case when len(trim(lower(coalesce(text,'')))) = 0 then [] "
+    f"else {_TOKS_SQL} end"
+)
+_BPE_SQL_DUCK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _lang_case() -> str:
+    import json
+
+    langs = sorted(T.STOPWORDS)
+    hits = {
+        lang: f"len(list_filter(toks, t -> t in ({', '.join(repr(w) for w in T.STOPWORDS[lang])})))"
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "case "
+    for lang in langs:
+        case += f"when {best} > 0 and h_{lang} = {best} then '{lang}' "
+    case += "else 'und' end"
+    hit_cols = ", ".join(f"{expr} as h_{lang}" for lang, expr in hits.items())
+    return hit_cols, case
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hit_cols, lang_case = _lang_case()
+    minhash_mins = ", ".join(
+        f"min(('0x' || substring(md5(concat('{i}|', shingle)), 1, 15))::BIGINT) as h{i}"
+        for i in range(MINHASH_K)
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+        """,
+        "profile_lineitem": """
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+                   round(min(l_extendedprice), 4) AS price_min,
+                   round(max(l_extendedprice), 4) AS price_max,
+                   round(avg(l_extendedprice), 4) AS price_mean,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+                   round(stddev_samp(l_quantity), 4) AS qty_std
+            FROM lineitem
+        """,
+        "profile_events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+                   round(avg(value), 4) AS v_mean,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders) WHERE rk <= 3
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "referential_orphans": """
+            SELECT count(*) AS n_orphans FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        "uniqueness_events_user": """
+            SELECT user_id, count(*) AS n_dup FROM events
+            GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id
+        """,
+        "asof_last_view_before_purchase": """
+            SELECT p.event_id AS purchase_id,
+                   max(epoch_ms(v.ts) // 1000) AS last_view_epoch
+            FROM events p JOIN events v
+              ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY purchase_id
+        """,
+        "hist_extendedprice": f"""
+            WITH rng AS (SELECT min(l_extendedprice) lo, max(l_extendedprice) hi FROM lineitem),
+            binned AS (
+              SELECT CASE WHEN l_extendedprice = hi THEN {HIST_BINS - 1}
+                          ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / {HIST_BINS}))::INT,
+                                     {HIST_BINS - 1}) END AS bin
+              FROM lineitem, rng WHERE l_extendedprice IS NOT NULL)
+            SELECT bin, count(*) AS count FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "hellinger_returnflag": f"""
+            WITH li AS (SELECT * FROM lineitem WHERE l_returnflag IN ('R','A')),
+            rng AS (SELECT min(l_extendedprice) lo, max(l_extendedprice) hi FROM li),
+            binned AS (
+              SELECT l_returnflag,
+                     CASE WHEN l_extendedprice = hi THEN {HIST_BINS - 1}
+                          ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / {HIST_BINS}))::INT,
+                                     {HIST_BINS - 1}) END AS bin
+              FROM li, rng),
+            counts AS (
+              SELECT bin,
+                     sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_cnt,
+                     sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS a_cnt
+              FROM binned GROUP BY bin),
+            tot AS (SELECT sum(r_cnt) rt, sum(a_cnt) "at" FROM counts)
+            SELECT round(sqrt(sum(pow(sqrt(r_cnt / rt) - sqrt(a_cnt / "at"), 2))), 6) AS hellinger
+            FROM counts, tot
+        """,
+        "psi_event_type_halves": """
+            WITH freqs AS (
+              SELECT event_type,
+                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+              FROM events GROUP BY event_type),
+            tot AS (SELECT sum(c0) t0, sum(c1) t1 FROM freqs)
+            SELECT round(sum((q - p) * ln(q / p)), 6) AS psi
+            FROM (SELECT greatest(c0 / t0, 1e-4) p, greatest(c1 / t1, 1e-4) q
+                  FROM freqs, tot)
+        """,
+        "ks_value_click_vs_error": f"""
+            WITH ev AS (SELECT * FROM events WHERE event_type IN ('click','error')),
+            rng AS (SELECT min(value) lo, max(value) hi FROM ev),
+            binned AS (
+              SELECT event_type,
+                     CASE WHEN value = hi THEN {HIST_BINS - 1}
+                          ELSE least(floor((value - lo) / ((hi - lo) / {HIST_BINS}))::INT,
+                                     {HIST_BINS - 1}) END AS bin
+              FROM ev, rng WHERE value IS NOT NULL),
+            counts AS (
+              SELECT bin,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+              FROM binned GROUP BY bin),
+            cum AS (
+              SELECT sum(c1) OVER (ORDER BY bin) AS cum1,
+                     sum(c2) OVER (ORDER BY bin) AS cum2
+              FROM counts),
+            tot AS (SELECT sum(c1) t1, sum(c2) t2 FROM counts)
+            SELECT round(max(abs(cum1 / t1 - cum2 / t2)), 6) AS ks FROM cum, tot
+        """,
+        "minhash_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+              FROM toks WHERE len(toks) >= 3)
+            SELECT doc_id, {minhash_mins}
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g')) AS text_hash,
+                   count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+        """,
+        "ngram_jaccard_documents": f"""
+            WITH sh AS (
+              SELECT doc_id, lang,
+                     CASE WHEN len(toks) < 2 THEN []
+                          ELSE list_distinct(list_transform(
+                             range(1, len(toks)),
+                             i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+                     END AS shingles
+              FROM (SELECT doc_id, lang, {_TOKS_GUARDED} AS toks FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                             / len(list_distinct(a.shingles || b.shingles)) END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                             / len(list_distinct(a.shingles || b.shingles)) END, 6) >= 0.12
+            ORDER BY id_a, id_b
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos4
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT q.qid::VARCHAR AS query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS cosine
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vec_id, round(cosine, 4) AS cos4,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS_GUARDED}) AS n_tokens,
+                   len(regexp_extract_all(coalesce(text,''), '{_BPE_SQL_DUCK}')) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text,'') AS t, {_TOKS_GUARDED} AS toks FROM documents)
+            SELECT doc_id,
+                   len(t) AS n_chars,
+                   len(toks) AS n_tokens,
+                   round(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(t), 1), 6) AS alpha_ratio,
+                   round(len(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(len(t), 1), 6) AS punct_ratio,
+                   round(len(list_filter(toks, t2 -> t2 in ({_STOP_EN})))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round(least(len(toks) / 64.0, 1.0) * 0.3
+                         + round(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(t), 1), 6) * 0.3
+                         + least(round(len(list_filter(toks, t2 -> t2 in ({_STOP_EN})))::DOUBLE
+                                       / greatest(len(toks), 1), 6) * 4.0, 1.0) * 0.3
+                         + (1.0 - least(round(len(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                                              / greatest(len(t), 1), 6) * 4.0, 1.0)) * 0.1, 4) AS quality_score
+            FROM base ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH toksq AS (SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
+            hits AS (SELECT doc_id, {hit_cols} FROM toksq)
+            SELECT doc_id, {lang_case} AS lang_pred FROM hits ORDER BY doc_id
+        """,
+    }

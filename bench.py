@@ -1,0 +1,115 @@
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": ..., "value": <sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline = wall seconds for the full audio validation suite (constraint
++ drift checks over a deterministically synthesized clip table scaled
+by sf) — the north-star workload; `clips_per_sec` is reported alongside.
+Per-query timings cover the operator surface from __spark_entry__.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from menelaus_spark import tables
+from menelaus_spark.runner import ValidationSuite
+from menelaus_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "topk_orders_per_customer",
+    "hist_extendedprice",
+    "hellinger_returnflag",
+    "psi_event_type_halves",
+    "ks_value_click_vs_error",
+    "minhash_documents",
+    "ngram_jaccard_documents",
+    "embedding_neardup",
+    "ann_cosine_topk",
+    "token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprints",
+    "simhash_documents",
+    "hdddm_lineitem",
+    "kdq_lineitem",
+    "streaming_traces",
+]
+
+CLIPS_PER_SF = 160_000  # sf0.1 -> 16k clips
+
+
+def run_noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus, app_name=f"bench_c{cpus}")
+
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        run_noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full validation suite over the synthetic audio table
+    n_clips = max(2000, int(CLIPS_PER_SF * sf))
+    work = f"/tmp/menelaus_bench_{sf}_{cpus}"
+    shutil.rmtree(work, ignore_errors=True)
+    audio_path = os.path.join(work, "audio")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=n_clips, n_parts=10), audio_path
+    )
+    df = spark.read.parquet(audio_path)
+    t0 = time.time()
+    suite = ValidationSuite(
+        spark,
+        os.path.join(work, "ckpt"),
+        expected_schema=tables.AUDIO_SCHEMA,
+        null_rate_max={"transcript": 0.2},
+        ranges={"dur_ms": (200, 3000)},
+        accepted_values={"codec": ["pcm", "opus", "mp3", "aac", "flac"]},
+        kdq_params={"count_ubound": 200, "bootstrap_samples": 200},
+    )
+    suite.run(df)
+    audio_suite_s = round(time.time() - t0, 3)
+    timings["audio_suite"] = audio_suite_s
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "full operator-suite wall time (headline: audio validation suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "audio_clips": n_clips,
+                "clips_per_sec": round(n_clips / audio_suite_s, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

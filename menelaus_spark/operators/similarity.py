@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exact baseline) and a random-hyperplane LSH-bucketed ANN variant
+(the scale path: candidates come only from matching buckets).
+
+Dot products are JVM-side ``zip_with``/``aggregate`` expressions —
+whole-stage codegen, no Python. The hyperplane projections are also
+plain expressions over a broadcast literal plane matrix, so the ANN
+bucketing adds zero Python overhead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from menelaus_spark.operators.dedup import cosine_cols
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector: broadcast the tiny
+    query table, one scan of the corpus, per-query window top-k.
+    Returns (query_id, id, cosine, rank)."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in queries],
+        schema="query_id string, qvec array<double>",
+    )
+    scored = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).crossJoin(F.broadcast(qdf)).withColumn(
+        "cosine", F.round(cosine_cols(F.col("__v"), F.col("qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine", "rank")
+    )
+
+
+def _bucket_expr(vec, planes: np.ndarray):
+    """Sign-bit bucket id from hyperplane projections, as a pure
+    column expression (planes inlined as array literals)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signs bucket the corpus
+    (2^n_planes buckets); each query searches its own bucket plus all
+    buckets within ``multiprobe_hamming`` bit flips (multi-probe LSH
+    recall boost). Corpus bucketing is one pass and cacheable/bucketable
+    at scale; per-query work shrinks by ~2^n_planes / probes."""
+    if dim is None:
+        dim = len(queries[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("bucket", _bucket_expr(F.col("__v"), planes))
+
+    # driver-side query bucketing (queries are tiny)
+    def q_bucket(v):
+        return int(sum((planes[i] @ np.asarray(v) > 0) << i for i in range(n_planes)))
+
+    probe_rows = []
+    for qid, v in queries:
+        base = q_bucket(v)
+        buckets = {base}
+        if multiprobe_hamming >= 1:
+            buckets |= {base ^ (1 << i) for i in range(n_planes)}
+        if multiprobe_hamming >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    buckets.add(base ^ (1 << i) ^ (1 << j))
+        for bkt in sorted(buckets):
+            probe_rows.append((qid, [float(x) for x in v], bkt))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        probe_rows, schema="query_id string, qvec array<double>, bucket int"
+    )
+    scored = corpus.join(F.broadcast(qdf), on="bucket").withColumn(
+        "cosine", F.round(cosine_cols(F.col("__v"), F.col("qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine", "rank")
+    )

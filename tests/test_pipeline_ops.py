@@ -1,0 +1,179 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text analysis) on the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from menelaus_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+def test_token_counts_match_python(spark, docs):
+    out = docs.select(
+        "doc_id", "text",
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.bpe_ish_token_count("text").alias("n_bpe"),
+    ).limit(200).toPandas()
+    import re
+
+    for _, r in out.iterrows():
+        t = (r["text"] or "").strip().lower()
+        expected = len(t.split()) if t else 0
+        assert r["n_tok"] == expected
+        assert r["n_bpe"] == len(re.findall(text.BPE_ISH_REGEX, r["text"] or ""))
+
+
+def test_quality_features(spark, docs):
+    q = text.quality_features(docs).limit(100).toPandas()
+    assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+    assert (q["n_chars"] == q["text"].fillna("").str.len()).all()
+
+
+def test_lang_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat and the dog sat in that house for a while it was nice",
+                "el perro y la casa de los vecinos en el parque",
+                "der hund und die katze ist von den nachbarn mit ein",
+                "le chat est dans les maisons et une belle ville que",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = text.lang_id(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert out["lang_pred"].tolist() == ["en", "es", "de", "fr", "und"]
+
+
+def test_doc_fingerprint_deterministic(spark, docs):
+    a = text.doc_fingerprint(docs.limit(50), "doc_id").orderBy("doc_id").toPandas()
+    b = text.doc_fingerprint(docs.limit(50).repartition(3), "doc_id").orderBy("doc_id").toPandas()
+    assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+    # identical normalized text -> identical fingerprint
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello   World foo", "hello world foo"]})
+    out = text.doc_fingerprint(spark.createDataFrame(pdf), "doc_id").toPandas()
+    assert out["fingerprint"].nunique() == 1
+
+
+def test_exact_duplicates(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["same  Doc", "same doc", "unique one", "SAME DOC", "other"],
+        }
+    )
+    out = dedup.exact_duplicates(spark.createDataFrame(pdf), "doc_id").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_dups"] == 3
+    assert out.iloc[0]["keep_id"] == 1
+    assert sorted(out.iloc[0]["dup_ids"]) == [1, 2, 4]
+
+
+def test_shingles_and_jaccard(spark):
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["a b c d"]})
+    sh = dedup.with_shingles(spark.createDataFrame(pdf), "doc_id", n=2).collect()[0]["shingles"]
+    assert sorted(sh) == ["a b", "b c", "c d"]
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    words = base.split()
+    rows = [(0, base)]
+    # near-dup: one word changed
+    nd = words.copy()
+    nd[5] = "leaps"
+    rows.append((1, " ".join(nd)))
+    # unrelated docs
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    for i in range(2, 30):
+        rows.append((i, " ".join(rng.choice(vocab, size=18))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    pairs = dedup.minhash_lsh_dedup(df, "doc_id", threshold=0.5).toPandas()
+    assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
+    # signature determinism across partitioning
+    s1 = dedup.minhash_signatures(df, "doc_id").orderBy("doc_id").toPandas()
+    s2 = dedup.minhash_signatures(df.repartition(5), "doc_id").orderBy("doc_id").toPandas()
+    assert [list(x) for x in s1["sig"]] == [list(x) for x in s2["sig"]]
+
+
+def test_ngram_jaccard_pairs_blocked(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f", "a b c d e g", "x y z w v u"],
+            "blk": [0, 0, 0],
+        }
+    )
+    out = dedup.ngram_jaccard_pairs(
+        spark.createDataFrame(pdf), "doc_id", n=2, threshold=0.5, block_col="blk"
+    ).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
+
+
+def test_simhash_neardup(spark):
+    # simhash stability needs doc length >> 1 changed token: at 200
+    # tokens a single substitution flips ~1 fingerprint bit
+    base = " ".join(f"tok{i}" for i in range(200))
+    variant = base.replace("tok7 ", "tokX ")
+    rng = np.random.default_rng(9)
+    rows = [(0, base), (1, variant)] + [
+        (i, " ".join(rng.choice([f"v{j}" for j in range(500)], size=200))) for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.simhash_neardup_pairs(df, "doc_id", max_hamming=6, prefix_bits=8).toPandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_embedding_neardup_and_topk(spark, emb):
+    # plant an exact near-duplicate pair
+    two = emb.limit(1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(two)
+    pairs = dedup.embedding_neardup_pairs(
+        planted, "vec_id", "embedding", threshold=0.9999, block_col="label"
+    ).toPandas()
+    assert len(pairs) >= 1
+
+    # brute-force top-k: top-1 for a corpus vector's own embedding is itself
+    row = emb.limit(1).collect()[0]
+    topk = similarity.cosine_topk(
+        emb, "vec_id", "embedding", [("q0", list(row["embedding"]))], k=5
+    ).toPandas()
+    assert topk.iloc[0]["vec_id"] == row["vec_id"]
+    assert topk.iloc[0]["cosine"] == pytest.approx(1.0)
+    assert len(topk) == 5
+
+
+def test_lsh_ann_recall(spark, emb):
+    rng = np.random.default_rng(4)
+    rows = emb.limit(3).collect()
+    queries = [(f"q{i}", list(r["embedding"])) for i, r in enumerate(rows)]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=10).toPandas()
+    ann = similarity.lsh_ann_topk(
+        emb, "vec_id", "embedding", queries, k=10, n_planes=4, multiprobe_hamming=2
+    ).toPandas()
+    # recall@10 of the bucketed search vs exact
+    recalls = []
+    for qid in ("q0", "q1", "q2"):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(ann[ann["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5
+    # the query vector itself is always found (same bucket)
+    assert (ann[ann["rank"] == 1]["cosine"] > 0.999).all()
