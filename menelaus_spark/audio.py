@@ -74,14 +74,22 @@ def decode_clip(buf: bytes, codec: str) -> tuple[int, np.ndarray]:
     )
 
 
+FRAME = 512      # 32 ms @ 16 kHz
+HOP = 256
+
+
 def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     """One clip's float PCM -> fixed N_FEATURES-dim float32 vector.
 
-    Time-domain stats + an 8-band log power spectrum (FFT of a bounded
-    prefix so cost is O(1) per clip regardless of duration). Plays the
-    role of the numeric feature matrix ``X`` that the reference's
-    detectors consume (reference detector.py:43-89 coerces input to a
-    numeric row; our X is derived from the decoded audio payload).
+    Time-domain stats + an 8-band log power spectrum from a frame-wise
+    STFT over the WHOLE clip (frame 512, hop 256, Hann window, power
+    spectra averaged across frames) — the standard spectrogram-summary
+    featurization, so per-clip cost scales with audio duration exactly
+    as a production pipeline's would. All numpy-vectorized (the frame
+    matrix is a stride view; one batched rfft). Plays the role of the
+    numeric feature matrix ``X`` that the reference's detectors consume
+    (reference detector.py:43-89 coerces input to a numeric row; our X
+    is derived from the decoded audio payload).
     """
     x = np.asarray(pcm, dtype=np.float64)
     if x.size == 0:
@@ -90,10 +98,17 @@ def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if x.size > 1 else 0.0
     peak = float(np.max(np.abs(x)))
     dc = float(np.mean(x))
-    # 8 log-power bands over a <=4096-sample analysis window
-    win = x[: min(x.size, 4096)]
-    spec = np.abs(np.fft.rfft(win, n=4096)) ** 2
-    bands = np.array_split(spec[1:], 8)
+    if x.size < FRAME:
+        frames = x[None, :]
+        spec = np.abs(np.fft.rfft(frames * np.hanning(x.size), n=FRAME, axis=1)) ** 2
+    else:
+        n_frames = 1 + (x.size - FRAME) // HOP
+        frames = np.lib.stride_tricks.as_strided(
+            x, shape=(n_frames, FRAME), strides=(x.strides[0] * HOP, x.strides[0])
+        )
+        spec = np.abs(np.fft.rfft(frames * np.hanning(FRAME), axis=1)) ** 2
+    mean_spec = spec.mean(axis=0)
+    bands = np.array_split(mean_spec[1:], 8)
     band_power = np.array([np.log1p(np.mean(b)) for b in bands])
     return np.concatenate([[rms, zcr, peak, dc], band_power]).astype(np.float32)
 
@@ -116,7 +131,7 @@ def features_for_batch(bufs, codecs) -> np.ndarray:
 
 
 def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
-                codec_col: str = "codec"):
+                codec_col: str = "codec", carry_cols: tuple[str, ...] = ()):
     """(key, f0..f11) feature DataFrame via mapInPandas — the Arrow-
     batched decode + feature path (no per-row Python in the plan; the
     numpy kernel runs per Arrow batch). Only (key, bytes, codec) are
@@ -125,16 +140,24 @@ def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
     import pandas as pd
 
     feature_cols = [f"f{i}" for i in range(N_FEATURES)]
-    schema = f"{key_col} string, " + ", ".join(f"{c} double" for c in feature_cols)
+    carry_types = dict(df.dtypes)
+    head = f"{key_col} string"
+    for c in carry_cols:
+        head += f", {c} {carry_types[c]}"
+    schema = head + ", " + ", ".join(f"{c} double" for c in feature_cols)
 
     def extract(batches):
         for pdf in batches:
             mat = features_for_batch(pdf[bytes_col].tolist(), pdf[codec_col].tolist())
             out = pd.DataFrame(mat.astype(np.float64), columns=feature_cols)
+            for c in reversed(carry_cols):
+                out.insert(0, c, pdf[c].to_numpy())
             out.insert(0, key_col, pdf[key_col].to_numpy())
             yield out
 
-    return df.select(key_col, bytes_col, codec_col).mapInPandas(extract, schema=schema)
+    return df.select(key_col, *carry_cols, bytes_col, codec_col).mapInPandas(
+        extract, schema=schema
+    )
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:

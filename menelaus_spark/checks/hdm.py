@@ -104,6 +104,8 @@ class HDM:
         self._bins = 0
         self._reference: list[tuple[str, DataFrame]] = []
         self.reference_batch_ids: list[str] = []
+        self._ref_minmax: dict = {}
+        self._ref_batch_counts: list[int] = []
 
     # -- input validation (schema freeze, reference detector.py:221-307) --
 
@@ -123,20 +125,25 @@ class HDM:
 
     def set_reference(self, df: DataFrame, batch_id: str = "reference") -> None:
         df = df.persist()
-        n = df.count()
+        n, mm = self._minmax_count(df, self._features(df))
         self._validate(df, n)
         self._reference = [(batch_id, df)]
         self.reference_batch_ids = [batch_id]
+        self._ref_minmax = mm
+        self._ref_batch_counts = [n]
         self.reset()
 
-    def update(self, df: DataFrame, batch_id: str | None = None) -> str | None:
+    def update(self, df: DataFrame, batch_id: str | None = None,
+               precomputed: tuple[int, dict] | None = None) -> str | None:
+        """``precomputed`` = (test_n, {col: (min, max)}) lets a caller
+        that already aggregated the batch (e.g. the ValidationSuite's
+        fused constraint pass) skip this detector's test-side agg."""
         if self.drift_state == DRIFT:
             self.reset()
         df = df.persist()
-        test_n = df.count()
-        self._validate(df, test_n)
+        self._validate(df, 2)  # schema check; row count validated in _update_inner
         batch_id = batch_id if batch_id is not None else f"batch_{self.total_batches + 1}"
-        self._update_inner(df, batch_id, test_n)
+        self._update_inner(df, batch_id, precomputed)
         return self.drift_state
 
     # -- internals --
@@ -147,15 +154,45 @@ class HDM:
             out = out.unionByName(d)
         return out
 
-    def _update_inner(self, X: DataFrame, batch_id: str, test_n: int) -> None:
+    @staticmethod
+    def _minmax_count(df: DataFrame, cols: list[str]) -> tuple[int, dict]:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        return int(row["__n"]), {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
+
+    @staticmethod
+    def _merge_ranges(a: dict, b: dict) -> dict:
+        out = {}
+        for c in a:
+            lo = min(x for x in (a[c][0], b[c][0]) if x is not None) if (
+                a[c][0] is not None or b[c][0] is not None) else None
+            hi = max(x for x in (a[c][1], b[c][1]) if x is not None) if (
+                a[c][1] is not None or b[c][1] is not None) else None
+            out[c] = (lo, hi)
+        return out
+
+    def _update_inner(self, X: DataFrame, batch_id: str,
+                      precomputed: tuple[int, dict] | None = None) -> None:
         self.total_batches += 1
         self.batches_since_reset += 1
         cols = self._input_cols
-        ref = self._ref_df()
 
-        # one distributed pass: joint per-feature min/max over ref+test
-        both = ref.unionByName(X)
-        ranges = H.joint_minmax(both, cols)
+        # Joint min/max of reference+test aligns the bins
+        # (histogram_density_method.py:267-276). min/max distribute
+        # over union, so the reference side comes from the MERGEABLE
+        # running summary — no rescan of accumulated reference data for
+        # this step; only the test batch is aggregated (and the caller
+        # may pass that in precomputed from its own fused agg pass).
+        if precomputed is not None:
+            test_n, test_mm = precomputed
+        else:
+            test_n, test_mm = self._minmax_count(X, cols)
+        if test_n <= 1:
+            raise ValueError("Input for batch detectors should contain more than one observation.")
+        ranges = self._merge_ranges(self._ref_minmax, test_mm)
+        ref = self._ref_df()
         # one distributed pass: (role, feature, bin) salted histogram
         ref_mat, test_mat = self._role_histograms(ref, X, ranges, self._bins)
         self._reference_density = ref_mat
@@ -196,6 +233,8 @@ class HDM:
                     self.drift_state = DRIFT
                     self._reference = [(batch_id, X)]
                     self.reference_batch_ids = [batch_id]
+                    self._ref_minmax = test_mm
+                    self._ref_batch_counts = [test_n]
                     self._lambda = self.total_batches
 
         if self.drift_state != DRIFT:
@@ -203,6 +242,8 @@ class HDM:
             self._prev_feature_distances = feature_distances
             self._reference.append((batch_id, X))
             self.reference_batch_ids.append(batch_id)
+            self._ref_minmax = ranges
+            self._ref_batch_counts.append(test_n)
             self.reference_n += test_n
             self._bins = int(np.floor(np.sqrt(self.reference_n)))
 
@@ -216,16 +257,20 @@ class HDM:
             first = first.persist()
             self._reference = [(f"{bid}#half0", first)]
             self.reference_batch_ids = [f"{bid}#half0"]
-            self.reference_n = first.count()
+            # the half-split changes the reference min/max: one agg
+            self.reference_n, self._ref_minmax = self._minmax_count(
+                first, self._input_cols
+            )
+            self._ref_batch_counts = [self.reference_n]
         else:
-            self.reference_n = sum(d.count() for _, d in self._reference)
+            self.reference_n = sum(self._ref_batch_counts)
         self._bins = int(np.floor(np.sqrt(self.reference_n)))
         self.epsilon = []
         self.total_epsilon = 0.0
         if proxy is not None:
             proxy = proxy.persist()
             bid = self.reference_batch_ids[0].replace("#half0", "#half1")
-            self._update_inner(proxy, bid, proxy.count())
+            self._update_inner(proxy, bid)
 
     def _split_half(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Deterministic positional half-split on ``order_col`` (the
@@ -343,6 +388,8 @@ class HDM:
             "prev_distance": self._prev_distance,
             "prev_feature_distances": self._prev_feature_distances,
             "reference_batch_ids": list(self.reference_batch_ids),
+            "ref_minmax": {c: [v[0], v[1]] for c, v in self._ref_minmax.items()},
+            "ref_batch_counts": list(self._ref_batch_counts),
             "distances": {str(k): v for k, v in self.distances.items()},
             "epsilon_values": {str(k): v for k, v in self.epsilon_values.items()},
             "thresholds": {str(k): v for k, v in self.thresholds.items()},
@@ -362,6 +409,8 @@ class HDM:
         self._prev_distance = state["prev_distance"]
         self._prev_feature_distances = state["prev_feature_distances"]
         self.reference_batch_ids = list(state["reference_batch_ids"])
+        self._ref_minmax = {c: (v[0], v[1]) for c, v in state["ref_minmax"].items()}
+        self._ref_batch_counts = list(state["ref_batch_counts"])
         self.distances = {int(k): v for k, v in state["distances"].items()}
         self.epsilon_values = {int(k): v for k, v in state["epsilon_values"].items()}
         self.thresholds = {int(k): v for k, v in state["thresholds"].items()}

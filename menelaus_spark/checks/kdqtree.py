@@ -362,6 +362,36 @@ class KdqTreeBatch:
             self.drift_state = None
         return self.drift_state
 
+    # -- externally-filled variant (vectorized-over-partitions runner) --
+
+    def install_reference(self, tree: KDQTreePartitioner, ref_counts: np.ndarray) -> None:
+        """Adopt a tree + distributed reference leaf counts computed by
+        an external global pass (same semantics as set_reference, minus
+        the data plumbing)."""
+        self.batches_since_reset = 0
+        self.drift_state = None
+        self._tree = tree
+        self._ref_counts = np.asarray(ref_counts, dtype=np.int64)
+        self._critical_dist = bootstrap_critical_kld(
+            self._ref_counts, int(self._ref_counts.sum()), self.alpha,
+            self.bootstrap_samples, self.seed,
+        )
+
+    def observe_counts(self, test_counts: np.ndarray) -> str | None:
+        """update() when the distributed fill happened externally:
+        identical counter/threshold/drift bookkeeping."""
+        self.total_batches += 1
+        self.batches_since_reset += 1
+        self._test_counts = np.asarray(test_counts, dtype=np.int64)
+        self.test_dist = self._tree.kl_distance(self._ref_counts, self._test_counts)
+        self.drift_state = "drift" if self.test_dist > self._critical_dist else None
+        return self.drift_state
+
+    def build_tree_from_sample(self, ary: np.ndarray) -> KDQTreePartitioner:
+        tree = KDQTreePartitioner(self.count_ubound, self.cutpoint_proportion_lbound)
+        tree.build(np.asarray(ary, dtype=np.float64))
+        return tree
+
     def tree_frame(self, input_cols: list[str] | None = None, max_depth: int | None = None):
         return self._tree.tree_frame(
             self._ref_counts,

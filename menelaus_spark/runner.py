@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -76,6 +77,7 @@ class ValidationSuite:
         ks_alpha: float = 0.05,
         kdq_params: dict | None = None,
         hdm_params: dict | None = None,
+        hdm_input_partitions: int = 8,
     ):
         self.spark = spark
         self.manifest = CheckpointManifest(checkpoint_dir)
@@ -93,6 +95,11 @@ class ValidationSuite:
         self.referential = referential
         self.seed = seed
         self.ks_alpha = ks_alpha
+        # the HDM inputs are tiny 2-column numeric projections that get
+        # cached and re-unioned every batch; coalescing them keeps the
+        # per-update task count O(hdm_input_partitions x batches) instead
+        # of O(input_splits x batches). Size to ~rows/10M at real scale.
+        self.hdm_input_partitions = hdm_input_partitions
         self.hdm = (
             HDDDM(detect_batch=2, order_col=None, seed=seed, **(hdm_params or {}))
             if self.hdm_cols
@@ -106,6 +113,7 @@ class ValidationSuite:
         # KS / PSI reference summaries (set on first partition)
         self._ks_ref: dict | None = None  # col -> {"lo","hi","counts","n"}
         self._psi_ref: dict | None = None  # {"freqs": {cat: n}, "n": int}
+        self._feats_cache = None
 
     # ------------------------------------------------------------- util
 
@@ -118,47 +126,73 @@ class ValidationSuite:
 
     # ---------------------------------------------------- check runners
 
-    def _constraint_verdicts(self, pk: str, part_df: DataFrame, n_rows: int):
+    def _constraint_aggs(self) -> list:
+        """All scalar constraint statistics + the lineage fingerprint
+        as ONE aggregation expression list: count, key-hash, exact
+        distinct keys, null rates, out-of-range counts, bad-category
+        counts. One distributed pass per partition instead of one pass
+        per rule — the job-count reduction that keeps fixed overhead
+        from dominating at high parallelism."""
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.expr(f"bit_xor(xxhash64({self.key_col}))").alias("__key_hash"),
+            F.countDistinct(self.key_col).alias("__n_distinct"),
+        ]
+        for c in self.null_rate_max:
+            aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"__null_{c}"))
+        for c, (lo, hi) in self.ranges.items():
+            bad = (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
+            aggs.append(F.sum(bad.cast("long")).alias(f"__range_{c}"))
+        for c, allowed in self.accepted_values.items():
+            bad = ~F.col(c).isin(allowed) | F.col(c).isNull()
+            aggs.append(F.sum(bad.cast("long")).alias(f"__acc_{c}"))
+        # test-side min/max for the HDM + KS drift checks ride along in
+        # the same pass (HDM consumes them via `precomputed`)
+        for c in sorted(set(self.hdm_cols) | set(self.ks_cols)):
+            col = F.col(c).cast("double")
+            aggs += [F.min(col).alias(f"__mm_lo_{c}"), F.max(col).alias(f"__mm_hi_{c}")]
+        return aggs
+
+    def _constraint_verdicts(self, pk: str, part_df: DataFrame, stats: dict):
         verdicts, violations = [], []
+        n_rows = int(stats["__n"])
 
         if self.expected_schema is not None:
             ok, problems = C.schema_check(part_df, self.expected_schema)
             verdicts.append(Verdict(pk, "schema", PASS if ok else FAIL, n_rows=n_rows,
                                     details=problems))
 
-        # one aggregation pass: null counts + ranges are expression-only
-        null_aggs = [
-            F.avg(F.col(c).isNull().cast("double")).alias(f"null_{c}")
-            for c in self.null_rate_max
-        ]
-        if null_aggs:
-            row = part_df.agg(*null_aggs).collect()[0]
-            for c, mx in self.null_rate_max.items():
-                rate = float(row[f"null_{c}"] or 0.0)
-                verdicts.append(Verdict(pk, f"null_rate:{c}", PASS if rate <= mx else FAIL,
-                                        statistic=rate, threshold=mx, n_rows=n_rows))
+        for c, mx in self.null_rate_max.items():
+            rate = float(stats[f"__null_{c}"] or 0.0)
+            verdicts.append(Verdict(pk, f"null_rate:{c}", PASS if rate <= mx else FAIL,
+                                    statistic=rate, threshold=mx, n_rows=n_rows))
 
         for c, (lo, hi) in self.ranges.items():
-            bad = C.range_violations(part_df, c, lo, hi, key=self.key_col)
-            n_bad = bad.count()
+            n_bad = int(stats[f"__range_{c}"] or 0)
             verdicts.append(Verdict(pk, f"range:{c}", PASS if n_bad == 0 else FAIL,
                                     statistic=float(n_bad), threshold=0.0, n_rows=n_rows))
-            if n_bad:
-                violations.append(bad.withColumn("reason", F.lit(f"range:{c}")))
+            if n_bad:  # violation rows only materialized on failure
+                violations.append(
+                    C.range_violations(part_df, c, lo, hi, key=self.key_col)
+                    .withColumn("reason", F.lit(f"range:{c}"))
+                )
 
         for c, allowed in self.accepted_values.items():
-            bad = C.accepted_values_violations(part_df, c, allowed, key=self.key_col)
-            n_bad = bad.count()
+            n_bad = int(stats[f"__acc_{c}"] or 0)
             verdicts.append(Verdict(pk, f"accepted:{c}", PASS if n_bad == 0 else FAIL,
                                     statistic=float(n_bad), threshold=0.0, n_rows=n_rows))
             if n_bad:
-                violations.append(bad.withColumn("reason", F.lit(f"accepted:{c}")))
+                violations.append(
+                    C.accepted_values_violations(part_df, c, allowed, key=self.key_col)
+                    .withColumn("reason", F.lit(f"accepted:{c}"))
+                )
 
-        dups = C.uniqueness_violations(part_df, self.key_col)
-        n_dup = dups.count()
-        verdicts.append(Verdict(pk, f"unique:{self.key_col}", PASS if n_dup == 0 else FAIL,
-                                statistic=float(n_dup), threshold=0.0, n_rows=n_rows))
-        if n_dup:
+        n_dup_rows = n_rows - int(stats["__n_distinct"])
+        verdicts.append(Verdict(pk, f"unique:{self.key_col}",
+                                PASS if n_dup_rows == 0 else FAIL,
+                                statistic=float(n_dup_rows), threshold=0.0, n_rows=n_rows))
+        if n_dup_rows:
+            dups = C.uniqueness_violations(part_df, self.key_col)
             violations.append(
                 dups.select("row_key", F.col("n_dup").cast("string").alias("value"))
                 .withColumn("reason", F.lit(f"unique:{self.key_col}"))
@@ -179,48 +213,84 @@ class ValidationSuite:
                 )
         return verdicts, violations
 
-    def _ks_psi_verdicts(self, pk: str, part_df: DataFrame, n_rows: int, is_ref: bool):
+    def _ks_psi_ranges(self, ref_stats: dict) -> dict:
+        """Bin ranges for the KS histograms: the stored reference
+        ranges, or (fresh run) the first partition's min/max from the
+        constraint pass."""
+        if not self.ks_cols:
+            return {}
+        if self._ks_ref:
+            return {c: (self._ks_ref[c]["lo"], self._ks_ref[c]["hi"]) for c in self.ks_cols}
+        return {c: (ref_stats[f"__mm_lo_{c}"], ref_stats[f"__mm_hi_{c}"]) for c in self.ks_cols}
+
+    def _ks_psi_collect(self, df: DataFrame, ranges: dict, by_part: bool = False) -> dict:
+        """KS histograms (all columns) + PSI category frequencies in
+        ONE exploded salted aggregation pass — optionally grouped by
+        partition key, so a single pass covers EVERY partition
+        (vectorized-over-partitions plan). Returns
+        {pk (or None): (mat {col: counts}, freqs {cat: n})}."""
+        structs = []
+        for c in self.ks_cols:
+            # clamp test values into the reference bin range so the
+            # cumulative comparison stays aligned (mass outside the
+            # range piles into the edge bins -> CDF gap registers)
+            col = F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(float(ranges[c][0]))),
+                F.lit(float(ranges[c][1])),
+            )
+            structs.append(F.struct(
+                F.lit(f"ks:{c}").alias("kind"),
+                H.bin_index_col(col, ranges[c][0], ranges[c][1], KS_BINS)
+                .cast("string").alias("key"),
+            ))
+        if self.psi_col:
+            structs.append(F.struct(
+                F.lit("psi").alias("kind"),
+                F.col(self.psi_col).cast("string").alias("key"),
+            ))
+        keys = ["kind", "key"]
+        sel = [F.explode(F.array(*structs)).alias("kk")]
+        if by_part:
+            sel.insert(0, F.col(self.partition_col).cast("string").alias("__pk"))
+            keys = ["__pk", "kind", "key"]
+        exploded = (
+            df.select(*sel)
+            .select(*(["__pk"] if by_part else []), "kk.kind", "kk.key")
+            .filter(F.col("key").isNotNull())
+        )
+        rows = H.salted_count(exploded, keys).collect()
+        out: dict = {}
+        for r in rows:
+            pk = r["__pk"] if by_part else None
+            mat, freqs = out.setdefault(pk, ({c: np.zeros(KS_BINS) for c in self.ks_cols}, {}))
+            if r["kind"] == "psi":
+                freqs[str(r["key"])] = int(r["count"])
+            else:
+                mat[r["kind"][3:]][int(r["key"])] = float(r["count"])
+        return out
+
+    def _ks_psi_decide(self, pk: str, n_rows: int, is_ref: bool, ranges: dict,
+                       mat: dict, freqs: dict):
         verdicts = []
         if self.ks_cols:
             if is_ref:
-                ranges = H.joint_minmax(part_df, self.ks_cols)
-                hist = H.multi_feature_histogram(
-                    part_df, {c: ranges[c] for c in self.ks_cols}, KS_BINS
-                )
-                mat = H.collect_histogram_matrix(hist, self.ks_cols, KS_BINS)
                 self._ks_ref = {
                     c: {"lo": float(ranges[c][0]), "hi": float(ranges[c][1]),
-                        "counts": mat[i].tolist(), "n": int(mat[i].sum())}
-                    for i, c in enumerate(self.ks_cols)
+                        "counts": mat[c].tolist(), "n": int(mat[c].sum())}
+                    for c in self.ks_cols
                 }
                 for c in self.ks_cols:
                     verdicts.append(Verdict(pk, f"ks:{c}", PASS, statistic=0.0,
                                             threshold=None, n_rows=n_rows,
                                             details={"role": "reference"}))
             else:
-                # clamp test values into the reference bin range so the
-                # cumulative comparison stays aligned (mass outside the
-                # reference range piles into the edge bins -> max CDF gap
-                # still registers)
-                ranges = {c: (self._ks_ref[c]["lo"], self._ks_ref[c]["hi"]) for c in self.ks_cols}
-                clamped = part_df.select(
-                    *[
-                        F.least(F.greatest(F.col(c).cast("double"), F.lit(ranges[c][0])),
-                                F.lit(ranges[c][1])).alias(c)
-                        for c in self.ks_cols
-                    ]
-                )
-                hist = H.multi_feature_histogram(clamped, ranges, KS_BINS)
-                mat = H.collect_histogram_matrix(hist, self.ks_cols, KS_BINS)
-                for i, c in enumerate(self.ks_cols):
+                for c in self.ks_cols:
                     ref = self._ks_ref[c]
-                    stat = dist.ks_statistic(np.array(ref["counts"]), mat[i])
-                    thr = ks_critical(ref["n"], int(mat[i].sum()), self.ks_alpha)
+                    stat = dist.ks_statistic(np.array(ref["counts"]), mat[c])
+                    thr = ks_critical(ref["n"], int(mat[c].sum()), self.ks_alpha)
                     verdicts.append(Verdict(pk, f"ks:{c}", DRIFT if stat > thr else PASS,
                                             statistic=stat, threshold=thr, n_rows=n_rows))
         if self.psi_col:
-            freqs = H.collect_frequencies(H.category_frequencies(part_df, self.psi_col))
-            freqs = {str(k): v for k, v in freqs.items()}
             if is_ref:
                 self._psi_ref = {"freqs": freqs, "n": n_rows}
                 verdicts.append(Verdict(pk, f"psi:{self.psi_col}", PASS, statistic=0.0,
@@ -235,17 +305,21 @@ class ValidationSuite:
                                         n_rows=n_rows))
         return verdicts
 
-    def _drift_verdicts(self, pk: str, part_df: DataFrame, n_rows: int, is_ref: bool):
+    def _drift_verdicts(self, pk: str, part_df: DataFrame, n_rows: int,
+                        is_ref: bool, stats: dict):
         verdicts, violations = [], []
 
         if self.hdm is not None:
-            hdm_df = part_df.select(*[F.col(c).cast("double").alias(c) for c in self.hdm_cols])
+            hdm_df = part_df.select(
+                *[F.col(c).cast("double").alias(c) for c in self.hdm_cols]
+            ).coalesce(self.hdm_input_partitions)
             if is_ref:
                 self.hdm.set_reference(hdm_df, batch_id=pk)
                 verdicts.append(Verdict(pk, "hdddm", PASS, n_rows=n_rows,
                                         details={"role": "reference"}))
             else:
-                state = self.hdm.update(hdm_df, batch_id=pk)
+                mm = {c: (stats[f"__mm_lo_{c}"], stats[f"__mm_hi_{c}"]) for c in self.hdm_cols}
+                state = self.hdm.update(hdm_df, batch_id=pk, precomputed=(n_rows, mm))
                 det = {}
                 if state == DRIFT and self.hdm.feature_info:
                     det["max_drift_feature"] = self.hdm.feature_info["max_drift_feature"]
@@ -257,28 +331,39 @@ class ValidationSuite:
 
         if self.kdq is not None:
             feats = audio.features_df(part_df, key_col=self.key_col).persist()
-            nan_rows = feats.filter(F.isnan("f0"))
-            n_nan = nan_rows.count()
-            verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
-                                    statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
-            if n_nan:
-                violations.append(
-                    nan_rows.select(F.col(self.key_col).alias("row_key"))
-                    .withColumn("value", F.lit(None).cast("string"))
-                    .withColumn("reason", F.lit("decode_integrity"))
-                )
+            self._feats_cache = feats
             clean = feats.filter(~F.isnan("f0")).drop(self.key_col)
             if is_ref:
                 self.kdq.set_reference(clean)
+                n_clean = int(self.kdq._ref_counts.sum())
                 verdicts.append(Verdict(pk, "kdq_tree", PASS, n_rows=n_rows,
                                         details={"role": "reference"}))
             else:
                 state = self.kdq.update(clean)
+                n_clean = int(self.kdq._test_counts.sum())
                 verdicts.append(Verdict(pk, "kdq_tree", DRIFT if state == DRIFT else PASS,
                                         statistic=self.kdq.test_dist,
                                         threshold=self.kdq._critical_dist, n_rows=n_rows))
+            # decode integrity comes free from the leaf-count totals:
+            # undecodable clips produce NaN feature rows, filtered out
+            # of `clean`, so n_nan = n_rows - sum(leaf counts). The
+            # violation rows (clip ids) are only materialized on failure.
+            n_nan = n_rows - n_clean
+            verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
+                                    statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
+            if n_nan:
+                violations.append(
+                    feats.filter(F.isnan("f0"))
+                    .select(F.col(self.key_col).alias("row_key"))
+                    .withColumn("value", F.lit(None).cast("string"))
+                    .withColumn("reason", F.lit("decode_integrity"))
+                )
 
-        verdicts.extend(self._ks_psi_verdicts(pk, part_df, n_rows, is_ref))
+        if self.ks_cols or self.psi_col:
+            ranges = self._ks_psi_ranges(stats)
+            collected = self._ks_psi_collect(part_df, ranges, by_part=False)
+            mat, freqs = collected.get(None, ({c: np.zeros(KS_BINS) for c in self.ks_cols}, {}))
+            verdicts.extend(self._ks_psi_decide(pk, n_rows, is_ref, ranges, mat, freqs))
         return verdicts, violations
 
     # ------------------------------------------------------ state (re)store
@@ -299,7 +384,8 @@ class ValidationSuite:
             ref_ids = states["hdddm"]["reference_batch_ids"]
             ref = [
                 (pk, df.filter(F.col(self.partition_col) == self._pk_value(df, pk)).select(
-                    *[F.col(c).cast("double").alias(c) for c in self.hdm_cols]))
+                    *[F.col(c).cast("double").alias(c) for c in self.hdm_cols])
+                 .coalesce(self.hdm_input_partitions))
                 for pk in ref_ids
             ]
             self.hdm.set_state(states["hdddm"], ref)
@@ -322,10 +408,52 @@ class ValidationSuite:
 
     # -------------------------------------------------------------- run
 
-    def run(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _finish_partition(self, pk: str, n_rows: int, fingerprint: dict,
+                          verdicts: list, violations: list, t0: float) -> None:
+        n_viol = 0
+        if violations:
+            all_v = violations[0]
+            for v in violations[1:]:
+                all_v = all_v.unionByName(v)
+            all_v = all_v.select(
+                F.lit(pk).alias("partition_key"),
+                F.col("reason").alias("check_name"),
+                F.col("row_key"),
+                F.col("reason"),
+                F.create_map(F.lit("value"), F.coalesce(F.col("value"), F.lit(""))).alias("details"),
+            )
+            n_viol = all_v.count()
+            all_v.write.mode("overwrite").parquet(self.manifest.violations_dir(pk))
+        self.manifest.append(
+            {
+                "partition_key": pk,
+                "seq": len(self.manifest.records),
+                "n_rows": n_rows,
+                "fingerprint": fingerprint,
+                "verdicts": [v.as_row() for v in verdicts],
+                "n_violations": n_viol,
+                "check_states": self._check_states(),
+                "elapsed_s": round(time.time() - t0, 3),
+            }
+        )
+
+    def run(self, df: DataFrame, vectorized: bool = True) -> tuple[DataFrame, DataFrame]:
         """Validate every partition not yet in the manifest; return
         (verdicts, violations) DataFrames covering ALL partitions
-        (replayed + newly computed)."""
+        (replayed + newly computed).
+
+        ``vectorized=True`` (default, the scale plan): per-partition
+        statistics for ALL unvisited partitions come from a constant
+        number of global passes — one groupBy(partition) constraint
+        aggregation, one (partition, kind, key) KS/PSI histogram pass,
+        ONE decode+leaf-assign pandas pass — and the sequential drift
+        decisions run on the collected summaries. Job count is O(1) in
+        the partition count (plus one HDM histogram job per partition,
+        whose exact reference semantics require re-binning, and one
+        kdq recount pass per drift event). ``vectorized=False`` runs
+        the same checks partition-by-partition; both paths produce
+        byte-identical verdict tables.
+        """
         part_keys = [
             str(r[0])
             for r in df.select(self.partition_col).distinct().orderBy(self.partition_col).collect()
@@ -335,51 +463,232 @@ class ValidationSuite:
         if done:
             self._restore(df, self.manifest.last_states())
 
-        for seq, pk in enumerate(todo):
+        if todo:
+            if vectorized:
+                self._run_vectorized(df, todo)
+            else:
+                self._run_sequential(df, todo)
+
+        verdict_rows = self.manifest.replayed_verdicts()
+        verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
+        import os
+
+        viol_root = os.path.join(self.manifest.dir, "violations")
+        if os.path.isdir(viol_root) and any(os.scandir(viol_root)):
+            violations_df = self.spark.read.parquet(
+                *[os.path.join(viol_root, d) for d in sorted(os.listdir(viol_root))]
+            )
+        else:
+            violations_df = self.spark.createDataFrame([], schema=VIOLATION_SCHEMA)
+        return verdicts_df, violations_df
+
+    def _run_sequential(self, df: DataFrame, todo: list[str]) -> None:
+        for pk in todo:
             t0 = time.time()
-            part_df = df.filter(
-                F.col(self.partition_col) == self._pk_value(df, pk)
-            ).persist()
-            fingerprint = self._fingerprint(part_df)
-            n_rows = fingerprint["n"]
+            # NO persist of the raw partition: the bytes column makes
+            # cached rows expensive to re-serialize, and at 10^12 rows
+            # caching raw partitions is impossible anyway. Each check
+            # re-scans parquet with column + partition pruning — only
+            # the feature pass ever reads the binary column, and its
+            # small (clip_id, f0..f11) output IS cached.
+            part_df = df.filter(F.col(self.partition_col) == self._pk_value(df, pk))
+            stats = part_df.agg(*self._constraint_aggs()).collect()[0].asDict()
+            n_rows = int(stats["__n"])
+            fingerprint = {"n": n_rows, "key_hash": int(stats["__key_hash"] or 0)}
             is_ref = not self.manifest.records  # first partition ever = reference
-            verdicts, violations = self._constraint_verdicts(pk, part_df, n_rows)
-            d_verdicts, d_violations = self._drift_verdicts(pk, part_df, n_rows, is_ref)
-            if is_ref and self.kdq is not None:
-                self._kdq_ref_pk = pk
-            elif self.kdq is not None and self.kdq.drift_state == DRIFT:
+            verdicts, violations = self._constraint_verdicts(pk, part_df, stats)
+            d_verdicts, d_violations = self._drift_verdicts(pk, part_df, n_rows, is_ref, stats)
+            if self.kdq is not None and (is_ref or self.kdq.drift_state == DRIFT):
                 self._kdq_ref_pk = pk
             verdicts.extend(d_verdicts)
             violations.extend(d_violations)
+            self._finish_partition(pk, n_rows, fingerprint, verdicts, violations, t0)
+            if self._feats_cache is not None:
+                self._feats_cache.unpersist()
+                self._feats_cache = None
 
-            n_viol = 0
-            if violations:
-                all_v = violations[0]
-                for v in violations[1:]:
-                    all_v = all_v.unionByName(v)
-                all_v = all_v.select(
-                    F.lit(pk).alias("partition_key"),
-                    F.col("reason").alias("check_name"),
-                    F.col("row_key"),
-                    F.col("reason"),
-                    F.create_map(F.lit("value"), F.coalesce(F.col("value"), F.lit(""))).alias("details"),
+    # ---------------------------------------- vectorized-over-partitions
+
+    def _kdq_counts_by_part(self, clean_feats: DataFrame, tree, pks: list[str]) -> dict:
+        """Distributed leaf counts for MANY partitions in one pass:
+        broadcast tree, assign leaves in the (already cached) feature
+        frame, salted groupBy (partition, leaf)."""
+        from menelaus_spark.checks.kdqtree import KDQTreePartitioner
+
+        spark = clean_feats.sparkSession
+        bc = spark.sparkContext.broadcast(tree.tree_arrays())
+        fcols = [f"f{i}" for i in range(audio.N_FEATURES)]
+
+        @F.pandas_udf("long")
+        def leaf_udf(*cols: pd.Series) -> pd.Series:
+            X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+            return pd.Series(KDQTreePartitioner.assign_leaves_arrays(X, *bc.value))
+
+        leaves = clean_feats.select(
+            F.col(self.partition_col).cast("string").alias("__pk"),
+            leaf_udf(*[F.col(c) for c in fcols]).alias("leaf"),
+        )
+        rows = H.salted_count(leaves, ["__pk", "leaf"]).collect()
+        out = {pk: np.zeros(tree.n_leaves, dtype=np.int64) for pk in pks}
+        for r in rows:
+            out[r["__pk"]][int(r["leaf"])] = int(r["count"])
+        return out
+
+    def _kdq_clean_feats_for(self, df: DataFrame, feats: DataFrame | None,
+                             pk: str, todo: list[str]) -> DataFrame:
+        """Clean feature vectors of one partition: from the cached
+        global feature frame when the partition is in scope, else
+        recomputed from the source table (resume case: the kdq
+        reference partition may already be completed)."""
+        if feats is not None and pk in todo:
+            return feats.filter(
+                F.col(self.partition_col).cast("string") == pk
+            ).filter(~F.isnan("f0")).drop(self.key_col, self.partition_col)
+        part = df.filter(F.col(self.partition_col) == self._pk_value(df, pk))
+        return audio.features_df(part, key_col=self.key_col).filter(
+            ~F.isnan("f0")
+        ).drop(self.key_col)
+
+    def _kdq_build_tree(self, clean_part_feats: DataFrame):
+        """Driver-side tree build from a bounded sample of one
+        partition's feature vectors."""
+        ary, _ = self.kdq._collect_build_sample(clean_part_feats)
+        return self.kdq.build_tree_from_sample(ary)
+
+    def _run_vectorized(self, df: DataFrame, todo: list[str]) -> None:
+        t0 = time.time()
+        pv = [self._pk_value(df, pk) for pk in todo]
+        scoped = df.filter(F.col(self.partition_col).isin(pv))
+
+        # global pass 1: all constraint stats + min/max, one shuffle
+        stat_rows = scoped.groupBy(self.partition_col).agg(*self._constraint_aggs()).collect()
+        stats_by = {str(r[self.partition_col]): r.asDict() for r in stat_rows}
+
+        # global pass 2: KS histograms + PSI frequencies for every partition
+        kspsi_by: dict = {}
+        ranges: dict = {}
+        if self.ks_cols or self.psi_col:
+            ranges = self._ks_psi_ranges(stats_by[todo[0]])
+            kspsi_by = self._ks_psi_collect(scoped, ranges, by_part=True)
+
+        # global pass 3 (the only pandas stage): decode + features for
+        # ALL partitions; small output cached for kdq fills + rebuild
+        feats = None
+        counts_by: dict = {}
+        if self.kdq is not None:
+            feats = audio.features_df(
+                scoped, key_col=self.key_col, carry_cols=(self.partition_col,)
+            ).persist()
+            self._feats_cache = feats
+            clean = feats.filter(~F.isnan("f0"))
+            if self.kdq._tree is None:
+                tree = self._kdq_build_tree(
+                    self._kdq_clean_feats_for(df, feats, todo[0], todo)
                 )
-                n_viol = all_v.count()
-                all_v.write.mode("overwrite").parquet(self.manifest.violations_dir(pk))
+                counts_by = self._kdq_counts_by_part(clean, tree, todo)
+                self.kdq.install_reference(tree, counts_by[todo[0]])
+                self.kdq._input_cols = [f"f{i}" for i in range(audio.N_FEATURES)]
+                self._kdq_ref_pk = todo[0]
+                self._kdq_fresh_ref = True
+            else:
+                counts_by = self._kdq_counts_by_part(clean, self.kdq._tree, todo)
+                self._kdq_fresh_ref = False
 
-            self.manifest.append(
-                {
-                    "partition_key": pk,
-                    "seq": len(self.manifest.records),
-                    "n_rows": n_rows,
-                    "fingerprint": fingerprint,
-                    "verdicts": [v.as_row() for v in verdicts],
-                    "n_violations": n_viol,
-                    "check_states": self._check_states(),
-                    "elapsed_s": round(time.time() - t0, 3),
-                }
-            )
-            part_df.unpersist()
+        # sequential decision loop over collected summaries
+        for i, pk in enumerate(todo):
+            t_pk = time.time() if i else t0  # first record absorbs global passes
+            stats = stats_by[pk]
+            n_rows = int(stats["__n"])
+            fingerprint = {"n": n_rows, "key_hash": int(stats["__key_hash"] or 0)}
+            is_ref = not self.manifest.records
+            part_df = df.filter(F.col(self.partition_col) == self._pk_value(df, pk))
+            verdicts, violations = self._constraint_verdicts(pk, part_df, stats)
+
+            # HDM: exact reference semantics need one (JVM-only)
+            # histogram job per batch; test-side agg comes precomputed
+            if self.hdm is not None:
+                hdm_df = part_df.select(
+                    *[F.col(c).cast("double").alias(c) for c in self.hdm_cols]
+                ).coalesce(self.hdm_input_partitions)
+                if is_ref:
+                    self.hdm.set_reference(hdm_df, batch_id=pk)
+                    verdicts.append(Verdict(pk, "hdddm", PASS, n_rows=n_rows,
+                                            details={"role": "reference"}))
+                else:
+                    mm = {c: (stats[f"__mm_lo_{c}"], stats[f"__mm_hi_{c}"])
+                          for c in self.hdm_cols}
+                    state = self.hdm.update(hdm_df, batch_id=pk, precomputed=(n_rows, mm))
+                    det = {}
+                    if state == DRIFT and self.hdm.feature_info:
+                        det["max_drift_feature"] = self.hdm.feature_info["max_drift_feature"]
+                    verdicts.append(Verdict(
+                        pk, "hdddm", DRIFT if state == DRIFT else PASS,
+                        statistic=self.hdm.epsilon[-1] if self.hdm.epsilon else None,
+                        threshold=self.hdm.beta, n_rows=n_rows, details=det,
+                    ))
+
+            # kdq: decisions on collected counts; rebuild + one recount
+            # pass only on a drift event
+            if self.kdq is not None:
+                if self.kdq.drift_state == DRIFT:
+                    ref_pk = self._kdq_ref_pk
+                    ref_feats = self._kdq_clean_feats_for(df, feats, ref_pk, todo)
+                    tree = self._kdq_build_tree(ref_feats)
+                    # one recount pass for the drifted reference + all
+                    # not-yet-decided partitions under the new tree
+                    scope = ([ref_pk] if ref_pk in todo else []) + todo[i:]
+                    clean = feats.filter(~F.isnan("f0"))
+                    recount = self._kdq_counts_by_part(
+                        clean.filter(F.col(self.partition_col).cast("string").isin(scope)),
+                        tree, scope,
+                    )
+                    counts_by.update(recount)
+                    if ref_pk in recount:
+                        ref_counts = recount[ref_pk]
+                    else:  # reference partition completed in a prior run
+                        from menelaus_spark.checks.kdqtree import distributed_leaf_counts
+
+                        ref_counts = distributed_leaf_counts(
+                            ref_feats, [f"f{i}" for i in range(audio.N_FEATURES)], tree
+                        )
+                    self.kdq.install_reference(tree, ref_counts)
+                if is_ref and self._kdq_fresh_ref and pk == self._kdq_ref_pk:
+                    n_clean = int(counts_by[pk].sum())
+                    verdicts.append(Verdict(pk, "kdq_tree", PASS, n_rows=n_rows,
+                                            details={"role": "reference"}))
+                else:
+                    state = self.kdq.observe_counts(counts_by[pk])
+                    n_clean = int(counts_by[pk].sum())
+                    if state == DRIFT:
+                        self._kdq_ref_pk = pk
+                    verdicts.append(Verdict(pk, "kdq_tree", DRIFT if state == DRIFT else PASS,
+                                            statistic=self.kdq.test_dist,
+                                            threshold=self.kdq._critical_dist, n_rows=n_rows))
+                n_nan = n_rows - n_clean
+                verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
+                                        statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
+                if n_nan:
+                    violations.append(
+                        feats.filter(
+                            (F.col(self.partition_col).cast("string") == pk)
+                            & F.isnan("f0")
+                        )
+                        .select(F.col(self.key_col).alias("row_key"))
+                        .withColumn("value", F.lit(None).cast("string"))
+                        .withColumn("reason", F.lit("decode_integrity"))
+                    )
+
+            if self.ks_cols or self.psi_col:
+                mat, freqs = kspsi_by.get(
+                    pk, ({c: np.zeros(KS_BINS) for c in self.ks_cols}, {})
+                )
+                verdicts.extend(self._ks_psi_decide(pk, n_rows, is_ref, ranges, mat, freqs))
+
+            self._finish_partition(pk, n_rows, fingerprint, verdicts, violations, t_pk)
+
+        if self._feats_cache is not None:
+            self._feats_cache.unpersist()
+            self._feats_cache = None
 
         verdict_rows = self.manifest.replayed_verdicts()
         verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)

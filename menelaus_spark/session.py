@@ -48,8 +48,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Arrow batch + file-split sizing for wide binary rows (~50 KB
+        # audio payloads): batches and splits must be sized in BYTES.
+        # 1024 rows x ~50 KB ~= 50 MB per in-flight Arrow batch keeps 32
+        # concurrent Python workers well under memory pressure; 64 MB
+        # splits give ~2-3 waves of tasks per stage at 32 cores while
+        # still amortizing per-task setup (tiny splits were the other
+        # failure mode: 1 MB files -> per-task overhead dominated).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.files.openCostInBytes", "8m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # off-heap column vectors: parquet scan batches of ~50 KB binary
+        # audio rows bypass the GC entirely (on-heap scan batches caused
+        # allocation-pressure collapse at high thread counts)
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP", "16g"))
+        .config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

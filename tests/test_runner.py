@@ -119,3 +119,13 @@ def test_referential_check(spark, tmp_path):
     v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
     assert v[("0", "referential:transcript")]["state"] == "fail"
     assert violations_df.filter(F.col("check_name") == "referential:transcript").count() > 10
+
+
+def test_vectorized_matches_sequential(spark, tmp_path, audio_df):
+    s_v = _suite(spark, tmp_path, "vec")
+    v_rows, _ = s_v.run(audio_df, vectorized=True)
+    s_s = _suite(spark, tmp_path, "seq")
+    s_rows, _ = s_s.run(audio_df, vectorized=False)
+    v = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in v_rows.collect())
+    s = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in s_rows.collect())
+    assert v == s
