@@ -536,12 +536,15 @@ def apply_streaming_detector(
     group_col: str,
     order_col: str,
     value_cols: list[str],
+    multivariate: bool = False,
 ) -> DataFrame:
     """Run a kernel per group over its ordered rows; emit a per-row
     trace (group, ord, value, state, statistic, threshold).
 
-    ``value_cols``: [x] for change detectors, [y_true, y_pred] for
-    concept detectors. Each group is one independent stream — groups
+    ``value_cols``: [x] for univariate change detectors, [y_true,
+    y_pred] for concept detectors, feature columns with
+    ``multivariate=True`` for row-vector detectors (PCA-CD, streaming
+    kdq-tree). Each group is one independent stream — groups
     parallelize across executors; the shuffle key is the group column.
     """
     n_vals = len(value_cols)
@@ -551,8 +554,11 @@ def apply_streaming_detector(
         det = factory()
         states, stats_, thresholds = [], [], []
         vals = [pdf[c].to_numpy() for c in value_cols]
+        X = np.column_stack(vals) if multivariate else None
         for i in range(len(pdf)):
-            if n_vals == 1:
+            if multivariate:
+                state = det.update(X[i])
+            elif n_vals == 1:
                 state = det.update(vals[0][i])
             else:
                 state = det.update(vals[0][i], vals[1][i])
@@ -572,3 +578,343 @@ def apply_streaming_detector(
         )
 
     return df.groupBy(group_col).applyInPandas(run, schema=TRACE_SCHEMA)
+
+
+class KdqTreeStreaming(StreamingKernel):
+    """Streaming kdq-tree (Dasu 2006). Semantics per
+    /root/reference/menelaus/data_drift/kdq_tree.py:267-381, 106-173:
+    the first ``window_size`` samples build the tree and the bootstrap
+    critical KL (sample_size = window_size); subsequent samples fill
+    the test counts cumulatively; once >= window_size test samples have
+    arrived, each sample's KL above the critical value increments the
+    drift counter, and counter > persistence * window_size alarms.
+    After drift, everything resets and a fresh reference accumulates."""
+
+    def __init__(self, window_size, persistence=0.05, alpha=0.01,
+                 bootstrap_samples=500, count_ubound=100,
+                 cutpoint_proportion_lbound=2e-10, seed=42):
+        if not isinstance(window_size, int) or window_size < 1:
+            raise ValueError(f"window_size must be positive integer, was {window_size}")
+        super().__init__()
+        self.window_size = window_size
+        self.persistence = persistence
+        self.alpha = alpha
+        self.bootstrap_samples = bootstrap_samples
+        self.count_ubound = count_ubound
+        self.cutpoint_proportion_lbound = cutpoint_proportion_lbound
+        self.seed = seed
+        self._inner_reset()
+
+    def _inner_reset(self):
+        self._ref_rows: list = []
+        self._tree = None
+        self._ref_counts = None
+        self._test_counts = None
+        self._critical = None
+        self._test_data_size = 0
+        self._drift_counter = 0
+        self.test_dist = None
+
+    def reset(self):
+        super().reset()
+        self._inner_reset()
+
+    def update(self, x_row):
+        from menelaus_spark.checks.kdqtree import (
+            KDQTreePartitioner,
+            bootstrap_critical_kld,
+        )
+
+        if self.drift_state is not None:
+            self.reset()
+        self._tick()
+        row = np.asarray(x_row, dtype=np.float64).reshape(-1)
+        if self._tree is None:
+            self._ref_rows.append(row)
+            if len(self._ref_rows) == self.window_size:
+                ary = np.vstack(self._ref_rows)
+                self._tree = KDQTreePartitioner(
+                    self.count_ubound, self.cutpoint_proportion_lbound
+                ).build(ary)
+                self._ref_counts = self._tree.leaf_counts_build()
+                self._critical = bootstrap_critical_kld(
+                    self._ref_counts, self.window_size, self.alpha,
+                    self.bootstrap_samples, self.seed,
+                )
+                self._test_counts = np.zeros(self._tree.n_leaves, dtype=np.int64)
+                self._ref_rows = []
+            return self.drift_state
+        self._test_counts += self._tree.fill_counts(row.reshape(1, -1))
+        self._test_data_size += 1
+        if self._test_data_size >= self.window_size:
+            self.test_dist = self._tree.kl_distance(self._ref_counts, self._test_counts)
+            if self.test_dist > self._critical:
+                self._drift_counter += 1
+                if self._drift_counter > self.persistence * self.window_size:
+                    self.drift_state = "drift"
+        return self.drift_state
+
+    def snapshot(self):
+        return (self.test_dist if self.test_dist is not None else float("nan"),
+                self._critical if self._critical is not None else float("nan"))
+
+
+class PCACD(StreamingKernel):
+    """PCA Change Detection (Qahtan et al. 2015). Semantics per
+    /root/reference/menelaus/data_drift/pca_cd.py:41-371: fill reference
+    then test windows; standardize on the reference; PCA retaining
+    ev_threshold explained variance; per-PC densities (Epanechnikov KDE
+    for "kl" / aligned histograms for "intersection"); FIFO windows; a
+    change score = max per-PC divergence every ``step`` samples, fed to
+    an inner Page-Hinkley (threshold = round(0.01 * window_size),
+    burn_in=0); PH drift flips the detector to drift and the test
+    window becomes the next reference. scipy/sklearn replaced by exact
+    numpy equivalents (standardization ddof=0; PCA via SVD with
+    explained-variance cutoff; KDE bandwidth 1.06*std*n^(-1/5))."""
+
+    def __init__(self, window_size, ev_threshold=0.99, delta=0.1,
+                 divergence_metric="kl", sample_period=0.05, online_scaling=True):
+        super().__init__()
+        self.window_size = window_size
+        self.ev_threshold = ev_threshold
+        self.delta = delta
+        self.divergence_metric = divergence_metric
+        self.step = min(100, round(sample_period * window_size))
+        self.ph_threshold = round(0.01 * window_size)
+        self.bins = int(np.floor(np.sqrt(window_size)))
+        self.online_scaling = online_scaling
+        self._ph = PageHinkley(delta=self.delta, threshold=self.ph_threshold, burn_in=0)
+        self.num_pcs = None
+        self._build_windows = True
+        self._ref: list = []
+        self._test: list = []
+        self._mean = None
+        self._std = None
+        self._components = None
+        self._density_ref = None
+        self._ref_proj = None
+        self._test_proj = None
+        self.change_score = 0.0
+        self._lower = self._upper = None
+
+    def _scale(self, ary):
+        if not self.online_scaling:
+            return ary
+        return (ary - self._mean) / self._std
+
+    def _fit_pca(self, ref):
+        centered = ref - ref.mean(axis=0)
+        _, s, vt = np.linalg.svd(centered, full_matrices=False)
+        ev = (s ** 2) / (len(ref) - 1)
+        ratio = ev / ev.sum()
+        k = int(np.searchsorted(np.cumsum(ratio), self.ev_threshold) + 1)
+        self._pca_mean = ref.mean(axis=0)
+        self._components = vt[:k]
+        self.num_pcs = k
+
+    def _project(self, ary):
+        return (ary - self._pca_mean) @ self._components.T
+
+    @staticmethod
+    def _kde_density(sample):
+        """Epanechnikov KDE evaluated at the sample's own points
+        (pca_cd.py:283-303 semantics)."""
+        x = np.asarray(sample, dtype=np.float64)
+        n = len(x)
+        h = 1.06 * np.std(x, ddof=1) * (n ** (-1 / 5))
+        if h <= 0 or not np.isfinite(h):
+            return np.full(n, 1.0 / max(n, 1))
+        u = (x[:, None] - x[None, :]) / h
+        k = np.where(np.abs(u) <= 1.0, 0.75 * (1.0 - u ** 2), 0.0)
+        return k.sum(axis=1) / (n * h)
+
+    def _hist_density(self, sample, lo, hi):
+        density, _ = np.histogram(sample, bins=self.bins, range=(lo, hi), density=True)
+        s = density.sum()
+        return density / s if s > 0 else density
+
+    def _densities(self, proj):
+        out = []
+        for i in range(self.num_pcs):
+            col = proj[:, i]
+            if self.divergence_metric == "intersection":
+                out.append(self._hist_density(col, self._lower[i], self._upper[i]))
+            else:
+                out.append(self._kde_density(col))
+        return out
+
+    def update(self, x_row):
+        from menelaus_spark.functions.distances import (
+            intersection_divergence,
+            jensen_shannon,
+        )
+
+        self._tick()
+        row = np.asarray(x_row, dtype=np.float64).reshape(-1)
+        if self._build_windows:
+            if self.drift_state is not None:
+                self._ref = list(self._test)  # raw (unscaled) rows kept below
+                self._test = []
+                self.drift_state = None
+                self.samples_since_reset = 0
+                self._ph.reset()
+            elif len(self._ref) < self.window_size:
+                self._ref.append(row)
+            elif len(self._test) < self.window_size:
+                self._test.append(row)
+            if len(self._test) == self.window_size:
+                self._build_windows = False
+                ref = np.vstack(self._ref)
+                test = np.vstack(self._test)
+                if self.online_scaling:
+                    self._mean = ref.mean(axis=0)
+                    self._std = ref.std(axis=0)
+                    self._std[self._std == 0] = 1.0
+                    ref = self._scale(ref)
+                    test = self._scale(test)
+                self._fit_pca(ref)
+                self._ref_proj = self._project(ref)
+                self._test_proj = self._project(test)
+                if self.divergence_metric == "intersection":
+                    self._lower = np.minimum(self._ref_proj.min(axis=0),
+                                             self._test_proj.min(axis=0))
+                    self._upper = np.maximum(self._ref_proj.max(axis=0),
+                                             self._test_proj.max(axis=0))
+                self._density_ref = self._densities(self._ref_proj)
+            return self.drift_state
+
+        scaled = self._scale(row.reshape(1, -1)) if self.online_scaling else row.reshape(1, -1)
+        self._test.pop(0)
+        self._test.append(row)
+        next_proj = self._project(scaled)
+        if self.divergence_metric == "intersection":
+            next_proj = np.clip(next_proj, self._lower, self._upper)
+        self._test_proj = np.vstack([self._test_proj[1:], next_proj])
+
+        if ((self.total_samples - 1) % self.step) == 0 and (self.total_samples - 1) != 0:
+            dens_test = self._densities(self._test_proj)
+            scores = []
+            for i in range(self.num_pcs):
+                if self.divergence_metric == "kl":
+                    scores.append(jensen_shannon(self._density_ref[i], dens_test[i]))
+                else:
+                    scores.append(intersection_divergence(self._density_ref[i], dens_test[i]))
+            self.change_score = float(max(scores))
+            self._ph.update(self.change_score)
+            if self._ph.drift_state is not None:
+                self._build_windows = True
+                self.drift_state = "drift"
+        return self.drift_state
+
+    def snapshot(self):
+        return self.change_score, float(self.ph_threshold)
+
+
+class LinearFourRates(StreamingKernel):
+    """LFR (Wang & Abraham 2015): running 2x2 confusion, four rates
+    (TPR/TNR/PPV/NPV), time-decayed rate statistic R <- eta*R +
+    (1-eta)*1[y==yhat] when the rate moved, Monte Carlo warn/detect
+    bounds memoized by rounded (rate, denominator). Semantics per
+    /root/reference/menelaus/concept_drift/lfr.py:7-425; the per-column
+    DataFrame.apply MC is replaced by one vectorized numpy draw
+    (num_mc x denom Bernoulli matrix against the eta-power vector),
+    seeded per (rate, denom) for reproducibility."""
+
+    RATES = ("tpr", "tnr", "ppv", "npv")
+
+    def __init__(self, time_decay_factor=0.9, warning_level=0.05, detect_level=0.05,
+                 burn_in=50, num_mc=10000, subsample=1,
+                 rates_tracked=("tpr", "tnr", "ppv", "npv"), round_val=4, seed=42):
+        super().__init__()
+        self.eta = time_decay_factor
+        self.warning_level = warning_level
+        self.detect_level = detect_level
+        self.burn_in = burn_in
+        self.num_mc = num_mc
+        self.subsample = subsample
+        self.rates_tracked = list(rates_tracked)
+        self.round_val = round_val
+        self.seed = seed
+        self._bounds: dict = {}
+        self._inner_reset()
+
+    def _inner_reset(self):
+        self._confusion = np.array([[1, 1], [1, 1]], dtype=np.int64)
+        self._p = {r: 0.5 for r in self.RATES}
+        self._r_stat = {r: 0.5 for r in self.RATES}
+        self._warn = {r: False for r in self.RATES}
+        self._alarm = {r: False for r in self.RATES}
+        self.retraining_recs = [None, None]
+
+    def reset(self):
+        super().reset()
+        self._inner_reset()
+
+    @staticmethod
+    def _four_rates(confusion):
+        tn, fn, fp, tp = confusion.ravel()
+        return {"tpr": tp / (tp + fn), "tnr": tn / (tn + fp),
+                "ppv": tp / (fp + tp), "npv": tn / (tn + fn)}
+
+    @staticmethod
+    def _four_denoms(confusion):
+        tn, fn, fp, tp = confusion.ravel()
+        return {"tpr": tp + fn, "tnr": tn + fp, "ppv": fp + tp, "npv": tn + fn}
+
+    def _sim_bounds(self, est_rate, denom):
+        rng = np.random.default_rng([self.seed, int(denom), int(est_rate * 10 ** 6)])
+        prods = self.eta ** np.arange(denom - 1, -1, -1, dtype=np.float64)
+        draws = rng.binomial(1, est_rate, size=(self.num_mc, int(denom)))
+        stats = (1 - self.eta) * (draws @ prods)
+        return {
+            "lb_warn": float(np.percentile(stats, self.warning_level * 100)),
+            "ub_warn": float(np.percentile(stats, 100 - self.warning_level * 100)),
+            "lb_detect": float(np.percentile(stats, self.detect_level * 100)),
+            "ub_detect": float(np.percentile(stats, 100 - self.detect_level * 100)),
+        }
+
+    def _bounds_for(self, est_rate, denom):
+        key = (round(est_rate, self.round_val), round(denom, self.round_val))
+        if key not in self._bounds:
+            self._bounds[key] = self._sim_bounds(est_rate, denom)
+        return self._bounds[key]
+
+    def update(self, y_true, y_pred):
+        if self.drift_state == "drift":
+            self.reset()
+        self._tick()
+        y_t, y_p = int(y_true), int(y_pred)
+        old = self._four_rates(self._confusion)
+        self._confusion[y_p][y_t] += 1
+        new = self._four_rates(self._confusion)
+        denoms = self._four_denoms(self._confusion)
+        self._warn = {r: False for r in self.RATES}
+        self._alarm = {r: False for r in self.RATES}
+        for rate in self.rates_tracked:
+            if new[rate] != old[rate]:
+                self._r_stat[rate] = self.eta * self._r_stat[rate] + (
+                    1 - self.eta) * (y_t == y_p)
+            self._p[rate] = new[rate]
+            if (self.samples_since_reset > self.burn_in
+                    and self.samples_since_reset % self.subsample == 0):
+                b = self._bounds_for(new[rate], denoms[rate])
+                r = self._r_stat[rate]
+                self._warn[rate] = (r < b["lb_warn"]) | (r > b["ub_warn"])
+                self._alarm[rate] = (r < b["lb_detect"]) | (r > b["ub_detect"])
+        if any(self._alarm.values()):
+            self.drift_state = "drift"
+        elif any(self._warn.values()):
+            self.drift_state = "warning"
+        else:
+            self.drift_state = None
+        if self.drift_state is not None:
+            if self.drift_state == "warning" and self.retraining_recs[0] is None:
+                self.retraining_recs[0] = self.total_samples - 1
+            if self.drift_state == "drift":
+                self.retraining_recs[1] = self.total_samples - 1
+                if self.retraining_recs[0] is None:
+                    self.retraining_recs[0] = self.total_samples - 1
+        return self.drift_state
+
+    def snapshot(self):
+        return self._r_stat["tpr"], float("nan")

@@ -1,0 +1,121 @@
+"""NN-DVI and MD3 tests (mirroring reference test_nndvi.py /
+test_md3.py behavior)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from menelaus_spark.checks.md3 import MD3, LinearSVM
+from menelaus_spark.checks.nndvi import NNDVI, NNSpacePartitioner
+
+
+def _sdf(spark, arr, cols=("f0", "f1", "f2")):
+    return spark.createDataFrame(pd.DataFrame(np.asarray(arr, dtype=float), columns=list(cols)))
+
+
+def test_nnsp_build_properties():
+    np.random.seed(123)
+    s1 = np.random.sample((40, 3))
+    s2 = np.random.sample((40, 3))
+    nnsp = NNSpacePartitioner(k=5)
+    nnsp.build(s1, s2)
+    assert nnsp.D.shape[0] <= 80
+    # adjacency: each row has exactly k neighbors incl. self
+    assert (nnsp.adjacency_matrix.sum(axis=1) == 5).all()
+    assert (np.diag(nnsp.adjacency_matrix) == 1).all()
+    # distance is symmetric and bounded
+    d12 = NNSpacePartitioner.compute_nnps_distance(nnsp.nnps_matrix, nnsp.v1, nnsp.v2)
+    d21 = NNSpacePartitioner.compute_nnps_distance(nnsp.nnps_matrix, nnsp.v2, nnsp.v1)
+    assert d12 == d21
+    assert 0 < d12 <= 1
+
+
+def test_nndvi_drift_cycle(spark):
+    np.random.seed(123)
+    ref = np.random.sample((80, 3))
+    same = np.random.sample((80, 3))
+    drifted = np.random.sample((80, 3)) + 5.0
+
+    det = NNDVI(k_nn=10, sampling_times=100, seed=42)
+    det.set_reference(_sdf(spark, ref))
+    assert det.update(_sdf(spark, same)) is None
+    assert det.update(_sdf(spark, drifted)) == "drift"
+    # drifted batch became the reference; a similar batch now passes
+    np.random.seed(7)
+    assert det.update(_sdf(spark, np.random.sample((80, 3)) + 5.0)) is None
+    assert det.total_batches == 3
+
+
+def test_nndvi_schema_freeze(spark):
+    np.random.seed(1)
+    det = NNDVI(sampling_times=20)
+    det.set_reference(_sdf(spark, np.random.sample((30, 3))))
+    with pytest.raises(ValueError):
+        det.update(_sdf(spark, np.random.sample((30, 2)), cols=("a", "b")))
+
+
+def _labeled_blobs(n=120, sep=4.0, seed=5):
+    rng = np.random.default_rng(seed)
+    X0 = rng.normal(0, 1, (n // 2, 2))
+    X1 = rng.normal(sep, 1, (n // 2, 2))
+    df = pd.DataFrame(np.vstack([X0, X1]), columns=["x0", "x1"])
+    df["label"] = [0] * (n // 2) + [1] * (n // 2)
+    return df
+
+
+def test_linear_svm_separates():
+    df = _labeled_blobs()
+    clf = LinearSVM(seed=1).fit(df[["x0", "x1"]].to_numpy(), df["label"].to_numpy())
+    acc = np.mean(clf.predict(df[["x0", "x1"]].to_numpy()) == df["label"].to_numpy())
+    assert acc > 0.95
+
+
+def test_md3_warning_and_oracle_confirmation():
+    ref = _labeled_blobs(n=100)
+    det = MD3(sensitivity=1.5, oracle_data_length_required=20)
+    det.set_reference(ref, target_name="label")
+    assert 0 <= det.reference_distribution["md"] <= 1
+    assert det.reference_distribution["acc"] > 0.9
+
+    # in-distribution updates: no warning expected early
+    rng = np.random.default_rng(9)
+    # drifted stream: points in the margin region (near boundary)
+    fired = False
+    for i in range(500):
+        mid = rng.normal(1.5, 0.2, (1, 2))  # inside the margin band
+        state = det.update(pd.DataFrame(mid, columns=["x0", "x1"]))
+        if state == "warning":
+            fired = True
+            break
+    assert fired
+    assert det.waiting_for_oracle
+    with pytest.raises(ValueError):
+        det.update(pd.DataFrame([[0.0, 0.0]], columns=["x0", "x1"]))
+
+    # feed oracle labels from a DIFFERENT concept -> drift confirmed
+    flipped = _labeled_blobs(n=20, seed=11)
+    flipped["label"] = 1 - flipped["label"]
+    state = None
+    for i in range(20):
+        state = det.give_oracle_label(flipped.iloc[[i]][["x0", "x1", "label"]])
+    assert state == "drift"
+    assert not det.waiting_for_oracle
+
+
+def test_md3_oracle_rules_out_drift():
+    ref = _labeled_blobs(n=100)
+    det = MD3(sensitivity=1.0, oracle_data_length_required=30)
+    det.set_reference(ref, target_name="label")
+    rng = np.random.default_rng(3)
+    for i in range(1000):
+        mid = rng.normal(1.5, 0.2, (1, 2))
+        if det.update(pd.DataFrame(mid, columns=["x0", "x1"])) == "warning":
+            break
+    assert det.waiting_for_oracle
+    # same-concept labels -> drift ruled out
+    same = _labeled_blobs(n=30, seed=21)
+    state = None
+    for i in range(30):
+        state = det.give_oracle_label(same.iloc[[i]][["x0", "x1", "label"]])
+    assert state is None
+    assert not det.waiting_for_oracle
