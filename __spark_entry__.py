@@ -416,6 +416,70 @@ def q_streaming_traces(spark, sf_dir):
     ).orderBy("group")
 
 
+def q_cdbd_example_confidence(spark, sf_dir):
+    """CDBD over the example dataset's classifier-confidence column,
+    batched by year — the reference's canonical CDBD scenario
+    (confidence regime change in 2019 must alarm)."""
+    from menelaus_spark.checks.hdm import CDBD
+
+    df = tables.make_example_batch_data(spark, year_size=1500).select("year", "confidence")
+    years = sorted(r[0] for r in df.select("year").distinct().collect())
+    det = CDBD(detect_batch=2, seed=42)
+    rows = []
+    for i, yr in enumerate(years):
+        batch = df.filter(F.col("year") == yr).select("confidence")
+        if i == 0:
+            det.set_reference(batch, batch_id=str(yr))
+            rows.append((str(yr), "reference", None, None))
+        else:
+            state = det.update(batch, batch_id=str(yr))
+            rows.append((str(yr), state or "pass",
+                         det.epsilon[-1] if det.epsilon else None, det.beta))
+    return spark.createDataFrame(
+        rows, schema="year string, state string, epsilon double, beta double"
+    )
+
+
+def q_nndvi_lineitem(spark, sf_dir):
+    """NN-DVI drift sequence over lineitem year-batches (bounded
+    seeded samples; permutation-threshold Gaussian fit)."""
+    from menelaus_spark.checks.nndvi import NNDVI
+
+    li, years = _lineitem_year_batches(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    det = NNDVI(k_nn=20, sampling_times=100, batch_sample_cap=300, seed=42)
+    rows = []
+    for i, yr in enumerate(years):
+        batch = li.filter(F.col("yr") == yr).select(*[F.col(c).cast("double") for c in cols])
+        if i == 0:
+            det.set_reference(batch)
+            rows.append((str(yr), "reference", None, None))
+        else:
+            state = det.update(batch)
+            rows.append((str(yr), state or "pass", det.d_act, det.threshold))
+    return spark.createDataFrame(
+        rows, schema="year string, state string, d_act double, threshold double"
+    )
+
+
+def q_example_data_profile(spark, sf_dir):
+    """Per-year profile of the Spark-native example dataset (evidences
+    the distributed generator + its five injected drifts)."""
+    df = tables.make_example_batch_data(spark, year_size=1500)
+    return (
+        df.groupBy("year")
+        .agg(
+            F.round(F.avg("b"), 1).alias("b_mean"),
+            F.round(F.stddev_samp("d"), 0).alias("d_std"),
+            F.round(F.corr("e", "f"), 3).alias("ef_corr"),
+            F.round(F.avg("h"), 0).alias("h_mean"),
+            F.round(F.avg("confidence"), 3).alias("conf_mean"),
+            F.max(F.col("drift").cast("int")).alias("drift_flag"),
+        )
+        .orderBy("year")
+    )
+
+
 def q_audio_suite(spark, sf_dir):
     """Flagship: full constraint + drift validation of the synthetic
     audio table (deterministic seed 42, injected drift partitions),
@@ -486,6 +550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdddm_lineitem": q_hdddm_lineitem,
         "kdq_lineitem": q_kdq_lineitem,
         "streaming_traces": q_streaming_traces,
+        "cdbd_example_confidence": q_cdbd_example_confidence,
+        "nndvi_lineitem": q_nndvi_lineitem,
+        "example_data_profile": q_example_data_profile,
         "audio_suite": q_audio_suite,
     }
 

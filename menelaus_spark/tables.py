@@ -165,3 +165,95 @@ def write_audio_table(df: DataFrame, path: str) -> None:
     partitioned-parquet fallback preserves identical partition pruning
     semantics, SURVEY.md §7.2)."""
     df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+
+EXAMPLE_SCHEMA = T.StructType(
+    [T.StructField("year", T.IntegerType(), False)]
+    + [T.StructField(c, T.DoubleType(), True) for c in "abcdefghij"]
+    + [
+        T.StructField("cat", T.IntegerType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("drift", T.BooleanType(), False),
+    ]
+)
+
+
+def make_example_batch_data(spark: SparkSession, year_size: int = 20000,
+                            seed: int = 123, n_partitions: int = 30) -> DataFrame:
+    """Spark-native analog of the reference's example batch dataset
+    (/root/reference/menelaus/datasets/make_example_data.py:8-113):
+    years 2007-2021 x ``year_size`` rows; gamma columns a,c,d,g,h,i,j;
+    normal b,e,f; categorical ``cat`` (7 levels, fixed skewed probs);
+    ``confidence`` uniform [0, 0.6]; the same five injected drifts
+    (b mean shift 2009; c/d variance collapse 2012; e/f correlation
+    2015; h + confidence regime change >2018; j rescale 2021) and the
+    ``drift`` flag on {2009, 2012, 2015, 2018, 2021}.
+
+    Distributed generation with a per-partition counter-based RNG over
+    a FIXED internal partition count, so output is deterministic for a
+    given (seed, year_size, n_partitions) — the reference draws from
+    one global numpy stream, which cannot be distributed.
+    """
+    import pandas as pd
+
+    years = list(range(2007, 2022))
+    n = year_size * len(years)
+    # approximate the global column means used by drift 2 (law of large
+    # numbers: gamma(7)*1000 -> 7000, gamma(10)*10000 -> 100000)
+    mu_c, mu_d = 7000.0, 100000.0
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            m = len(idx)
+            if m == 0:
+                continue
+            rng = np.random.default_rng([seed, int(idx[0])])
+            year = (2007 + idx // year_size).astype("int32")
+            out = pd.DataFrame({"year": year})
+            out["a"] = rng.gamma(shape=8.0, size=m) * 1000
+            out["b"] = rng.normal(200.0, 10.0, m)
+            out["c"] = rng.gamma(shape=7.0, size=m) * 1000
+            out["d"] = rng.gamma(shape=10.0, size=m) * 10000
+            ef = rng.multivariate_normal((0, 0), np.array([[2.0, 0.0], [0.0, 2.0]]), m)
+            out["e"], out["f"] = ef[:, 0], ef[:, 1]
+            out["g"] = rng.gamma(shape=11.0, size=m) * 10000
+            out["h"] = rng.gamma(shape=12.0, size=m) * 1000
+            out["i"] = rng.gamma(shape=9.0, size=m) * 1000
+            out["j"] = rng.gamma(shape=10.0, size=m) * 100
+            out["cat"] = rng.choice(
+                np.arange(7), size=m, p=(0.3, 0.3, 0.2, 0.1, 0.05, 0.04, 0.01)
+            ).astype("int32")
+            out["confidence"] = rng.uniform(0.0, 0.6, m)
+            # drift 1: b mean shift in 2009
+            mask = year == 2009
+            out.loc[mask, "b"] = rng.normal(500.0, 10.0, int(mask.sum()))
+            # drift 2: c/d variance collapse in 2012
+            mask = (year == 2012) & (idx % 10 == 0)
+            out.loc[mask, "c"] = mu_c + rng.normal(0, 10, int(mask.sum()))
+            mask = (year == 2012) & (idx % 2 == 0)
+            out.loc[mask, "d"] = mu_d + rng.normal(0, 10, int(mask.sum()))
+            # drift 3: e/f correlation in 2015
+            mask = year == 2015
+            k = int(mask.sum())
+            if k:
+                ef2 = rng.multivariate_normal((0, 0), np.array([[2.0, 1.0], [1.0, 2.0]]), k)
+                out.loc[mask, "e"] = ef2[:, 0]
+                out.loc[mask, "f"] = ef2[:, 1]
+            # drift 4: h + confidence regime change after 2018
+            mask = year > 2018
+            k = int(mask.sum())
+            if k:
+                out.loc[mask, "h"] = rng.gamma(shape=1.0, scale=1.0, size=k) * 1000
+                out.loc[mask, "confidence"] = rng.uniform(0.4, 1.0, k)
+            # drift 5: j rescale in 2021
+            mask = year == 2021
+            k = int(mask.sum())
+            if k:
+                out.loc[mask, "j"] = rng.gamma(shape=10.0, size=k) * 10
+            out["drift"] = np.isin(year, [2009, 2012, 2015, 2018, 2021])
+            yield out
+
+    return spark.range(n, numPartitions=n_partitions).mapInPandas(
+        gen, schema=EXAMPLE_SCHEMA
+    )
