@@ -276,10 +276,15 @@ def q_dedup_exact_documents(spark, sf_dir):
 
 
 def q_ngram_jaccard_documents(spark, sf_dir):
-    """Blocked n-gram Jaccard near-dup pairs (block = lang)."""
-    docs = _t(spark, sf_dir, "documents")
+    """Blocked n-gram Jaccard near-dup pairs. Block = (lang, length
+    bucket): near-duplicates have near-equal lengths, so the classic
+    length-bucket block keeps the pair count linear-ish while lang
+    partitions the vocabulary."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__blk", F.concat_ws("|", F.col("lang"), F.floor(F.col("n_chars") / 64))
+    )
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=2, threshold=0.12, block_col="lang"
+        docs, "doc_id", "text", n=2, threshold=0.12, block_col="__blk"
     ).orderBy("id_a", "id_b")
 
 
@@ -727,18 +732,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_documents": f"""
             WITH sh AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, lang, blk,
                      CASE WHEN len(toks) < 2 THEN []
                           ELSE list_distinct(list_transform(
                              range(1, len(toks)),
                              i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
                      END AS shingles
-              FROM (SELECT doc_id, lang, {_TOKS_GUARDED} AS toks FROM documents))
+              FROM (SELECT doc_id, lang, floor(n_chars / 64) AS blk,
+                           {_TOKS_GUARDED} AS toks FROM documents))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 0.0
                         ELSE len(list_intersect(a.shingles, b.shingles))::DOUBLE
                              / len(list_distinct(a.shingles || b.shingles)) END, 6) AS jaccard
-            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 0.0
                         ELSE len(list_intersect(a.shingles, b.shingles))::DOUBLE
                              / len(list_distinct(a.shingles || b.shingles)) END, 6) >= 0.12

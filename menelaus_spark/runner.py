@@ -78,6 +78,7 @@ class ValidationSuite:
         kdq_params: dict | None = None,
         hdm_params: dict | None = None,
         hdm_input_partitions: int = 8,
+        global_uniqueness: bool = True,
     ):
         self.spark = spark
         self.manifest = CheckpointManifest(checkpoint_dir)
@@ -110,6 +111,7 @@ class ValidationSuite:
             if kdq_features
             else None
         )
+        self.global_uniqueness = global_uniqueness
         # KS / PSI reference summaries (set on first partition)
         self._ks_ref: dict | None = None  # col -> {"lo","hi","counts","n"}
         self._psi_ref: dict | None = None  # {"freqs": {cat: n}, "n": int}
@@ -147,10 +149,17 @@ class ValidationSuite:
             bad = ~F.col(c).isin(allowed) | F.col(c).isNull()
             aggs.append(F.sum(bad.cast("long")).alias(f"__acc_{c}"))
         # test-side min/max for the HDM + KS drift checks ride along in
-        # the same pass (HDM consumes them via `precomputed`)
+        # the same pass (HDM consumes them via `precomputed`), plus
+        # mean + approx-quantile sketches for the manifest metrics
         for c in sorted(set(self.hdm_cols) | set(self.ks_cols)):
             col = F.col(c).cast("double")
-            aggs += [F.min(col).alias(f"__mm_lo_{c}"), F.max(col).alias(f"__mm_hi_{c}")]
+            aggs += [
+                F.min(col).alias(f"__mm_lo_{c}"),
+                F.max(col).alias(f"__mm_hi_{c}"),
+                F.avg(col).alias(f"__mean_{c}"),
+                F.percentile_approx(col, 0.5, 1000).alias(f"__p50_{c}"),
+                F.percentile_approx(col, 0.95, 1000).alias(f"__p95_{c}"),
+            ]
         return aggs
 
     def _constraint_verdicts(self, pk: str, part_df: DataFrame, stats: dict):
@@ -408,8 +417,20 @@ class ValidationSuite:
 
     # -------------------------------------------------------------- run
 
+    @staticmethod
+    def _metrics_from_stats(stats: dict) -> dict:
+        """Per-partition column metrics recorded in the manifest
+        (north rule: lineage + METRICS per partition)."""
+        out = {}
+        for k, v in stats.items():
+            if k.startswith("__") and not k.startswith("__key_hash"):
+                val = None if v is None else float(v)
+                out[k.strip("_")] = val
+        return out
+
     def _finish_partition(self, pk: str, n_rows: int, fingerprint: dict,
-                          verdicts: list, violations: list, t0: float) -> None:
+                          verdicts: list, violations: list, t0: float,
+                          metrics: dict | None = None) -> None:
         n_viol = 0
         if violations:
             all_v = violations[0]
@@ -430,12 +451,31 @@ class ValidationSuite:
                 "seq": len(self.manifest.records),
                 "n_rows": n_rows,
                 "fingerprint": fingerprint,
+                "metrics": metrics or {},
                 "verdicts": [v.as_row() for v in verdicts],
                 "n_violations": n_viol,
                 "check_states": self._check_states(),
                 "elapsed_s": round(time.time() - t0, 3),
             }
         )
+
+    def _global_uniqueness_verdict(self, df: DataFrame):
+        """Cross-partition key uniqueness: within-partition dup checks
+        cannot see a clip_id repeated in two partitions, so one global
+        (count vs countDistinct) pass covers the whole table. Cheap
+        fast path; the exact dup-group scan only runs on failure.
+        Deterministic, so recomputing per run keeps resumed and
+        one-shot verdict tables identical."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(self.key_col).alias("d"),
+        ).collect()[0]
+        n_dup = int(row["n"]) - int(row["d"])
+        return Verdict(
+            "__global__", f"unique:{self.key_col}",
+            PASS if n_dup == 0 else FAIL,
+            statistic=float(n_dup), threshold=0.0, n_rows=int(row["n"]),
+        ).as_row()
 
     def run(self, df: DataFrame, vectorized: bool = True) -> tuple[DataFrame, DataFrame]:
         """Validate every partition not yet in the manifest; return
@@ -470,6 +510,8 @@ class ValidationSuite:
                 self._run_sequential(df, todo)
 
         verdict_rows = self.manifest.replayed_verdicts()
+        if self.global_uniqueness:
+            verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
         verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
         import os
 
@@ -502,7 +544,8 @@ class ValidationSuite:
                 self._kdq_ref_pk = pk
             verdicts.extend(d_verdicts)
             violations.extend(d_violations)
-            self._finish_partition(pk, n_rows, fingerprint, verdicts, violations, t0)
+            self._finish_partition(pk, n_rows, fingerprint, verdicts, violations, t0,
+                                   metrics=self._metrics_from_stats(stats))
             if self._feats_cache is not None:
                 self._feats_cache.unpersist()
                 self._feats_cache = None
@@ -684,13 +727,16 @@ class ValidationSuite:
                 )
                 verdicts.extend(self._ks_psi_decide(pk, n_rows, is_ref, ranges, mat, freqs))
 
-            self._finish_partition(pk, n_rows, fingerprint, verdicts, violations, t_pk)
+            self._finish_partition(pk, n_rows, fingerprint, verdicts, violations, t_pk,
+                                   metrics=self._metrics_from_stats(stats))
 
         if self._feats_cache is not None:
             self._feats_cache.unpersist()
             self._feats_cache = None
 
         verdict_rows = self.manifest.replayed_verdicts()
+        if self.global_uniqueness:
+            verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
         verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
         import os
 
