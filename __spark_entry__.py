@@ -369,7 +369,11 @@ def q_hdddm_lineitem(spark, sf_dir):
     det = HDDDM(detect_batch=2, seed=42)
     rows = []
     for i, yr in enumerate(years):
-        batch = li.filter(F.col("yr") == yr).select(*[F.col(c).cast("double") for c in cols])
+        # coalesce: the 3-column numeric projection is tiny and gets
+        # re-unioned as the reference grows; few fat cache partitions
+        batch = li.filter(F.col("yr") == yr).select(
+            *[F.col(c).cast("double") for c in cols]
+        ).coalesce(8)
         if i == 0:
             det.set_reference(batch, batch_id=str(yr))
             rows.append((str(yr), "reference", None, None))
