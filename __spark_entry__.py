@@ -268,6 +268,17 @@ def q_minhash_documents(spark, sf_dir):
     return sig.filter(F.size("sig") > 0).select(*cols).orderBy("doc_id")
 
 
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """The COMPLETE MinHash+LSH near-dup pipeline (shingle -> minhash
+    -> band -> bucket join -> exact-Jaccard verify), exactly
+    reproducible in SQL thanks to the md5-prefix hash family:
+    k=8 signatures, 4 bands x 2 rows, verify threshold 0.1."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=MINHASH_K, bands=4, rows=2, threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs, "doc_id").select(
@@ -545,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value_click_vs_error": q_ks_value_click_vs_error,
         # dedup / similarity / text
         "minhash_documents": q_minhash_documents,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -728,6 +740,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {minhash_mins}
             FROM sh GROUP BY doc_id ORDER BY doc_id
         """,
+
+        "minhash_lsh_pairs": f'''
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
+            shingles AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM toks WHERE len(toks) >= 3),
+            exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+            sig AS (
+              SELECT doc_id, {minhash_mins}
+              FROM exploded GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(h0 || ',' || h1) AS bhash FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h2 || ',' || h3) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, md5(h4 || ',' || h5) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, md5(h6 || ',' || h7) FROM sig),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+            FROM cands c
+            JOIN shingles sa ON sa.doc_id = c.id_a
+            JOIN shingles sb ON sb.doc_id = c.id_b
+            WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                        / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.1
+            ORDER BY id_a, id_b
+        ''',
         "dedup_exact_documents": """
             SELECT md5(regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g')) AS text_hash,
                    count(*) AS n_dups, min(doc_id) AS keep_id

@@ -94,3 +94,19 @@ def test_range_and_accepted_values(spark):
     assert constraints.range_violations(df, "dur_ms", lo=200, hi=250, key="clip_id").count() > 0
     bad = constraints.accepted_values_violations(df, "codec", ["pcm", "opus"], key="clip_id")
     assert 0 < bad.count() < 50
+
+
+def test_salted_count_under_extreme_skew(spark):
+    # one hot key carrying 99% of rows: the salted two-stage count must
+    # agree exactly with the plain groupBy count (north rule: explicit
+    # salting defuses codec/duration skew without changing results)
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit("pcm")).otherwise(F.lit("flac")).alias("category")
+    )
+    salted = {r["category"]: r["count"] for r in
+              histograms.salted_count(df, ["category"], n_salt=16).collect()}
+    plain = {r["category"]: r["count"] for r in df.groupBy("category").count().collect()}
+    assert salted == plain
+    assert salted["pcm"] == 49_500
