@@ -117,15 +117,6 @@ class ValidationSuite:
         self._psi_ref: dict | None = None  # {"freqs": {cat: n}, "n": int}
         self._feats_cache = None
 
-    # ------------------------------------------------------------- util
-
-    def _fingerprint(self, part_df: DataFrame) -> dict:
-        row = part_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(f"bit_xor(xxhash64({self.key_col}))").alias("h"),
-        ).collect()[0]
-        return {"n": int(row["n"]), "key_hash": int(row["h"] or 0)}
-
     # ---------------------------------------------------- check runners
 
     def _constraint_aggs(self) -> list:
