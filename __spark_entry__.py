@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
 from collections.abc import Callable
 
@@ -27,7 +28,39 @@ from menelaus_spark.operators import dedup, similarity
 from menelaus_spark.operators import text as T
 
 
+_PYFILES_SESSIONS: set = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship menelaus_spark to Python workers via addPyFile. Needed when
+    the caller built its SparkSession BEFORE importing this module (the
+    PYTHONPATH export in menelaus_spark.session happens at import time
+    and cannot reach an already-launched JVM's worker daemon)."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PYFILES_SESSIONS:
+        return
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "menelaus_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            pkg = os.path.join(repo, "menelaus_spark")
+            for dirpath, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, repo))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _PYFILES_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -442,6 +475,8 @@ def q_cdbd_example_confidence(spark, sf_dir):
     (confidence regime change in 2019 must alarm)."""
     from menelaus_spark.checks.hdm import CDBD
 
+    _ensure_workers_can_import(spark)
+    _ensure_workers_can_import(spark)
     df = tables.make_example_batch_data(spark, year_size=1500).select("year", "confidence")
     years = sorted(r[0] for r in df.select("year").distinct().collect())
     det = CDBD(detect_batch=2, seed=42)
@@ -485,6 +520,7 @@ def q_nndvi_lineitem(spark, sf_dir):
 def q_example_data_profile(spark, sf_dir):
     """Per-year profile of the Spark-native example dataset (evidences
     the distributed generator + its five injected drifts)."""
+    _ensure_workers_can_import(spark)
     df = tables.make_example_batch_data(spark, year_size=1500)
     return (
         df.groupBy("year")
@@ -506,6 +542,7 @@ def q_audio_suite(spark, sf_dir):
     fresh checkpoint each call."""
     from menelaus_spark.runner import ValidationSuite
 
+    _ensure_workers_can_import(spark)
     ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
     try:
         df = tables.audio_table(spark, n_rows=600, n_parts=6,
@@ -535,6 +572,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: HDDDM drift sequence
     over lineitem year-batches (loads driver parquet, exercises the
     distributed histogram engine + sequential state machine)."""
+    _ensure_workers_can_import(spark)
     return q_hdddm_lineitem(spark, "/root/testdata/sf0.001")
 
 
