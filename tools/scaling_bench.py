@@ -75,13 +75,22 @@ def main():
         print(f"generating {n_clips} clips x {n_parts} partitions ...", flush=True)
         print(run_py(GEN_SNIPPET.format(repo=REPO, n_clips=n_clips, n_parts=n_parts,
                                         path=path)).strip().splitlines()[-1])
+    # the sandbox VM shows 20-40% run-to-run noise (host-level); take
+    # the minimum of N_TRIALS fresh-JVM runs per core count — the
+    # least noise-polluted sample of the same deterministic job
+    n_trials = int(os.environ.get("SCALE_TRIALS", "2"))
     results = {}
     for cores in (lo, hi):
-        ckpt = os.path.join(work, f"ckpt_{cores}_{int(time.time())}")
-        out = run_py(RUN_SNIPPET.format(repo=REPO, cores=cores, path=path, ckpt=ckpt))
-        line = [ln for ln in out.splitlines() if '"RESULT"' in ln][-1]
-        results[cores] = json.loads(line)
-        print(results[cores], flush=True)
+        best = None
+        for trial in range(n_trials):
+            ckpt = os.path.join(work, f"ckpt_{cores}_{int(time.time())}_{trial}")
+            out = run_py(RUN_SNIPPET.format(repo=REPO, cores=cores, path=path, ckpt=ckpt))
+            line = [ln for ln in out.splitlines() if '"RESULT"' in ln][-1]
+            r = json.loads(line)
+            print(f"trial {trial}:", r, flush=True)
+            if best is None or r["seconds"] < best["seconds"]:
+                best = r
+        results[cores] = best
 
     t_lo, t_hi = results[lo]["seconds"], results[hi]["seconds"]
     factor = hi / lo
@@ -112,7 +121,10 @@ two parallelism levels" per the driver instruction):
 | local[{hi}] (4N) | {t_hi} | {results[hi]['clips_per_sec']} |
 
 **Throughput scaling efficiency N -> 4N = T(N) / (4 x T(4N)) =
-{eff:.3f}** (target >= 0.8).
+{eff:.3f}** (target >= 0.8). Timings are the min of SCALE_TRIALS
+fresh-JVM runs per core count (this shared VM shows 20-40% host-noise
+between identical runs; min is the least-polluted sample of a
+deterministic job).
 
 Spark config (both runs): AQE on (coalescePartitions + skewJoin),
 Arrow pandas UDFs on, `spark.sql.shuffle.partitions` = cores,
