@@ -44,7 +44,12 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "menelaus_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
+    pkg_dir = os.path.join(repo, "menelaus_spark")
+    newest_src = max(
+        os.path.getmtime(os.path.join(dp, fn))
+        for dp, _, fs in os.walk(pkg_dir) for fn in fs if fn.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
             pkg = os.path.join(repo, "menelaus_spark")
             for dirpath, _, files in os.walk(pkg):
