@@ -173,23 +173,27 @@ def q_uniqueness_events_user(spark, sf_dir):
 
 def q_asof_last_view_before_purchase(spark, sf_dir):
     """As-of join: for each purchase event, the most recent prior view
-    by the same user (join + groupBy max realization)."""
+    by the same user.  Realized as ONE union + window pass
+    (operators/relational.py): no per-user join product, so a power
+    user with many views x many purchases stays linear."""
     ev = _t(spark, sf_dir, "events")
+    from menelaus_spark.operators.relational import asof_join_last
+
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
     )
     v = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts")
     )
+    joined = asof_join_last(p, v, on="user_id", left_ts="p_ts", right_ts="v_ts")
     return (
-        p.join(v, on="user_id", how="left")
-        .filter(F.col("v_ts") <= F.col("p_ts"))
-        .groupBy("purchase_id")
-        .agg(
+        joined.filter(F.col("asof_v_ts").isNotNull())
+        .select(
+            "purchase_id",
             # parquet timestamps arrive as TIMESTAMP_NTZ; cast through
             # session-UTC timestamp to epoch seconds (matches DuckDB's
             # naive epoch_ms // 1000)
-            F.max(F.col("v_ts").cast("timestamp").cast("long")).alias("last_view_epoch")
+            F.col("asof_v_ts").cast("timestamp").cast("long").alias("last_view_epoch"),
         )
         .orderBy("purchase_id")
     )
@@ -481,7 +485,6 @@ def q_cdbd_example_confidence(spark, sf_dir):
     from menelaus_spark.checks.hdm import CDBD
 
     _ensure_workers_can_import(spark)
-    _ensure_workers_can_import(spark)
     df = tables.make_example_batch_data(spark, year_size=1500).select("year", "confidence")
     years = sorted(r[0] for r in df.select("year").distinct().collect())
     det = CDBD(detect_batch=2, seed=42)
@@ -667,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "profile_lineitem": """
             SELECT count(*) AS n_rows,
-                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+                   count(*) FILTER (WHERE l_quantity IS NULL) AS qty_nulls,
                    round(min(l_extendedprice), 4) AS price_min,
                    round(max(l_extendedprice), 4) AS price_max,
                    round(avg(l_extendedprice), 4) AS price_mean,

@@ -3,9 +3,9 @@ collected B-bin summaries; B <= sqrt(n) so these arrays are tiny).
 
 Each function documents the reference semantics it reproduces
 (file:line into /root/reference). The same formulas also exist as pure
-DataFrame aggregations in ``menelaus_spark/operators/drift_sql.py`` for
-the scale path + DuckDB-oracle checks; these numpy twins feed the
-sequential epsilon/beta state machines.
+DataFrame aggregations in the ``__spark_entry__`` queries (hellinger /
+psi / ks) for the scale path + DuckDB-oracle checks; these numpy twins
+feed the sequential epsilon/beta state machines.
 """
 
 from __future__ import annotations

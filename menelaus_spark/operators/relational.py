@@ -1,0 +1,81 @@
+"""Relational operators Spark lacks as built-ins, expressed as single
+window passes so they survive skewed keys at scale.
+
+As-of join: the scale-safe realization is NOT ``left.join(right,
+on=key).filter(r_ts <= l_ts).groupBy(...).max()`` — that join is
+O(|left_k| x |right_k|) per key and a hot key (a power user with many
+events on both sides) makes the intermediate quadratic.  Instead we
+union both sides into one stream, sort once per key, and carry the
+most recent right-side timestamp forward with ``last(..., ignorenulls)``
+over a running window.  One shuffle (the sort), no join product, and
+AQE can still split a skewed key's sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (or ``<`` when ``strict``) sharing the
+    ``on`` key, as one union + window pass.
+
+    Returns the left rows (all original columns) plus
+    ``asof_<right_ts>`` and ``asof_<c>`` for each requested value
+    column; left rows with no prior right row carry nulls (left-join
+    semantics — filter them out for inner semantics).
+    """
+    value_cols = value_cols or []
+    # Tag sides; right sorts before left at equal timestamps so that a
+    # right row at exactly left_ts is visible under <= semantics.  For
+    # strict (<) semantics, right sorts after left at equal ts.
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1 if strict else 0).alias("__side"),
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0 if strict else 1).alias("__side"),
+        F.lit(None).cast(r.schema["__r_ts"].dataType).alias("__r_ts"),
+        *[
+            F.lit(None).cast(r.schema[f"__r_{c}"].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "__side",
+        "__l",
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"asof_{right_ts}"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    keep_side = 0 if strict else 1
+    out = carried.filter(F.col("__side") == keep_side)
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        f"asof_{right_ts}",
+        *[f"asof_{c}" for c in value_cols],
+    )

@@ -724,18 +724,3 @@ class ValidationSuite:
         if self._feats_cache is not None:
             self._feats_cache.unpersist()
             self._feats_cache = None
-
-        verdict_rows = self.manifest.replayed_verdicts()
-        if self.global_uniqueness:
-            verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
-        verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
-        import os
-
-        viol_root = os.path.join(self.manifest.dir, "violations")
-        if os.path.isdir(viol_root) and any(os.scandir(viol_root)):
-            violations_df = self.spark.read.parquet(
-                *[os.path.join(viol_root, d) for d in sorted(os.listdir(viol_root))]
-            )
-        else:
-            violations_df = self.spark.createDataFrame([], schema=VIOLATION_SCHEMA)
-        return verdicts_df, violations_df
