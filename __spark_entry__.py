@@ -419,14 +419,15 @@ def q_hdddm_lineitem(spark, sf_dir):
 
     li, years = _lineitem_year_batches(spark, sf_dir)
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # pin the 4-column numeric projection ONCE (tiny: ~20 MB at sf0.1)
+    # so the per-year batch filters don't each re-scan the full table
+    proj = li.select(
+        "yr", *[F.col(c).cast("double").alias(c) for c in cols]
+    ).coalesce(8).persist()
     det = HDDDM(detect_batch=2, seed=42)
     rows = []
     for i, yr in enumerate(years):
-        # coalesce: the 3-column numeric projection is tiny and gets
-        # re-unioned as the reference grows; few fat cache partitions
-        batch = li.filter(F.col("yr") == yr).select(
-            *[F.col(c).cast("double") for c in cols]
-        ).coalesce(8)
+        batch = proj.filter(F.col("yr") == yr).drop("yr")
         if i == 0:
             det.set_reference(batch, batch_id=str(yr))
             rows.append((str(yr), "reference", None, None))
@@ -485,7 +486,11 @@ def q_cdbd_example_confidence(spark, sf_dir):
     from menelaus_spark.checks.hdm import CDBD
 
     _ensure_workers_can_import(spark)
-    df = tables.make_example_batch_data(spark, year_size=1500).select("year", "confidence")
+    # pin the 2-column projection: the synthetic generator is a full
+    # mapInPandas pass, so per-year filters must not re-generate it
+    df = tables.make_example_batch_data(spark, year_size=1500).select(
+        "year", "confidence"
+    ).coalesce(8).persist()
     years = sorted(r[0] for r in df.select("year").distinct().collect())
     det = CDBD(detect_batch=2, seed=42)
     rows = []

@@ -90,6 +90,78 @@ class ConfirmedElection:
         return ret
 
 
+class StreamingEnsemble:
+    """Fan each sample out to member streaming kernels, reduce with an
+    election (reference menelaus/ensemble/ensemble.py:88-158).
+
+    ``column_selectors`` maps member name -> callable taking the
+    sample's feature payload and returning what that member's
+    ``update`` expects (reference :22-33 uses X-projection functions).
+    Members with (y_true, y_pred) update signatures (DDM/EDDM/STEPD/
+    LFR) receive the labels instead, as the reference's uniform
+    ``update(X, y_true, y_pred)`` does.
+
+    Sequential by design: streaming kernels are order-dependent
+    recurrences, so the ensemble is driver-side state; distributed use
+    goes through the trace layer / foreachBatch like the individual
+    kernels.
+    """
+
+    def __init__(self, detectors: dict[str, object], election,
+                 column_selectors: dict | None = None):
+        self.detectors = dict(detectors)
+        self.election = election
+        self.column_selectors = column_selectors or {}
+        self.drift_state: str | None = None
+        self.total_samples = 0
+        self.samples_since_reset = 0
+
+    @staticmethod
+    def _wants_labels(det) -> bool:
+        import inspect
+
+        params = [
+            p for p in inspect.signature(det.update).parameters if p != "self"
+        ]
+        return params[:2] == ["y_true", "y_pred"]
+
+    def update(self, x=None, y_true=None, y_pred=None) -> str | None:
+        for name, det in self.detectors.items():
+            if self._wants_labels(det):
+                det.update(y_true, y_pred)
+            else:
+                sel = self.column_selectors.get(name)
+                det.update(sel(x) if sel is not None else x)
+        self.drift_state = self.election(
+            [det.drift_state for det in self.detectors.values()]
+        )
+        self.total_samples += 1
+        self.samples_since_reset += 1
+        return self.drift_state
+
+    def reset(self) -> None:
+        """Reset ensemble and member drift state; ``total_samples``
+        survives, as in the reference (test_ensemble.py:92-98)."""
+        self.samples_since_reset = 0
+        self.drift_state = None
+        for det in self.detectors.values():
+            det.reset()
+
+    @property
+    def drift_states(self) -> dict[str, str | None]:
+        return {name: det.drift_state for name, det in self.detectors.items()}
+
+    @property
+    def retraining_recs(self) -> dict:
+        """Member retraining recommendations; members without the
+        attribute are skipped (ensemble.py:76-87)."""
+        return {
+            name: det.retraining_recs
+            for name, det in self.detectors.items()
+            if hasattr(det, "retraining_recs")
+        }
+
+
 class BatchEnsemble:
     """Fan a batch out to member batch detectors, reduce with an
     election. ``column_selectors`` maps member name -> list of columns

@@ -27,9 +27,24 @@ CDBD), including:
 - no drift: reference grows by the test batch (:335-341).
 
 Spark-first split: ALL data passes are distributed — one count, one
-joint min/max, and ONE salted multi-(role, feature) histogram shuffle
-per update; the epsilon/beta decision runs on the collected
-(2 x n_features x bins) count matrix, which is O(sqrt(n)) scalars.
+joint min/max, and ONE salted summary shuffle per update; the
+epsilon/beta decision runs on the collected (2 x n_features x bins)
+count matrix, which is O(sqrt(n)) scalars.
+
+Bounded per-update cost (SURVEY.md §7.2): the reference re-histograms
+the whole accumulated reference with a *changing* bin count
+floor(sqrt(n)) every batch (:335-341), which re-scans history.  Here
+the accumulated reference is held as a MERGEABLE per-feature
+(value, count) summary — binning distinct values weighted by their
+counts is exactly equal to binning raw rows, for ANY future
+(range, nbins) edges — so raw reference data is never re-scanned:
+each update scans only the incoming batch once to extend the summary.
+While the summary is small (<= ``driver_value_cap`` entries) it lives
+on the driver and histograms are pure numpy (zero Spark jobs for the
+reference side); past the cap it spills to a persisted compact
+DataFrame and histograms run as one salted weighted aggregation over
+(distinct values), not rows.  Both paths use the identical
+floor((v-lo)/width) double arithmetic, so results are bit-equal.
 The reference's pandas ``sample(n, replace=True)`` bootstrap becomes
 seeded ``DataFrame.sample(withReplacement=True, fraction, seed)``
 (per-(subset) seeds -> byte-identical on resume; the reference draws
@@ -68,6 +83,7 @@ class HDM:
         order_col: str | None = None,
         seed: int = 42,
         n_salt: int = 16,
+        driver_value_cap: int = 2_000_000,
     ):
         if callable(divergence):
             self.distance_function = divergence
@@ -84,6 +100,7 @@ class HDM:
         self.order_col = order_col
         self.seed = seed
         self.n_salt = n_salt
+        self.driver_value_cap = driver_value_cap
 
         self.total_batches = 0
         self.batches_since_reset = 0
@@ -106,6 +123,10 @@ class HDM:
         self.reference_batch_ids: list[str] = []
         self._ref_minmax: dict = {}
         self._ref_batch_counts: list[int] = []
+        # mergeable (feature -> distinct value -> count) reference
+        # summary: {"mode": "driver", "data": {feat: (vals, cnts)}} or
+        # {"mode": "cluster", "df": DataFrame(feature, value, count)}
+        self._ref_summary: dict | None = None
 
     # -- input validation (schema freeze, reference detector.py:221-307) --
 
@@ -123,7 +144,11 @@ class HDM:
 
     # -- public API (mirrors set_reference/update, :224-341) --
 
-    def set_reference(self, df: DataFrame, batch_id: str = "reference") -> None:
+    def set_reference(self, df: DataFrame, batch_id: str = "reference",
+                      summary_values: dict | None = None) -> None:
+        """``summary_values`` = {col: (distinct values, counts)} lets a
+        caller that already summarized the batch (the ValidationSuite's
+        one global summary pass) skip this detector's reference scan."""
         df = df.persist()
         n, mm = self._minmax_count(df, self._features(df))
         self._validate(df, n)
@@ -131,19 +156,26 @@ class HDM:
         self.reference_batch_ids = [batch_id]
         self._ref_minmax = mm
         self._ref_batch_counts = [n]
+        self._ref_summary = (
+            {"mode": "driver", "data": dict(summary_values)}
+            if summary_values is not None
+            else None
+        )
         self.reset()
 
     def update(self, df: DataFrame, batch_id: str | None = None,
-               precomputed: tuple[int, dict] | None = None) -> str | None:
+               precomputed: tuple[int, dict] | None = None,
+               summary_values: dict | None = None) -> str | None:
         """``precomputed`` = (test_n, {col: (min, max)}) lets a caller
         that already aggregated the batch (e.g. the ValidationSuite's
-        fused constraint pass) skip this detector's test-side agg."""
+        fused constraint pass) skip this detector's test-side agg;
+        ``summary_values`` = {col: (values, counts)} likewise skips the
+        test-side distinct-value summary scan."""
         if self.drift_state == DRIFT:
             self.reset()
-        df = df.persist()
         self._validate(df, 2)  # schema check; row count validated in _update_inner
         batch_id = batch_id if batch_id is not None else f"batch_{self.total_batches + 1}"
-        self._update_inner(df, batch_id, precomputed)
+        self._update_inner(df, batch_id, precomputed, summary_values)
         return self.drift_state
 
     # -- internals --
@@ -174,7 +206,8 @@ class HDM:
         return out
 
     def _update_inner(self, X: DataFrame, batch_id: str,
-                      precomputed: tuple[int, dict] | None = None) -> None:
+                      precomputed: tuple[int, dict] | None = None,
+                      summary_values: dict | None = None) -> None:
         self.total_batches += 1
         self.batches_since_reset += 1
         cols = self._input_cols
@@ -185,16 +218,28 @@ class HDM:
         # running summary — no rescan of accumulated reference data for
         # this step; only the test batch is aggregated (and the caller
         # may pass that in precomputed from its own fused agg pass).
+        # ONE pass over the test batch: its (value, count) summary.
+        # n / min / max derive from the summary (null groups kept), so
+        # no separate test-side aggregation job is needed; the
+        # reference histogram comes from the mergeable running summary
+        # — raw reference rows are NEVER re-scanned.
+        test_sum = (
+            {"mode": "driver", "data": dict(summary_values)}
+            if summary_values is not None
+            else self._summarize(X)
+        )
         if precomputed is not None:
             test_n, test_mm = precomputed
         else:
-            test_n, test_mm = self._minmax_count(X, cols)
+            test_n, test_mm = self._minmax_count_from_summary(test_sum)
         if test_n <= 1:
             raise ValueError("Input for batch detectors should contain more than one observation.")
         ranges = self._merge_ranges(self._ref_minmax, test_mm)
-        ref = self._ref_df()
-        # one distributed pass: (role, feature, bin) salted histogram
-        ref_mat, test_mat = self._role_histograms(ref, X, ranges, self._bins)
+        if self._ref_summary is None:  # restored state without summary
+            self._ref_summary = self._summarize(self._ref_df())
+        ref_mat, test_mat = self._hists_from_summaries(
+            self._ref_summary, test_sum, ranges, self._bins
+        )
         self._reference_density = ref_mat
 
         feature_distances = [
@@ -235,6 +280,7 @@ class HDM:
                     self.reference_batch_ids = [batch_id]
                     self._ref_minmax = test_mm
                     self._ref_batch_counts = [test_n]
+                    self._set_ref_summary(test_sum)
                     self._lambda = self.total_batches
 
         if self.drift_state != DRIFT:
@@ -244,6 +290,7 @@ class HDM:
             self.reference_batch_ids.append(batch_id)
             self._ref_minmax = ranges
             self._ref_batch_counts.append(test_n)
+            self._set_ref_summary(self._merge_summaries(self._ref_summary, test_sum))
             self.reference_n += test_n
             self._bins = int(np.floor(np.sqrt(self.reference_n)))
 
@@ -262,8 +309,13 @@ class HDM:
                 first, self._input_cols
             )
             self._ref_batch_counts = [self.reference_n]
+            # half0 is a different row set than any prior batch: its
+            # summary is built fresh (one pass over half0 only)
+            self._set_ref_summary(self._summarize(first))
         else:
             self.reference_n = sum(self._ref_batch_counts)
+            if self._ref_summary is None:
+                self._set_ref_summary(self._summarize(self._ref_df()))
         self._bins = int(np.floor(np.sqrt(self.reference_n)))
         self.epsilon = []
         self.total_epsilon = 0.0
@@ -290,40 +342,165 @@ class HDM:
         second = df.filter(F.col(self.order_col) > F.lit(cut))
         return first, second
 
-    def _role_histograms(
-        self, ref: DataFrame, test: DataFrame, ranges: dict, nbins: int
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Reference + test histograms for every feature in ONE salted
-        aggregation: rows -> explode(struct(role, feature, bin)) ->
-        two-stage count. Returns two (n_features, nbins) matrices."""
-        cols = list(ranges.keys())
-        tagged = ref.select(*cols, F.lit(0).alias("__role")).unionByName(
-            test.select(*cols, F.lit(1).alias("__role"))
-        )
+    # -- mergeable (feature, value, count) reference summaries --
+
+    def _batch_summary_df(self, df: DataFrame) -> DataFrame:
+        """(feature, value, count) distinct-value summary of one batch
+        in ONE exploded salted aggregation. Null/NaN values are KEPT as
+        their own groups so that per-feature total row counts (and thus
+        min/max + n) are derivable from the summary alone — one Spark
+        action per update; the binning step excludes them, exactly as
+        bin_index_col does."""
         structs = [
-            F.struct(
-                F.col("__role").alias("role"),
-                F.lit(c).alias("feature"),
-                H.bin_index_col(F.col(c).cast("double"), lo, hi, nbins).alias("bin"),
-            )
-            for c, (lo, hi) in ranges.items()
+            F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+            for c in self._input_cols
         ]
-        exploded = (
-            tagged.select(F.explode(F.array(*structs)).alias("rfb"))
-            .select("rfb.role", "rfb.feature", "rfb.bin")
-            .filter(F.col("bin").isNotNull())
+        ex = df.select(F.explode(F.array(*structs)).alias("fv")).select(
+            "fv.feature", "fv.value"
         )
-        counts = H.salted_count(exploded, ["role", "feature", "bin"], n_salt=self.n_salt)
+        return H.salted_count(ex, ["feature", "value"], n_salt=self.n_salt)
+
+    def _summarize(self, df: DataFrame) -> dict:
+        """Build a batch summary; collect to the driver while small
+        (<= driver_value_cap entries), else keep as a persisted compact
+        DataFrame. The limit(cap+1) bounds driver transfer: under the
+        cap it returns every summary row in one Arrow action."""
+        sdf = self._batch_summary_df(df).persist()
+        pdf = sdf.limit(self.driver_value_cap + 1).toPandas()
+        if len(pdf) <= self.driver_value_cap:
+            sdf.unpersist()
+            out = {c: (np.array([]), np.array([])) for c in self._input_cols}
+            for c, g in pdf.groupby("feature"):
+                out[str(c)] = (
+                    g["value"].to_numpy(dtype=np.float64),
+                    g["count"].to_numpy(dtype=np.float64),
+                )
+            return {"mode": "driver", "data": out}
+        return {"mode": "cluster", "df": sdf}
+
+    def _minmax_count_from_summary(self, s: dict) -> tuple[int, dict]:
+        """(n, {col: (min, max)}) derived from a batch summary — n
+        counts every row (null/NaN groups included), min/max ignore
+        them, matching _minmax_count exactly."""
+        if s["mode"] == "driver":
+            mm = {}
+            n = 0
+            for c in self._input_cols:
+                vals, cnts = s["data"].get(c, (np.array([]), np.array([])))
+                n = max(n, int(cnts.sum()))
+                clean = vals[~np.isnan(vals)]
+                mm[c] = (
+                    (float(clean.min()), float(clean.max())) if len(clean) else (None, None)
+                )
+            return n, mm
+        clean_val = F.when(~F.isnan("value"), F.col("value"))
+        row = (
+            s["df"]
+            .groupBy("feature")
+            .agg(
+                F.sum("count").alias("__n"),
+                F.min(clean_val).alias("__lo"),
+                F.max(clean_val).alias("__hi"),
+            )
+            .collect()
+        )
+        by = {r["feature"]: r for r in row}
+        n = max(int(r["__n"]) for r in row) if row else 0
+        return n, {
+            c: (
+                (by[c]["__lo"], by[c]["__hi"]) if c in by else (None, None)
+            )
+            for c in self._input_cols
+        }
+
+    def _summary_as_df(self, s: dict) -> DataFrame:
+        if s["mode"] == "cluster":
+            return s["df"]
+        spark = self._reference[0][1].sparkSession
+        rows = [
+            (c, float(v), int(n))
+            for c, (vals, cnts) in s["data"].items()
+            for v, n in zip(vals, cnts)
+        ]
+        return spark.createDataFrame(rows, "feature string, value double, count long")
+
+    def _set_ref_summary(self, s: dict) -> None:
+        old = self._ref_summary
+        self._ref_summary = s
+        if old is not None and old["mode"] == "cluster" and old is not s:
+            old["df"].unpersist()
+
+    def _merge_summaries(self, a: dict, b: dict) -> dict:
+        """Exact merge: counts of identical distinct values add. Spills
+        driver->cluster when the merged summary exceeds the cap."""
+        if a["mode"] == "driver" and b["mode"] == "driver":
+            data = {}
+            total = 0
+            for c in self._input_cols:
+                va, ca = a["data"].get(c, (np.array([]), np.array([])))
+                vb, cb = b["data"].get(c, (np.array([]), np.array([])))
+                v = np.concatenate([va, vb])
+                n = np.concatenate([ca, cb])
+                uv, inv = np.unique(v, return_inverse=True)
+                un = np.zeros(len(uv), dtype=np.float64)
+                np.add.at(un, inv, n)
+                data[c] = (uv, un)
+                total += len(uv)
+            if total <= self.driver_value_cap:
+                return {"mode": "driver", "data": data}
+            merged = {"mode": "driver", "data": data}
+            return {"mode": "cluster", "df": self._summary_as_df(merged).persist()}
+        adf, bdf = self._summary_as_df(a), self._summary_as_df(b)
+        mdf = (
+            adf.unionByName(bdf)
+            .groupBy("feature", "value")
+            .agg(F.sum("count").alias("count"))
+            .persist()
+        )
+        return {"mode": "cluster", "df": mdf}
+
+    def _hists_from_summaries(
+        self, ref_sum: dict, test_sum: dict, ranges: dict, nbins: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Reference + test histograms at the CURRENT (ranges, nbins)
+        edges from the (value, count) summaries. Driver mode is pure
+        numpy (zero Spark jobs); cluster mode is one salted weighted
+        aggregation over distinct values — never raw rows. Both use the
+        identical floor((v-lo)/width) double arithmetic."""
+        cols = list(ranges.keys())
+        if ref_sum["mode"] == "driver" and test_sum["mode"] == "driver":
+            mats = []
+            for s in (ref_sum, test_sum):
+                m = np.zeros((len(cols), nbins), dtype=np.float64)
+                for i, c in enumerate(cols):
+                    vals, cnts = s["data"].get(c, (np.array([]), np.array([])))
+                    lo, hi = ranges[c]
+                    m[i] = H.bin_weighted_driver(vals, cnts, lo, hi, nbins)
+                mats.append(m)
+            return mats[0], mats[1]
+        tagged = (
+            self._summary_as_df(ref_sum).withColumn("__role", F.lit(0))
+            .unionByName(self._summary_as_df(test_sum).withColumn("__role", F.lit(1)))
+        )
+        bin_expr = None
+        for c, (lo, hi) in ranges.items():
+            b = H.bin_index_col(F.col("value"), lo, hi, nbins)
+            bin_expr = (
+                F.when(F.col("feature") == c, b)
+                if bin_expr is None
+                else bin_expr.when(F.col("feature") == c, b)
+            )
+        binned = tagged.select(
+            "__role", "feature", bin_expr.alias("bin"), "count"
+        ).filter(F.col("bin").isNotNull())
+        counts = H.salted_weighted_count(
+            binned, ["__role", "feature", "bin"], "count", n_salt=self.n_salt
+        )
         mats = [np.zeros((len(cols), nbins)) for _ in range(2)]
         fidx = {c: i for i, c in enumerate(cols)}
         for row in counts.collect():
-            mats[int(row["role"])][fidx[row["feature"]], int(row["bin"])] = float(row["count"])
+            mats[int(row["__role"])][fidx[row["feature"]], int(row["bin"])] = float(row["count"])
         return mats[0], mats[1]
-
-    def _single_histograms(self, df: DataFrame, ranges: dict, nbins: int) -> np.ndarray:
-        cols = list(ranges.keys())
-        hist = H.multi_feature_histogram(df, ranges, nbins, n_salt=self.n_salt)
-        return H.collect_histogram_matrix(hist, cols, nbins)
 
     def _estimate_initial_epsilon(self, ranges: dict) -> float:
         """Bootstrapped initial epsilon (:472-534). Distributed: each
@@ -332,12 +509,40 @@ class HDM:
         (Reference draws exactly (1-1/k)*n rows; fraction-based Spark
         sampling draws Binomial(n, f) — same expectation, documented
         deviation for scale.)"""
+        # all ``subsets`` sampled histograms in ONE exploded salted
+        # aggregation: union the seeded samples with a subset tag and
+        # count (subset, feature, bin) — one job instead of one per
+        # subset, identical per-sample RNG streams and bin arithmetic
         ref = self._ref_df()
         fraction = 1.0 - 1.0 / self.subsets
-        boot_hists = []
+        cols = list(ranges.keys())
+        tagged = None
         for i in range(self.subsets):
-            sample = ref.sample(withReplacement=True, fraction=fraction, seed=self.seed + i)
-            boot_hists.append(self._single_histograms(sample, ranges, self._bins))
+            s = ref.sample(
+                withReplacement=True, fraction=fraction, seed=self.seed + i
+            ).withColumn("__subset", F.lit(i))
+            tagged = s if tagged is None else tagged.unionByName(s)
+        structs = [
+            F.struct(
+                F.lit(c).alias("feature"),
+                H.bin_index_col(F.col(c).cast("double"), lo, hi, self._bins).alias("bin"),
+            )
+            for c, (lo, hi) in ranges.items()
+        ]
+        ex = (
+            tagged.select("__subset", F.explode(F.array(*structs)).alias("fb"))
+            .select("__subset", "fb.feature", "fb.bin")
+            .filter(F.col("bin").isNotNull())
+        )
+        counts = H.salted_count(ex, ["__subset", "feature", "bin"], n_salt=self.n_salt)
+        boot_hists = [
+            np.zeros((len(cols), self._bins)) for _ in range(self.subsets)
+        ]
+        fidx = {c: i for i, c in enumerate(cols)}
+        for row in counts.collect():
+            boot_hists[int(row["__subset"])][fidx[row["feature"]], int(row["bin"])] = float(
+                row["count"]
+            )
         distances = []
         for i in range(len(boot_hists)):
             for j in range(i + 1, len(boot_hists)):
@@ -414,7 +619,10 @@ class HDM:
         self.distances = {int(k): v for k, v in state["distances"].items()}
         self.epsilon_values = {int(k): v for k, v in state["epsilon_values"].items()}
         self.thresholds = {int(k): v for k, v in state["thresholds"].items()}
-        self._reference = [(bid, df.persist()) for bid, df in reference]
+        self._reference = list(reference)
+        # rebuild the mergeable summary once from the restored lineage
+        # (lazily on first update — avoids a job when no new batch comes)
+        self._ref_summary = None
 
 
 class HDDDM(HDM):

@@ -59,6 +59,28 @@ def bin_index_col(col, lo: float, hi: float, nbins: int):
     )
 
 
+def bin_weighted_driver(
+    values: np.ndarray, counts: np.ndarray, lo: float, hi: float, nbins: int
+) -> np.ndarray:
+    """Driver-side numpy twin of :func:`bin_index_col` over a
+    (distinct value, count) summary: same IEEE double arithmetic
+    (``floor((v - lo) / width)``, x == hi in the last bin, out-of-range
+    dropped), so a histogram computed from a collected summary is
+    bit-identical to the distributed one. Counts are integers held in
+    float64 (< 2^53), so accumulation order cannot change the result."""
+    lo, hi = numpy_range(float(lo), float(hi))
+    width = (hi - lo) / nbins
+    v = np.asarray(values, dtype=np.float64)
+    c = np.asarray(counts, dtype=np.float64)
+    keep = ~np.isnan(v) & (v >= lo) & (v <= hi)
+    v, c = v[keep], c[keep]
+    idx = np.minimum(np.floor((v - lo) / width), nbins - 1).astype(np.int64)
+    idx[v == hi] = nbins - 1
+    out = np.zeros(nbins, dtype=np.float64)
+    np.add.at(out, idx, c)
+    return out
+
+
 def salted_count(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
     """Two-stage salted count: groupBy(keys + salt).count, then
     groupBy(keys).sum. The salt routes a hot key's rows across
@@ -68,6 +90,18 @@ def salted_count(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
     """
     salt = F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salt))
     stage1 = df.groupBy(*keys, salt.alias("__salt")).agg(F.count(F.lit(1)).alias("__c"))
+    return stage1.groupBy(*keys).agg(F.sum("__c").alias("count"))
+
+
+def salted_weighted_count(
+    df: DataFrame, keys: list[str], weight: str, n_salt: int = 16
+) -> DataFrame:
+    """Two-stage salted SUM of a weight column — the weighted twin of
+    :func:`salted_count`, used when rows are already (key, n) summaries
+    (e.g. HDM's per-batch distinct-value summaries) rather than raw
+    observations."""
+    salt = F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salt))
+    stage1 = df.groupBy(*keys, salt.alias("__salt")).agg(F.sum(weight).alias("__c"))
     return stage1.groupBy(*keys).agg(F.sum("__c").alias("count"))
 
 

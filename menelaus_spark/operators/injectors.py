@@ -112,3 +112,42 @@ def label_probability(df: DataFrame, idx_col: str, from_index: int, to_index: in
     return df.withColumn(
         target_col, F.when(pred, expr).otherwise(F.col(target_col))
     )
+
+
+def feature_cover(df: DataFrame, col: str, sample_size: int,
+                  seed: int = 0) -> DataFrame:
+    """Hide column ``col`` (a categorical concept), draw
+    ``sample_size // n_groups`` rows uniformly from each group, drop
+    the column (feature_manipulation.py:78-114, Souza 2020).
+
+    Distributed realization: per-group exact-n sampling via a hash-
+    seeded random order + row_number window — one shuffle, no
+    driver-side grouping; deterministic for a given seed."""
+    from pyspark.sql import Window
+
+    n_groups = df.select(col).distinct().count()
+    n = sample_size // n_groups
+    w = Window.partitionBy(col).orderBy(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns]), F.lit(seed))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", col)
+    )
+
+
+def label_dirichlet(df: DataFrame, idx_col: str, from_index: int, to_index: int,
+                    target_col: str, alpha: dict, seed: int = 0) -> DataFrame:
+    """Resample labels inside the window per a Dirichlet(alpha) draw
+    over the classes (label_manipulation.py:189-243): the drawn
+    distribution feeds the probability injector. The reference draws
+    from the global numpy RNG; here the draw is seeded for
+    byte-identical resume."""
+    classes = list(alpha.keys())
+    rng = np.random.default_rng(seed)
+    probs = rng.dirichlet([alpha[c] for c in classes])
+    class_probs = {c: float(p) for c, p in zip(classes, probs)}
+    return label_probability(
+        df, idx_col, from_index, to_index, target_col, class_probs, seed=seed
+    )

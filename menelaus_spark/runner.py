@@ -568,6 +568,44 @@ class ValidationSuite:
             out[r["__pk"]][int(r["leaf"])] = int(r["count"])
         return out
 
+    def _hdm_summaries_by_part(self, scoped: DataFrame, todo: list[str]) -> dict:
+        """(partition -> {feature: (distinct values, counts)}) for every
+        unvisited partition in ONE salted aggregation over the scoped
+        table. The HDM columns are low-cardinality numerics (dur_ms,
+        sr_hz), so the collected summary is tiny; if a pathological
+        input exceeds the detector's driver cap, return {} and the loop
+        falls back to HDM's own per-batch summary jobs."""
+        structs = [
+            F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+            for c in self.hdm_cols
+        ]
+        ex = (
+            scoped.select(
+                F.col(self.partition_col).cast("string").alias("__pk"),
+                F.explode(F.array(*structs)).alias("fv"),
+            )
+            .select("__pk", "fv.feature", "fv.value")
+            .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        )
+        sm = H.salted_count(ex, ["__pk", "feature", "value"]).persist()
+        try:
+            if sm.count() > self.hdm.driver_value_cap:
+                return {}
+            pdf = sm.toPandas()  # Arrow transfer, not Row collect
+            out = {
+                pk: {c: (np.array([]), np.array([])) for c in self.hdm_cols}
+                for pk in todo
+            }
+            for (pk, feat), g in pdf.groupby(["__pk", "feature"]):
+                if pk in out:
+                    out[str(pk)][str(feat)] = (
+                        g["value"].to_numpy(dtype=np.float64),
+                        g["count"].to_numpy(dtype=np.float64),
+                    )
+            return out
+        finally:
+            sm.unpersist()
+
     def _kdq_clean_feats_for(self, df: DataFrame, feats: DataFrame | None,
                              pk: str, todo: list[str]) -> DataFrame:
         """Clean feature vectors of one partition: from the cached
@@ -605,6 +643,14 @@ class ValidationSuite:
             ranges = self._ks_psi_ranges(stats_by[todo[0]])
             kspsi_by = self._ks_psi_collect(scoped, ranges, by_part=True)
 
+        # global pass 2b: HDM per-partition distinct-value summaries in
+        # ONE salted aggregation — the sequential HDM updates then run
+        # driver-side on these (zero Spark jobs per partition), keeping
+        # the suite's job count O(1) in the partition count
+        hdm_sum_by: dict = {}
+        if self.hdm is not None:
+            hdm_sum_by = self._hdm_summaries_by_part(scoped, todo)
+
         # global pass 3 (the only pandas stage): decode + features for
         # ALL partitions; small output cached for kdq fills + rebuild
         feats = None
@@ -638,20 +684,23 @@ class ValidationSuite:
             part_df = df.filter(F.col(self.partition_col) == self._pk_value(df, pk))
             verdicts, violations = self._constraint_verdicts(pk, part_df, stats)
 
-            # HDM: exact reference semantics need one (JVM-only)
-            # histogram job per batch; test-side agg comes precomputed
+            # HDM: test-side agg AND distinct-value summary both come
+            # precomputed from the global passes, so the exact
+            # re-binning semantics run driver-side with no per-batch job
             if self.hdm is not None:
                 hdm_df = part_df.select(
                     *[F.col(c).cast("double").alias(c) for c in self.hdm_cols]
                 ).coalesce(self.hdm_input_partitions)
                 if is_ref:
-                    self.hdm.set_reference(hdm_df, batch_id=pk)
+                    self.hdm.set_reference(hdm_df, batch_id=pk,
+                                           summary_values=hdm_sum_by.get(pk))
                     verdicts.append(Verdict(pk, "hdddm", PASS, n_rows=n_rows,
                                             details={"role": "reference"}))
                 else:
                     mm = {c: (stats[f"__mm_lo_{c}"], stats[f"__mm_hi_{c}"])
                           for c in self.hdm_cols}
-                    state = self.hdm.update(hdm_df, batch_id=pk, precomputed=(n_rows, mm))
+                    state = self.hdm.update(hdm_df, batch_id=pk, precomputed=(n_rows, mm),
+                                            summary_values=hdm_sum_by.get(pk))
                     det = {}
                     if state == DRIFT and self.hdm.feature_info:
                         det["max_drift_feature"] = self.hdm.feature_info["max_drift_feature"]
