@@ -637,6 +637,12 @@ _TOKS_GUARDED = (
 )
 _BPE_SQL_DUCK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Karp-Rabin power literals B^(w-1-k) mod 2^64 (B=1000003, window=8),
+# matching the numpy uint64 wraparound in text.py doc_fingerprint
+_FP_TERMS = " + ".join(
+    f"codes[j+{k}] * {(1000003 ** (7 - k)) % (2 ** 64)}::HUGEINT" for k in range(8)
+)
+
 
 def _lang_case() -> str:
     import json
@@ -903,5 +909,55 @@ def oracle_sql() -> dict[str, str]:
             WITH toksq AS (SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
             hits AS (SELECT doc_id, {hit_cols} FROM toksq)
             SELECT doc_id, {lang_case} AS lang_pred FROM hits ORDER BY doc_id
+        """,
+        # SimHash64 reproduced bit-for-bit: same md5-15-hex 60-bit token
+        # hash family as the Spark kernel (dedup.py simhash64); bits
+        # 60-63 of the hash are always 0 so only 60 bit votes matter.
+        "simhash_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, ('0x'||substring(md5(tok),1,15))::BIGINT AS h
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(coalesce(text,'')), '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            ),
+            bits AS (
+              SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM toks, (SELECT unnest(range(60)) AS b)
+              GROUP BY doc_id, b
+            ),
+            fp AS (SELECT doc_id,
+                          sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+                   FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY doc_id
+        """,
+        # Karp-Rabin winnowing fingerprint reproduced exactly: HUGEINT
+        # arithmetic mod 2^64 with the numpy kernel's wrapped B^k
+        # power literals (text.py doc_fingerprint); ord()==byte because
+        # the documents text is ASCII.
+        "doc_fingerprints": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(lower(coalesce(text,'')),
+                               '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS s
+              FROM documents),
+            coded AS (
+              SELECT doc_id, len(s) AS L,
+                list_transform(range(1, len(s)+1), i -> ord(substring(s, i, 1))::HUGEINT) AS codes
+              FROM norm),
+            raw AS (
+              SELECT doc_id,
+                CASE WHEN L = 0 THEN 0::HUGEINT
+                     WHEN L < 8 THEN list_reduce(codes,
+                          (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT)
+                     ELSE list_min(list_transform(range(1, L - 8 + 2), j ->
+                          ({_FP_TERMS}) % 18446744073709551616::HUGEINT))
+                END AS h
+              FROM coded)
+            SELECT doc_id,
+              (CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS fingerprint
+            FROM raw ORDER BY doc_id
         """,
     }

@@ -119,3 +119,39 @@ def test_md3_oracle_rules_out_drift():
         state = det.give_oracle_label(same.iloc[[i]][["x0", "x1", "label"]])
     assert state is None
     assert not det.waiting_for_oracle
+
+
+def test_nndvi_distributed_drift_cycle(spark):
+    # scale path: LSH-kNN candidate pass over batches far beyond the
+    # exact path's toPandas cap; same drift protocol
+    np.random.seed(123)
+    ref = np.random.sample((2000, 3))
+    same = np.random.sample((2000, 3))
+    drifted = np.random.sample((2000, 3)) + 5.0
+
+    det = NNDVI(k_nn=10, sampling_times=100, seed=42,
+                distributed=True, lsh_bucket_length=2.0)
+    det.set_reference(_sdf(spark, ref))
+    assert det.update(_sdf(spark, same)) is None
+    assert det.update(_sdf(spark, drifted)) == "drift"
+    # drifted batch became the reference; a similar batch now passes
+    np.random.seed(7)
+    assert det.update(_sdf(spark, np.random.sample((2000, 3)) + 5.0)) is None
+    assert det.total_batches == 3
+
+
+def test_nndvi_verdict_stable_as_cap_increases(spark):
+    # the exact capped path and the distributed path agree on the
+    # drift/no-drift verdict as more data is admitted
+    np.random.seed(5)
+    ref = np.random.sample((1200, 3))
+    drifted = np.random.sample((1200, 3)) + 5.0
+    verdicts = []
+    for cap in (300, 600, 1200):
+        det = NNDVI(k_nn=10, sampling_times=100, batch_sample_cap=cap, seed=42)
+        det.set_reference(_sdf(spark, ref))
+        verdicts.append(det.update(_sdf(spark, drifted)))
+    ddet = NNDVI(k_nn=10, sampling_times=100, seed=42, distributed=True)
+    ddet.set_reference(_sdf(spark, ref))
+    verdicts.append(ddet.update(_sdf(spark, drifted)))
+    assert verdicts == ["drift"] * 4
