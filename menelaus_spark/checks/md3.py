@@ -185,6 +185,151 @@ class MD3:
             self.waiting_for_oracle = True
         return self.drift_state
 
+    def update_batch(self, df, order_col: str) -> tuple[str | None, int]:
+        """Distributed MD3 over an ORDERED unlabeled Spark batch — the
+        scale path the per-sample ``update`` cannot provide.
+
+        The EWMA md_i = f*md_{i-1} + (1-f)*signal_i is associative over
+        contiguous segments (segment = (length m, weighted sum
+        WS = sum f^(m-i) s_i); A then B folds to WS_A*f^(m_B) + WS_B),
+        so the scan runs as two mapInPandas passes over range-
+        partitioned, within-partition-sorted data:
+
+        1. per-partition (first_order, m, WS) — driver folds incoming
+           md state per partition (O(partitions) scalars collected);
+        2. with the incoming state broadcast, each partition finds its
+           first warning crossing |md_i - md_ref| > sensitivity*std.
+
+        The earliest crossing wins; the detector stops THERE (exactly
+        where sequential update() would raise the warning and start
+        waiting for oracle labels) and reports how many samples were
+        consumed. Returns (drift_state, n_processed).
+        """
+        import pandas as pd_mod
+        from pyspark.sql import functions as F
+
+        if self.waiting_for_oracle:
+            raise ValueError(
+                "give_oracle_label must be called to confirm or rule out drift."
+            )
+        if self.drift_state == "drift":
+            self.reset()
+        feat_cols = list(self.reference_batch_features.columns)
+        clf = self.classifier
+        margin_fn = self.margin_calculation_function
+        is_default = margin_fn is calculate_margin_inclusion_signal
+        f = float(self.forgetting_factor)
+        md_ref = self.reference_distribution["md"]
+        thr = self.sensitivity * self.reference_distribution["md_std"]
+        md0 = float(self.curr_margin_density)
+        # chunk bound so f^(-chunk) stays far below float64 overflow
+        chunk = max(1, min(65536, int(300.0 / max(1e-12, -np.log(f)))))
+
+        def signals_of(pdf: pd_mod.DataFrame) -> np.ndarray:
+            X = pdf[feat_cols].to_numpy(dtype=np.float64)
+            if is_default:
+                w = np.array(clf.coef_[0])
+                b = np.array(clf.intercept_)[0] / w[1]
+                return (np.abs(X @ w + b) <= 1).astype(np.float64)
+            return np.array([margin_fn(x, clf) for x in X], dtype=np.float64)
+
+        # persist the range-partitioned projection: both passes must
+        # see the SAME partition boundaries (range boundaries come from
+        # sampling, which is not stable across separate executions)
+        parts = (
+            df.select(order_col, *feat_cols)
+            .repartitionByRange(F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .persist()
+        )
+
+        def seg_stats(it):
+            m, ws, first = 0, 0.0, None
+            for pdf in it:
+                s = signals_of(pdf)
+                if len(s) == 0:
+                    continue
+                if first is None:
+                    first = float(pdf[order_col].iloc[0])
+                # fold this chunk into the running segment (blockwise to
+                # keep f^-i bounded)
+                for lo in range(0, len(s), chunk):
+                    blk = s[lo:lo + chunk]
+                    k = len(blk)
+                    wts = f ** np.arange(k - 1, -1, -1, dtype=np.float64)
+                    ws = ws * (f ** k) + float(blk @ wts)
+                    m += k
+            if m:
+                yield pd_mod.DataFrame({"first": [first], "m": [m], "ws": [ws]})
+
+        seg = parts.mapInPandas(seg_stats, "first double, m long, ws double").toPandas()
+        seg = seg.sort_values("first").reset_index(drop=True)
+        n_total = int(seg["m"].sum())
+        if n_total == 0:
+            return self.drift_state, 0
+        incoming = {}
+        md = md0
+        for _, row in seg.iterrows():
+            incoming[float(row["first"])] = md
+            md = (f ** int(row["m"])) * md + (1 - f) * float(row["ws"])
+        md_final = md
+        bc = df.sparkSession.sparkContext.broadcast(incoming)
+
+        def find_crossing(it):
+            md_in = None
+            offset = 0
+            out = []
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if md_in is None:
+                    md_in = bc.value[float(pdf[order_col].iloc[0])]
+                s = signals_of(pdf)
+                orders = pdf[order_col].to_numpy()
+                for lo in range(0, len(s), chunk):
+                    blk = s[lo:lo + chunk]
+                    k = len(blk)
+                    j = np.arange(1, k + 1, dtype=np.float64)
+                    # md_j = f^j * md_in + (1-f) * f^j * cumsum(s_i f^-i)
+                    fj = f ** j
+                    trace = fj * md_in + (1 - f) * fj * np.cumsum(blk * (f ** (-j)))
+                    hit = np.nonzero(np.abs(trace - md_ref) > thr)[0]
+                    if len(hit):
+                        h = int(hit[0])
+                        out.append((float(orders[lo + h]), offset + lo + h + 1,
+                                    float(trace[h])))
+                        break
+                    md_in = float(trace[-1])
+                else:
+                    offset += len(s)
+                    continue
+                break
+            if out:
+                yield pd_mod.DataFrame(out, columns=["order", "local_n", "md"])
+
+        crossings = parts.mapInPandas(
+            find_crossing, "order double, local_n long, md double"
+        ).toPandas().sort_values("order")
+
+        parts.unpersist()
+        if len(crossings):
+            first = crossings.iloc[0]
+            # samples processed = everything in partitions before the
+            # crossing partition + the crossing's local index
+            part_key = max(k for k in incoming if k <= first["order"])
+            earlier = int(seg[seg["first"] < part_key]["m"].sum())
+            processed = earlier + int(first["local_n"])
+            self.curr_margin_density = float(first["md"])
+            self.total_samples += processed
+            self.samples_since_reset += processed
+            self.drift_state = "warning"
+            self.waiting_for_oracle = True
+            return self.drift_state, processed
+        self.curr_margin_density = float(md_final)
+        self.total_samples += n_total
+        self.samples_since_reset += n_total
+        return self.drift_state, n_total
+
     def give_oracle_label(self, labeled_sample: pd.DataFrame) -> str | None:
         if not self.waiting_for_oracle:
             raise ValueError("give_oracle_label only valid after a drift warning.")

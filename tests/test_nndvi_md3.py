@@ -155,3 +155,55 @@ def test_nndvi_verdict_stable_as_cap_increases(spark):
     ddet.set_reference(_sdf(spark, ref))
     verdicts.append(ddet.update(_sdf(spark, drifted)))
     assert verdicts == ["drift"] * 4
+
+
+def test_md3_update_batch_matches_sequential(spark):
+    # the distributed two-pass EWMA scan stops at exactly the sample
+    # where the sequential per-row path warns, with the same density
+    ref = _labeled_blobs(n=100)
+    rng = np.random.default_rng(9)
+    stream = np.vstack([rng.normal(3.5, 2.0, (40, 2)),
+                        rng.normal(1.5, 0.2, (300, 2))])
+    spdf = pd.DataFrame(stream, columns=["x0", "x1"])
+    spdf.insert(0, "idx", range(len(spdf)))
+
+    seq = MD3(sensitivity=1.5, oracle_data_length_required=20)
+    seq.set_reference(ref, target_name="label")
+    warn_at = None
+    for i in range(len(spdf)):
+        if seq.update(spdf.iloc[[i]][["x0", "x1"]]) == "warning":
+            warn_at = i + 1
+            break
+
+    dist = MD3(sensitivity=1.5, oracle_data_length_required=20)
+    dist.set_reference(ref, target_name="label")
+    sdf = spark.createDataFrame(spdf)
+    state, processed = dist.update_batch(sdf, order_col="idx")
+
+    if warn_at is None:
+        assert state is None and processed == len(spdf)
+    else:
+        assert state == "warning" and processed == warn_at
+        assert dist.waiting_for_oracle
+    assert abs(dist.curr_margin_density - seq.curr_margin_density) < 1e-9
+    assert dist.total_samples == seq.total_samples
+
+
+def test_md3_update_batch_no_warning(spark):
+    # a clean in-distribution batch passes through fully
+    ref = _labeled_blobs(n=100)
+    rng = np.random.default_rng(3)
+    stream = np.vstack([rng.normal(0, 1, (60, 2)), rng.normal(4, 1, (60, 2))])
+    spdf = pd.DataFrame(stream, columns=["x0", "x1"])
+    spdf.insert(0, "idx", range(len(spdf)))
+
+    seq = MD3(sensitivity=6.0)
+    seq.set_reference(ref, target_name="label")
+    for i in range(len(spdf)):
+        seq.update(spdf.iloc[[i]][["x0", "x1"]])
+
+    dist = MD3(sensitivity=6.0)
+    dist.set_reference(ref, target_name="label")
+    state, processed = dist.update_batch(spark.createDataFrame(spdf), order_col="idx")
+    assert state is None and processed == len(spdf)
+    assert abs(dist.curr_margin_density - seq.curr_margin_density) < 1e-9
