@@ -66,7 +66,16 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_workers_can_import(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in ("documents", "embeddings"):
+        # these small local files arrive as ONE input split, which
+        # would serialize the string/vector-heavy pipeline ops onto a
+        # single core; spread them (a ~15 MB shuffle). At real scale
+        # the scan has many splits and this branch never fires.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -663,8 +672,11 @@ def _lang_case() -> str:
 
 def oracle_sql() -> dict[str, str]:
     hit_cols, lang_case = _lang_case()
+    # two 60-bit lanes per md5 (hex 1-15 and 17-31), mirroring
+    # dedup._md5_hash64's family exactly
     minhash_mins = ", ".join(
-        f"min(('0x' || substring(md5(concat('{i}|', shingle)), 1, 15))::BIGINT) as h{i}"
+        f"min(('0x' || substring(md5(concat('{i // 2}|', shingle)), "
+        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) as h{i}"
         for i in range(MINHASH_K)
     )
     return {

@@ -177,12 +177,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def _md5_hash64(prefix: int, s: Column) -> Column:
-    """Deterministic 60-bit hash from an md5 prefix — the same
-    expression exists verbatim in DuckDB for oracle parity
-    (('0x' || substring(md5('i|' || s), 1, 15))::BIGINT)."""
+def _md5_hash64(i: int, s: Column) -> Column:
+    """Deterministic 60-bit hash i of the minhash family — TWO lanes
+    per md5 (hex chars 1-15 and 17-31 of md5('j|'||s) for j = i//2),
+    halving the md5 work per shingle. The identical expression exists
+    verbatim in DuckDB for oracle parity
+    (('0x' || substring(md5('j|' || s), pos, 15))::BIGINT)."""
+    j, lane = divmod(i, 2)
+    pos = 1 if lane == 0 else 17
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{prefix}|"), s)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{j}|"), s)), pos, 15), 16, 10
     ).cast("long")
 
 
@@ -194,8 +198,27 @@ def minhash_signatures(
     shingles get an empty signature."""
     sh = with_shingles(df, id_col, text_col, n)
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("__shingle"))
-    aggs = [F.min(_md5_hash64(i, F.col("__shingle"))).alias(f"h{i}") for i in range(k)]
-    sig = exploded.groupBy(id_col).agg(*aggs).select(
+    # materialize each md5 ONCE per (shingle, j) in an explicit
+    # projection — the two 60-bit lanes are then substring/conv over
+    # the shared digest (codegen does not reliably share the md5
+    # subexpression across separate aggregate expressions)
+    n_md5 = (k + 1) // 2
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("__shingle"))).alias(f"__m{j}")
+            for j in range(n_md5)
+        ],
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.col(f"__m{i // 2}"), 1 if i % 2 == 0 else 17, 15), 16, 10
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs).select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
     # keep empty-shingle docs (left join back) with empty signatures
