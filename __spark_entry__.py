@@ -670,6 +670,49 @@ def _lang_case() -> str:
     return hit_cols, case
 
 
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of q_lsh_ann_topk: the seed-42 hyperplanes are
+    deterministic numpy draws inlined as literals on BOTH sides, so the
+    bucket assignment, multiprobe expansion (Hamming<=2 of 4 planes)
+    and per-bucket scoring reproduce the Spark pipeline exactly."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((4, 64))
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(4)
+    )
+    return f"""
+        WITH planes(i, p) AS (VALUES {plane_rows}),
+        corpus AS (
+          SELECT e.vec_id, e.embedding,
+                 sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                          d -> e.embedding[d]::DOUBLE * pl.p[d])) > 0
+                          THEN (1 << pl.i) ELSE 0 END)::INT AS bucket
+          FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+        q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qb
+              FROM corpus WHERE vec_id IN (0, 1, 2)),
+        flips1 AS (SELECT unnest(range(4)) AS i),
+        probes AS (
+          SELECT qid, qvec, qb AS bucket FROM q
+          UNION ALL SELECT qid, qvec, xor(qb, (1 << i)::INT) FROM q, flips1
+          UNION ALL SELECT qid, qvec, xor(xor(qb, (1 << a.i)::INT), (1 << b.i)::INT)
+                    FROM q, flips1 a, flips1 b WHERE a.i < b.i),
+        scored AS (
+          SELECT DISTINCT p.qid::VARCHAR AS query_id, c.vec_id,
+                 round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                              p.qvec::DOUBLE[]), 6) AS cosine
+          FROM corpus c JOIN probes p ON c.bucket = p.bucket),
+        ranked AS (
+          SELECT query_id, vec_id, round(cosine, 4) AS cos4,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     hit_cols, lang_case = _lang_case()
     # two 60-bit lanes per md5 (hex 1-15 and 17-31), mirroring
@@ -922,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
             hits AS (SELECT doc_id, {hit_cols} FROM toksq)
             SELECT doc_id, {lang_case} AS lang_pred FROM hits ORDER BY doc_id
         """,
+        "lsh_ann_topk": _lsh_oracle_sql(),
         # SimHash64 reproduced bit-for-bit: same md5-15-hex 60-bit token
         # hash family as the Spark kernel (dedup.py simhash64); bits
         # 60-63 of the hash are always 0 so only 60 bit votes matter.

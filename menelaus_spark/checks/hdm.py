@@ -213,11 +213,8 @@ class HDM:
         cols = self._input_cols
 
         # Joint min/max of reference+test aligns the bins
-        # (histogram_density_method.py:267-276). min/max distribute
-        # over union, so the reference side comes from the MERGEABLE
-        # running summary — no rescan of accumulated reference data for
-        # this step; only the test batch is aggregated (and the caller
-        # may pass that in precomputed from its own fused agg pass).
+        # (histogram_density_method.py:267-276); the reference side
+        # comes from the mergeable running min/max.
         # ONE pass over the test batch: its (value, count) summary.
         # n / min / max derive from the summary (null groups kept), so
         # no separate test-side aggregation job is needed; the
