@@ -103,7 +103,12 @@ def test_minhash_lsh_finds_neardups(spark):
         rows.append((i, " ".join(rng.choice(vocab, size=18))))
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
 
-    pairs = dedup.minhash_lsh_dedup(df, "doc_id", threshold=0.5).toPandas()
+    # 16 bands x 2 rows: P(candidate | J=0.67) = 1-(1-0.67^2)^16 ~ 1-7e-5
+    # (8x4 banding leaves a ~17% natural miss rate at this jaccard —
+    # band parameters must match the target threshold)
+    pairs = dedup.minhash_lsh_dedup(
+        df, "doc_id", threshold=0.5, bands=16, rows=2
+    ).toPandas()
     assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
     # signature determinism across partitioning
     s1 = dedup.minhash_signatures(df, "doc_id").orderBy("doc_id").toPandas()
