@@ -488,6 +488,40 @@ def q_streaming_traces(spark, sf_dir):
     ).orderBy("group")
 
 
+def q_streaming_ensemble_events(spark, sf_dir):
+    """StreamingEnsemble (CUSUM + PageHinkley under minimum-approval)
+    per user bucket — each group runs one independent ensemble via the
+    same distributed trace machinery as single kernels."""
+    from menelaus_spark.checks.ensemble import (
+        MinimumApprovalElection,
+        StreamingEnsemble,
+    )
+    from menelaus_spark.streaming.detectors import (
+        CUSUM,
+        PageHinkley,
+        apply_streaming_detector,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.pmod("user_id", F.lit(8)).cast("string")
+    )
+    trace = apply_streaming_detector(
+        ev,
+        lambda: StreamingEnsemble(
+            {"cusum": CUSUM(burn_in=30), "ph": PageHinkley(burn_in=30)},
+            MinimumApprovalElection(2),
+        ),
+        group_col="grp",
+        order_col="event_id",
+        value_cols=["value"],
+    )
+    return trace.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("state") == "drift", 1).otherwise(0)).alias("n_drift"),
+        F.max("statistic").alias("max_members_alarming"),
+    ).orderBy("group")
+
+
 def q_cdbd_example_confidence(spark, sf_dir):
     """CDBD over the example dataset's classifier-confidence column,
     batched by year — the reference's canonical CDBD scenario
@@ -631,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdddm_lineitem": q_hdddm_lineitem,
         "kdq_lineitem": q_kdq_lineitem,
         "streaming_traces": q_streaming_traces,
+        "streaming_ensemble_events": q_streaming_ensemble_events,
         "cdbd_example_confidence": q_cdbd_example_confidence,
         "nndvi_lineitem": q_nndvi_lineitem,
         "example_data_profile": q_example_data_profile,

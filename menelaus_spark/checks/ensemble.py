@@ -147,6 +147,12 @@ class StreamingEnsemble:
         for det in self.detectors.values():
             det.reset()
 
+    def snapshot(self) -> tuple[float, float]:
+        """(members currently alarming, nan) — lets the ensemble plug
+        into the per-group trace machinery like any single kernel."""
+        n = sum(det.drift_state == "drift" for det in self.detectors.values())
+        return float(n), float("nan")
+
     @property
     def drift_states(self) -> dict[str, str | None]:
         return {name: det.drift_state for name, det in self.detectors.items()}

@@ -57,3 +57,56 @@ def test_foreach_batch_incremental_hdddm(spark, tmp_path):
     assert states[0] == "reference"
     assert "drift" in states  # the shifted micro-batch alarms
     assert det.total_batches >= 2
+
+
+def test_apply_in_pandas_with_state_cusum(spark, tmp_path):
+    """Per-key kernels persist ACROSS micro-batches in GroupState: the
+    burn-in happens in batch 1, the level shift in batch 3 alarms —
+    impossible unless state genuinely carried over."""
+    from menelaus_spark.streaming.stateful import stateful_detector_stream
+    from menelaus_spark.streaming.detectors import CUSUM
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    rng = np.random.default_rng(2)
+    frames = [
+        pd.DataFrame({"grp": "a", "idx": range(0, 60),
+                      "value": rng.normal(0, 1, 60)}),
+        pd.DataFrame({"grp": "a", "idx": range(60, 120),
+                      "value": rng.normal(0, 1, 60)}),
+        pd.DataFrame({"grp": "a", "idx": range(120, 180),
+                      "value": rng.normal(30, 1, 60)}),
+    ]
+    for f in frames:
+        spark.createDataFrame(f).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("grp string, idx long, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stateful_detector_stream(
+        stream, lambda: CUSUM(burn_in=30), group_col="grp",
+        order_col="idx", value_cols=["value"],
+    )
+    rows = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    per_batch = {int(r["total_samples"]): r for r in rows}
+    # state carried: cumulative totals grow 60 -> 120 -> 180
+    assert set(per_batch) == {60, 120, 180}
+    assert per_batch[60]["n_drift"] == 0
+    assert per_batch[120]["n_drift"] == 0
+    assert per_batch[180]["n_drift"] >= 1  # the shifted batch alarms
