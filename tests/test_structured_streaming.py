@@ -110,3 +110,73 @@ def test_apply_in_pandas_with_state_cusum(spark, tmp_path):
     assert per_batch[60]["n_drift"] == 0
     assert per_batch[120]["n_drift"] == 0
     assert per_batch[180]["n_drift"] >= 1  # the shifted batch alarms
+
+
+def test_windowed_profile_watermark_drops_late(spark, tmp_path):
+    """Tumbling event-time windows finalize when the watermark passes
+    their end (append mode, emitted once); data later than the
+    watermark is dropped — the window's final count excludes it."""
+    from datetime import datetime
+
+    from menelaus_spark.streaming.windowed import windowed_profile_stream
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+
+    def ts(minute):
+        return datetime(2026, 1, 1, 0, minute)
+
+    schema = "ts timestamp, v double"
+    # file 1: five rows in window [00:00, 00:10) + one in [00:10, 00:20)
+    f1 = pd.DataFrame({"ts": [ts(m) for m in (1, 2, 3, 4, 5, 12)],
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0]})
+    # files 2+3: advance the watermark to 00:25+ with one batch of
+    # margin (the late-row input filter applies the watermark with one
+    # batch more lag than state eviction)
+    f2 = pd.DataFrame({"ts": [ts(30)], "v": [7.0]})
+    f3 = pd.DataFrame({"ts": [ts(31)], "v": [8.0]})
+    # file 4: a LATE row for window 1 (ts 00:03 << watermark) -> dropped;
+    # plus a row pushing the watermark past window [00:30, 00:40)
+    f4 = pd.DataFrame({"ts": [ts(3), ts(50)], "v": [99.0, 6.0]})
+    # enforce the arrival order: the file source orders by modification
+    # time, and append-mode part files get random uuid names — write
+    # each frame separately and stage it with an increasing mtime
+    import glob
+    import shutil
+
+    for i, f in enumerate((f1, f2, f3, f4)):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(f).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = windowed_profile_stream(
+        stream, "ts", ["v"], window_duration="10 minutes", watermark_delay="5 minutes"
+    )
+    rows = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    by_start = {r["window_start"].minute: r for r in rows}
+    assert by_start[0]["n"] == 5          # late 99.0 row NOT counted
+    assert by_start[0]["max_v"] == 5.0    # and not reflected in stats
+    assert by_start[10]["n"] == 1
+    assert by_start[30]["n"] == 2         # finalized once watermark passed
+    assert 50 not in by_start             # still-open window not emitted
