@@ -424,6 +424,8 @@ class ValidationSuite:
                           metrics: dict | None = None) -> None:
         n_viol = 0
         if violations:
+            from pyspark.sql import Observation
+
             all_v = violations[0]
             for v in violations[1:]:
                 all_v = all_v.unionByName(v)
@@ -434,8 +436,12 @@ class ValidationSuite:
                 F.col("reason"),
                 F.create_map(F.lit("value"), F.coalesce(F.col("value"), F.lit(""))).alias("details"),
             )
-            n_viol = all_v.count()
+            # count rides along with the write (Observation) — one job,
+            # not a separate count pass over the recomputed violations
+            obs = Observation()
+            all_v = all_v.observe(obs, F.count(F.lit(1)).alias("n"))
             all_v.write.mode("overwrite").parquet(self.manifest.violations_dir(pk))
+            n_viol = int(obs.get["n"])
         self.manifest.append(
             {
                 "partition_key": pk,
@@ -476,11 +482,11 @@ class ValidationSuite:
         ``vectorized=True`` (default, the scale plan): per-partition
         statistics for ALL unvisited partitions come from a constant
         number of global passes — one groupBy(partition) constraint
-        aggregation, one (partition, kind, key) KS/PSI histogram pass,
-        ONE decode+leaf-assign pandas pass — and the sequential drift
-        decisions run on the collected summaries. Job count is O(1) in
-        the partition count (plus one HDM histogram job per partition,
-        whose exact reference semantics require re-binning, and one
+        aggregation, ONE fused (partition, kind, key) pass carrying the
+        KS histograms, PSI frequencies AND HDM distinct-value
+        summaries, and ONE decode+leaf-assign pandas pass — then the
+        sequential drift decisions run driver-side on the collected
+        summaries. Job count is O(1) in the partition count (plus one
         kdq recount pass per drift event). ``vectorized=False`` runs
         the same checks partition-by-partition; both paths produce
         byte-identical verdict tables.
@@ -568,43 +574,91 @@ class ValidationSuite:
             out[r["__pk"]][int(r["leaf"])] = int(r["count"])
         return out
 
-    def _hdm_summaries_by_part(self, scoped: DataFrame, todo: list[str]) -> dict:
-        """(partition -> {feature: (distinct values, counts)}) for every
-        unvisited partition in ONE salted aggregation over the scoped
-        table. The HDM columns are low-cardinality numerics (dur_ms,
-        sr_hz), so the collected summary is tiny; if a pathological
-        input exceeds the detector's driver cap, return {} and the loop
-        falls back to HDM's own per-batch summary jobs."""
-        structs = [
-            F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
-            for c in self.hdm_cols
-        ]
-        ex = (
+    def _global_summary_pass(
+        self, scoped: DataFrame, todo: list[str], ranges: dict
+    ) -> tuple[dict, dict]:
+        """KS histograms + PSI frequencies + HDM distinct-value
+        summaries for EVERY partition in ONE exploded salted
+        aggregation — one scan of the (numeric, codec) projection
+        where rounds 1-2 used two. HDM values ride as their Java
+        shortest-round-trip string (exact double round-trip), and the
+        driver cap still guards the HDM side: past it, HDM falls back
+        to its own per-batch summary jobs.
+
+        Returns (kspsi_by, hdm_sum_by)."""
+        structs = []
+        for c in self.ks_cols:
+            col = F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(float(ranges[c][0]))),
+                F.lit(float(ranges[c][1])),
+            )
+            structs.append(F.struct(
+                F.lit(f"ks:{c}").alias("kind"),
+                H.bin_index_col(col, ranges[c][0], ranges[c][1], KS_BINS)
+                .cast("string").alias("key"),
+            ))
+        if self.psi_col:
+            structs.append(F.struct(
+                F.lit("psi").alias("kind"),
+                F.col(self.psi_col).cast("string").alias("key"),
+            ))
+        hdm_cols = self.hdm_cols if self.hdm is not None else []
+        for c in hdm_cols:
+            v = F.col(c).cast("double")
+            structs.append(F.struct(
+                F.lit(f"hdm:{c}").alias("kind"),
+                F.when(~F.isnan(v), v).cast("string").alias("key"),
+            ))
+        exploded = (
             scoped.select(
                 F.col(self.partition_col).cast("string").alias("__pk"),
-                F.explode(F.array(*structs)).alias("fv"),
+                F.explode(F.array(*structs)).alias("kk"),
             )
-            .select("__pk", "fv.feature", "fv.value")
-            .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            .select("__pk", "kk.kind", "kk.key")
+            .filter(F.col("key").isNotNull())
         )
-        sm = H.salted_count(ex, ["__pk", "feature", "value"]).persist()
+        agg = H.salted_count(exploded, ["__pk", "kind", "key"]).persist()
         try:
-            if sm.count() > self.hdm.driver_value_cap:
-                return {}
-            pdf = sm.toPandas()  # Arrow transfer, not Row collect
-            out = {
-                pk: {c: (np.array([]), np.array([])) for c in self.hdm_cols}
-                for pk in todo
-            }
-            for (pk, feat), g in pdf.groupby(["__pk", "feature"]):
-                if pk in out:
-                    out[str(pk)][str(feat)] = (
-                        g["value"].to_numpy(dtype=np.float64),
-                        g["count"].to_numpy(dtype=np.float64),
-                    )
-            return out
+            hdm_ok = True
+            if hdm_cols:
+                n_hdm = agg.filter(F.col("kind").startswith("hdm:")).count()
+                hdm_ok = n_hdm <= self.hdm.driver_value_cap
+            rows = (
+                agg if hdm_ok else agg.filter(~F.col("kind").startswith("hdm:"))
+            ).toPandas()
         finally:
-            sm.unpersist()
+            agg.unpersist()
+
+        kspsi_by: dict = {}
+        hdm_sum_by: dict = {
+            pk: {c: ([], []) for c in hdm_cols} for pk in todo
+        } if (hdm_cols and hdm_ok) else {}
+        for pk, kind, key, count in zip(
+            rows["__pk"], rows["kind"], rows["key"], rows["count"]
+        ):
+            if kind.startswith("hdm:"):
+                if pk in hdm_sum_by:
+                    vs, cs = hdm_sum_by[pk][kind[4:]]
+                    vs.append(float(key))
+                    cs.append(float(count))
+                continue
+            if not (self.ks_cols or self.psi_col):
+                continue
+            mat, freqs = kspsi_by.setdefault(
+                pk, ({c: np.zeros(KS_BINS) for c in self.ks_cols}, {})
+            )
+            if kind == "psi":
+                freqs[str(key)] = int(count)
+            else:
+                mat[kind[3:]][int(key)] = float(count)
+        hdm_sum_by = {
+            pk: {
+                c: (np.asarray(vs, dtype=np.float64), np.asarray(cs, dtype=np.float64))
+                for c, (vs, cs) in d.items()
+            }
+            for pk, d in hdm_sum_by.items()
+        }
+        return kspsi_by, hdm_sum_by
 
     def _kdq_clean_feats_for(self, df: DataFrame, feats: DataFrame | None,
                              pk: str, todo: list[str]) -> DataFrame:
@@ -636,20 +690,19 @@ class ValidationSuite:
         stat_rows = scoped.groupBy(self.partition_col).agg(*self._constraint_aggs()).collect()
         stats_by = {str(r[self.partition_col]): r.asDict() for r in stat_rows}
 
-        # global pass 2: KS histograms + PSI frequencies for every partition
+        # global pass 2: KS histograms + PSI frequencies + HDM
+        # distinct-value summaries for every partition, all in ONE
+        # exploded salted aggregation (one scan of the numeric/codec
+        # projection). The sequential HDM updates then run driver-side
+        # on the collected summaries — zero Spark jobs per partition,
+        # keeping the suite's job count O(1) in the partition count
         kspsi_by: dict = {}
-        ranges: dict = {}
-        if self.ks_cols or self.psi_col:
-            ranges = self._ks_psi_ranges(stats_by[todo[0]])
-            kspsi_by = self._ks_psi_collect(scoped, ranges, by_part=True)
-
-        # global pass 2b: HDM per-partition distinct-value summaries in
-        # ONE salted aggregation — the sequential HDM updates then run
-        # driver-side on these (zero Spark jobs per partition), keeping
-        # the suite's job count O(1) in the partition count
         hdm_sum_by: dict = {}
-        if self.hdm is not None:
-            hdm_sum_by = self._hdm_summaries_by_part(scoped, todo)
+        ranges: dict = {}
+        if self.ks_cols or self.psi_col or self.hdm is not None:
+            if self.ks_cols or self.psi_col:
+                ranges = self._ks_psi_ranges(stats_by[todo[0]])
+            kspsi_by, hdm_sum_by = self._global_summary_pass(scoped, todo, ranges)
 
         # global pass 3 (the only pandas stage): decode + features for
         # ALL partitions; small output cached for kdq fills + rebuild
