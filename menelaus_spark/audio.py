@@ -175,3 +175,108 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     if p_sig == 0.0:
         return float("-inf")
     return float(10.0 * np.log10(p_sig / p_noise))
+
+
+def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Deterministic linear-interpolation resampling (the scipy-free
+    'resize' kernel for audio). Output length = round(n * sr_out/sr_in);
+    endpoints preserved."""
+    pcm = np.asarray(pcm, dtype=np.float64)
+    if sr_in == sr_out or pcm.size == 0:
+        return pcm.copy()
+    n_out = int(round(pcm.size * sr_out / sr_in))
+    if n_out <= 1:
+        return pcm[:1].copy()
+    x_out = np.arange(n_out, dtype=np.float64) * (pcm.size - 1) / (n_out - 1)
+    return np.interp(x_out, np.arange(pcm.size, dtype=np.float64), pcm)
+
+
+def resample_clips(df, target_sr: int, key_col: str = "clip_id",
+                   bytes_col: str = "bytes", codec_col: str = "codec"):
+    """Multimodal 'resize' operator: decode -> resample to target_sr ->
+    re-encode WAV, as ONE Arrow-batched mapInPandas pass (the bytes
+    column is read once and transformed in place; schema mirrors the
+    input contract). Undecodable clips pass through with null bytes —
+    the decode-integrity check owns reporting them.
+
+    Returns (key, bytes, sr_hz, dur_ms).
+    """
+    import pandas as pd
+
+    schema = f"{key_col} string, {bytes_col} binary, sr_hz int, dur_ms int"
+
+    def work(batches):
+        for pdf in batches:
+            keys, bufs, srs, durs = [], [], [], []
+            for key, buf, codec in zip(
+                pdf[key_col], pdf[bytes_col], pdf[codec_col]
+            ):
+                keys.append(key)
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                    out = resample_pcm(pcm, sr, target_sr)
+                    # decode_clip yields floats in [-1, 1]; WAV wants int16
+                    bufs.append(
+                        wav_encode(np.round(out * 32768.0).clip(-32768, 32767),
+                                   target_sr)
+                    )
+                    srs.append(target_sr)
+                    durs.append(int(round(1000.0 * out.size / target_sr)))
+                except Exception:
+                    bufs.append(None)
+                    srs.append(None)
+                    durs.append(None)
+            yield pd.DataFrame(
+                {key_col: keys, bytes_col: bufs, "sr_hz": srs, "dur_ms": durs}
+            )
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+def frame_sample(df, n_frames: int = 4, frame_ms: int = 100,
+                 key_col: str = "clip_id", bytes_col: str = "bytes",
+                 codec_col: str = "codec"):
+    """Multimodal 'frame sampling' operator (the video-frame analog for
+    audio): extract ``n_frames`` equally spaced ``frame_ms`` windows of
+    PCM per clip as float arrays, one Arrow-batched pass. Deterministic:
+    frame k starts at floor(k * (n - w) / max(n_frames - 1, 1)).
+
+    Returns (key, frame_idx, start_ms, samples array<double>) — one row
+    per extracted frame; undecodable clips contribute no rows (the
+    decode-integrity check owns reporting them).
+    """
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, frame_idx int, start_ms int, samples array<double>"
+    )
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for key, buf, codec in zip(
+                pdf[key_col], pdf[bytes_col], pdf[codec_col]
+            ):
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                except Exception:
+                    continue
+                w = max(1, int(sr * frame_ms / 1000))
+                if pcm.size < w:
+                    continue
+                span = pcm.size - w
+                for k in range(n_frames):
+                    start = span * k // max(n_frames - 1, 1)
+                    rows.append(
+                        (
+                            key,
+                            k,
+                            int(round(1000.0 * start / sr)),
+                            pcm[start:start + w].astype(np.float64).tolist(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[key_col, "frame_idx", "start_ms", "samples"]
+            )
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)

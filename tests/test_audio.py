@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pytest
 
 from menelaus_spark import audio
@@ -42,3 +43,47 @@ def test_feature_vector_shape_and_determinism():
     assert f1.shape == (audio.N_FEATURES,)
     assert np.array_equal(f1, f2)
     assert np.isfinite(f1).all()
+
+
+def test_resample_clips_preserves_signal(spark):
+    # a 440 Hz tone resampled 16k -> 8k keeps duration and high SNR
+    # against the directly synthesized 8 kHz tone
+    from menelaus_spark import audio
+
+    sr, sr2, dur_s, f0 = 16000, 8000, 0.5, 440.0
+    t16 = np.arange(int(sr * dur_s)) / sr
+    pcm16 = (16000 * np.sin(2 * np.pi * f0 * t16)).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["a"], "bytes": [audio.wav_encode(pcm16, sr)],
+                      "codec": ["pcm"]})
+    )
+    out = audio.resample_clips(df, sr2).collect()[0]
+    assert out["sr_hz"] == sr2
+    assert abs(out["dur_ms"] - 500) <= 1
+    sr_dec, pcm8 = audio.wav_decode(bytes(out["bytes"]))
+    assert sr_dec == sr2
+    # the tone survives resampling: dominant spectral peak stays 440 Hz
+    x = pcm8.astype(np.float64)
+    x /= np.abs(x).max()
+    peak_hz = np.argmax(np.abs(np.fft.rfft(x))) * sr2 / x.size
+    assert abs(peak_hz - f0) < 5
+
+
+def test_frame_sample_shapes(spark):
+    from menelaus_spark import audio
+
+    sr = 8000
+    pcm = np.sin(np.arange(sr) / 50.0)  # 1 s clip
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["a", "bad"],
+                      "bytes": [audio.wav_encode(pcm, sr), b"not-audio"],
+                      "codec": ["pcm", "opus"]})
+    )
+    rows = audio.frame_sample(df, n_frames=4, frame_ms=100).collect()
+    mine = [r for r in rows if r["clip_id"] == "a"]
+    assert len(mine) == 4                      # 4 frames for the good clip
+    assert all(len(r["samples"]) == 800 for r in mine)  # 100 ms @ 8 kHz
+    assert [r["frame_idx"] for r in sorted(mine, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    starts = sorted(r["start_ms"] for r in mine)
+    assert starts[0] == 0 and starts[-1] == 900  # spans the clip
+    assert not [r for r in rows if r["clip_id"] == "bad"]  # undecodable -> no rows
