@@ -355,8 +355,10 @@ def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
                                           threshold=0.35, block_col="label")
+    # tie-stable round-4 (same round(x*1e4)/1e4 idiom as the oracle)
+    cos4 = F.round(F.col("cosine") * F.lit(10000.0)) / F.lit(10000.0)
     return pairs.select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cos4")
+        "id_a", "id_b", cos4.alias("cos4")
     ).orderBy("id_a", "id_b")
 
 
@@ -950,12 +952,21 @@ def oracle_sql() -> dict[str, str]:
                              / len(list_distinct(a.shingles || b.shingles)) END, 6) >= 0.12
             ORDER BY id_a, id_b
         """,
+        # tie-stable rounding idiom round(x*10^k)/10^k on both sides:
+        # Spark's round(x, k) (BigDecimal on the exact double) and
+        # DuckDB's round() (multiply-then-round) disagree on decimal
+        # ties; the shared idiom applies the identical decision to the
+        # identical double
         "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos4
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]) * 1000000.0)
+                       / 1000000.0 AS cos6
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos6 * 10000.0) / 10000.0 AS cos4
+            FROM scored WHERE cos6 >= 0.35
             ORDER BY id_a, id_b
         """,
         "ann_cosine_topk": """
@@ -987,12 +998,13 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(len(t), 1), 6) AS punct_ratio,
                    round(len(list_filter(toks, t2 -> t2 in ({_STOP_EN})))::DOUBLE
                          / greatest(len(toks), 1), 6) AS stopword_ratio,
-                   round(least(len(toks) / 64.0, 1.0) * 0.3
+                   round((least(len(toks) / 64.0, 1.0) * 0.3
                          + round(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(t), 1), 6) * 0.3
                          + least(round(len(list_filter(toks, t2 -> t2 in ({_STOP_EN})))::DOUBLE
                                        / greatest(len(toks), 1), 6) * 4.0, 1.0) * 0.3
                          + (1.0 - least(round(len(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-                                              / greatest(len(t), 1), 6) * 4.0, 1.0)) * 0.1, 4) AS quality_score
+                                              / greatest(len(t), 1), 6) * 4.0, 1.0)) * 0.1
+                         ) * 10000.0) / 10000.0 AS quality_score
             FROM base ORDER BY doc_id
         """,
         "lang_id": f"""

@@ -370,6 +370,14 @@ def embedding_neardup_pairs(
     set. Cluster-blocked exact GEMM is the published 100-TB practice
     (SemDeDup, Abbas et al. 2023) for this regime; a hot block is
     bounded by the clustering fan-out, not by a skewed join key.
+
+    The GEMM is a CANDIDATE generator (emitted with a small slack
+    below the threshold): the reported cosine and the final threshold
+    decision are recomputed per candidate with the sequential
+    ``zip_with`` expression and the tie-stable ``round(x*1e6)/1e6``
+    idiom, so the output is bit-aligned with a sequential-loop oracle
+    (BLAS reassociation shifts the double by ~1e-12, which can flip a
+    rounding boundary — observed once in ~400 pairs at sf0.1).
     """
     import pandas as pd  # noqa: F811 (kernel-local, workers import lazily)
 
@@ -380,7 +388,8 @@ def embedding_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     id_dtype = df.schema[id_col].dataType.simpleString()
-    out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cosine double"
+    out_schema = f"id_a {id_dtype}, id_b {id_dtype}"
+    slack = 1e-6
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["__id"].to_numpy()
@@ -393,11 +402,21 @@ def embedding_neardup_pairs(
         cos[zero, :] = 0.0
         cos[:, zero] = 0.0
         iu, ju = np.triu_indices(len(ids), k=1)
-        c = np.round(cos[iu, ju], 6)
-        keep = c >= threshold
+        c = cos[iu, ju]
+        keep = c >= threshold - slack
         ia, ib = ids[iu[keep]], ids[ju[keep]]
         swap = ia > ib  # emit with id_a < id_b regardless of row order
         ia[swap], ib[swap] = ib[swap], ia[swap]
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c[keep]})
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    return s.groupBy("__blk").applyInPandas(kernel, out_schema)
+    cands = s.groupBy("__blk").applyInPandas(kernel, out_schema)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb"))
+    cos6 = F.round(cosine_cols(F.col("__va"), F.col("__vb")) * F.lit(1e6)) / F.lit(1e6)
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine", cos6)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

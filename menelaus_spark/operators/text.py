@@ -96,9 +96,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * 0.3
         + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(4.0), F.lit(1.0))) * 0.1
     )
-    # round-4: the composite score can differ by 1 ulp across engines
-    # (operation reassociation), which flips a round-6 boundary
-    return out.withColumn("quality_score", F.round(score, 4)).drop("__toks")
+    # tie-stable round-4: round(x*1e4)/1e4 makes Spark and DuckDB apply
+    # the SAME decimal decision to the SAME double (Spark's round(x, 4)
+    # rounds the exact binary expansion via BigDecimal, DuckDB's
+    # round() multiplies then rounds — they disagree on .XXXX5 ties of
+    # the weighted sum of 6-rounded components)
+    return out.withColumn(
+        "quality_score", F.round(score * F.lit(10000.0)) / F.lit(10000.0)
+    ).drop("__toks")
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

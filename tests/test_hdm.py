@@ -219,3 +219,40 @@ def test_hdddm_schema_freeze(spark, const_batch):
     h.set_reference(_sdf(spark, const_batch))
     with pytest.raises(ValueError):
         h.update(_sdf(spark, const_batch[:, :2]))  # wrong column count
+
+
+def test_bin_weighted_driver_matches_bin_index_col(spark):
+    # property check: the driver-side numpy binning twin is bit-equal
+    # to the distributed bin_index_col expression for arbitrary data,
+    # ranges and bin counts (the exactness claim the HDM summary path
+    # rests on)
+    from hypothesis import given, settings, strategies as st
+
+    from menelaus_spark.operators import histograms as H
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=1, max_size=60,
+        ),
+        nbins=st.integers(min_value=1, max_value=40),
+        pad=st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+    )
+    def check(vals, nbins, pad):
+        lo, hi = min(vals) - pad, max(vals) + pad
+        uv, counts = np.unique(np.asarray(vals), return_counts=True)
+        driver = H.bin_weighted_driver(uv, counts.astype(float), lo, hi, nbins)
+        sdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+        rows = (
+            sdf.select(H.bin_index_col(F.col("v"), lo, hi, nbins).alias("b"))
+            .filter(F.col("b").isNotNull())
+            .groupBy("b").count().collect()
+        )
+        dist = np.zeros(nbins)
+        for r in rows:
+            dist[int(r["b"])] = float(r["count"])
+        assert np.array_equal(driver, dist)
+
+    check()
