@@ -204,6 +204,9 @@ class MD3:
         where sequential update() would raise the warning and start
         waiting for oracle labels) and reports how many samples were
         consumed. Returns (drift_state, n_processed).
+
+        ``order_col`` must be numeric (it is range-partitioned and used
+        as the driver-side fold key).
         """
         import pandas as pd_mod
         from pyspark.sql import functions as F
@@ -266,6 +269,7 @@ class MD3:
         seg = seg.sort_values("first").reset_index(drop=True)
         n_total = int(seg["m"].sum())
         if n_total == 0:
+            parts.unpersist()
             return self.drift_state, 0
         incoming = {}
         md = md0
