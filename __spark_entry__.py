@@ -423,18 +423,26 @@ def _lineitem_year_batches(spark, sf_dir):
     return li, years
 
 
+_LI_DRIFT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _lineitem_year_proj(spark, sf_dir):
+    """Pinned (yr, 3 numeric cols) projection + its year list: the
+    per-year batch filters of the drift-sequence queries must not each
+    re-scan the full table (the projection is ~20 MB at sf0.1)."""
+    li, years = _lineitem_year_batches(spark, sf_dir)
+    proj = li.select(
+        "yr", *[F.col(c).cast("double").alias(c) for c in _LI_DRIFT_COLS]
+    ).coalesce(8).persist()
+    return proj, years
+
+
 def q_hdddm_lineitem(spark, sf_dir):
     """HDDDM drift sequence over lineitem year-batches (quantity,
     extendedprice, discount) — the reference flagship state machine."""
     from menelaus_spark.checks.hdm import HDDDM
 
-    li, years = _lineitem_year_batches(spark, sf_dir)
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    # pin the 4-column numeric projection ONCE (tiny: ~20 MB at sf0.1)
-    # so the per-year batch filters don't each re-scan the full table
-    proj = li.select(
-        "yr", *[F.col(c).cast("double").alias(c) for c in cols]
-    ).coalesce(8).persist()
+    proj, years = _lineitem_year_proj(spark, sf_dir)
     det = HDDDM(detect_batch=2, seed=42)
     rows = []
     for i, yr in enumerate(years):
@@ -455,12 +463,11 @@ def q_kdq_lineitem(spark, sf_dir):
     """kdq-tree drift over lineitem year-batches."""
     from menelaus_spark.checks.kdqtree import KdqTreeBatch
 
-    li, years = _lineitem_year_batches(spark, sf_dir)
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    proj, years = _lineitem_year_proj(spark, sf_dir)
     det = KdqTreeBatch(count_ubound=100, bootstrap_samples=100, seed=42)
     rows = []
     for i, yr in enumerate(years):
-        batch = li.filter(F.col("yr") == yr).select(*[F.col(c).cast("double") for c in cols])
+        batch = proj.filter(F.col("yr") == yr).drop("yr")
         if i == 0:
             det.set_reference(batch)
             rows.append((str(yr), "reference", None, None))
@@ -558,12 +565,11 @@ def q_nndvi_lineitem(spark, sf_dir):
     seeded samples; permutation-threshold Gaussian fit)."""
     from menelaus_spark.checks.nndvi import NNDVI
 
-    li, years = _lineitem_year_batches(spark, sf_dir)
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    proj, years = _lineitem_year_proj(spark, sf_dir)
     det = NNDVI(k_nn=20, sampling_times=100, batch_sample_cap=300, seed=42)
     rows = []
     for i, yr in enumerate(years):
-        batch = li.filter(F.col("yr") == yr).select(*[F.col(c).cast("double") for c in cols])
+        batch = proj.filter(F.col("yr") == yr).drop("yr")
         if i == 0:
             det.set_reference(batch)
             rows.append((str(yr), "reference", None, None))
