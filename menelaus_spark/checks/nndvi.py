@@ -19,20 +19,33 @@ Acklam inverse CDF.
 The SCALE path (``distributed=True``) builds the kNN adjacency as one
 distributed pass: dedup-with-membership (groupBy over the feature
 columns), BucketedRandomProjectionLSH self-join for candidates, exact
-per-source top-k ranking (window), and collects only the sparse
-O(k*|D|) edge list — never a dense matrix, never raw batches via
-toPandas. The NNPS normalization uses the algebraic identity that the
+per-source top-k ranking (window). The sparse O(k*|D|) edge list
+NEVER reaches the driver: edges are grouped by a hash of their
+destination point (all in-edges of a point land in one group) and a
+single ``applyInPandas`` pass computes, per group, (a) the actual
+NNPS partial sum and (b) all ``sampling_times`` permutation-null
+partial sums; the driver only sums ``n_groups`` small partial rows.
+The NNPS normalization uses the algebraic identity that the
 reference's integer LCM factor Q cancels inside |m1-m2|/(m1+m2), so
 per-source weights are 1/out_degree floats (no LCM overflow when LSH
-returns uneven neighbor counts). The permutation threshold is seeded
-per draw for byte-identical resume; point ids are content hashes
-(xxhash64 over the feature tuple) sorted driver-side, so the
-permutation stream is deterministic without any global sort.
+returns uneven neighbor counts). Two further identities make the
+permutation pass one-shot: under any relabeling z with v2' = 1-z the
+per-point denominator m1+m2 = S = sum(1/w) over in-neighbors is
+CONSTANT, and |m1-m2| = |2*m1_z - S| — so each group needs only one
+weighted bincount per draw. The relabeling stream is the
+de-conditioned permutation null: z_i ~ Bernoulli(p = n_ref/|D|) via a
+counter-based splitmix64 hash of (seed, batch, draw, point-id), which
+is deterministic and partition-independent (byte-identical resume at
+any cluster size, no global sort, no driver RNG); for |D| beyond a
+few hundred the Gaussian (mu, sigma) fit is indistinguishable from
+the exact conditional permutation fit the reference uses
+(nndvi.py:101-132), and the fixtures verify identical verdicts.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from menelaus_spark.functions.stats import norm_ppf
@@ -134,10 +147,12 @@ class NNDVI:
 
     # -- distributed (LSH-kNN) path --
 
-    def _distributed_edges(self, ref: DataFrame, test: DataFrame):
+    def _distributed_edge_frame(self, ref: DataFrame, test: DataFrame):
         """One distributed candidate pass: dedup ref∪test with
-        membership flags, LSH self-join, exact top-k per source.
-        Returns driver arrays (ids sorted, v1, v2, src_idx, dst_idx)."""
+        membership flags, LSH self-join, exact top-k per source, then
+        join each edge with its source's membership and 1/out-degree
+        weight. Returns (edge DataFrame [src,dst,v1,v2,inv_w],
+        point DataFrame D) — both stay on the cluster."""
         from pyspark.ml.feature import BucketedRandomProjectionLSH
         from pyspark.ml.functions import array_to_vector
         from pyspark.sql import Window
@@ -172,49 +187,80 @@ class NNDVI:
             .filter(F.col("__rn") <= self.k_nn)
             .select("src", "dst")
         )
-        epdf = edges.toPandas()
-        dpdf = D.select("__id", "v1", "v2").toPandas().sort_values("__id")
-        D.unpersist()
-        ids = dpdf["__id"].to_numpy()
-        pos = {int(i): p for p, i in enumerate(ids)}
-        src = np.fromiter((pos[int(s)] for s in epdf["src"]), dtype=np.int64,
-                          count=len(epdf))
-        dst = np.fromiter((pos[int(d)] for d in epdf["dst"]), dtype=np.int64,
-                          count=len(epdf))
-        return (
-            dpdf["v1"].to_numpy(dtype=np.float64),
-            dpdf["v2"].to_numpy(dtype=np.float64),
-            src,
-            dst,
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        memb = D.select(F.col("__id").alias("src"),
+                        F.col("v1").cast("double").alias("v1"),
+                        F.col("v2").cast("double").alias("v2"))
+        E = (
+            edges.join(deg, "src")
+            .join(memb, "src")
+            .withColumn("inv_w", F.lit(1.0) / F.col("__deg"))
+            .select("src", "dst", "v1", "v2", "inv_w")
         )
+        return E, D
 
     @staticmethod
-    def _sparse_nnps_distance(va, vb, n_points, src, dst, inv_w) -> float:
-        """d = mean_j |m1-m2|/(m1+m2) with m(z)[j] = sum_{i in in(j)}
-        z_i / w_i — the reference's LCM factor Q cancels in the ratio."""
-        m1 = np.zeros(n_points)
-        m2 = np.zeros(n_points)
-        np.add.at(m1, dst, va[src] * inv_w[src])
-        np.add.at(m2, dst, vb[src] * inv_w[src])
-        denom = m1 + m2
-        mask = denom > 0
-        return float(np.sum(np.abs(m1 - m2)[mask] / denom[mask]) / n_points)
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer over a uint64 array (counter-based,
+        partition-independent relabel stream)."""
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
 
     def _update_distributed(self, df: DataFrame) -> str | None:
-        v1, v2, src, dst = self._distributed_edges(self.reference_df, df)
-        n = len(v1)
-        deg = np.zeros(n)
-        np.add.at(deg, src, 1.0)
-        inv_w = np.divide(1.0, deg, out=np.zeros(n), where=deg > 0)
-        # v1/v2 can overlap (a point present in both batches), exactly
-        # as in the numpy path; permutations relabel with v2 = 1 - v1
-        # as the reference's permutation scheme does
-        self.d_act = self._sparse_nnps_distance(v1, v2, n, src, dst, inv_w)
-        dists = np.empty(self.sampling_times)
-        for i in range(self.sampling_times):
-            rng = np.random.default_rng([self.seed, self.total_batches, i])
-            z = rng.permutation(v1)
-            dists[i] = self._sparse_nnps_distance(z, 1.0 - z, n, src, dst, inv_w)
+        from pyspark.sql import functions as F
+
+        E, D = self._distributed_edge_frame(self.reference_df, df)
+        tot = D.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v1").alias("n1")
+        ).collect()[0]
+        n_points, p_ref = int(tot["n"]), float(tot["n1"]) / int(tot["n"])
+        draws = self.sampling_times
+        sb = self._mix64(
+            self._mix64(np.array([self.seed], np.uint64))
+            + np.array([self.total_batches], np.uint64)
+        )[0]
+        draw_keys = self._mix64(np.arange(draws, dtype=np.uint64) ^ sb)
+        z_thr = np.uint64(min(2**64 - 1, int(p_ref * 2**64)))
+        mix64 = self._mix64
+
+        def group_partials(pdf):
+            # all in-edges of each dst point are in this group
+            codes, _ = pd.factorize(pdf["dst"], sort=False)
+            inv_w = pdf["inv_w"].to_numpy(np.float64)
+            v1 = pdf["v1"].to_numpy(np.float64)
+            v2 = pdf["v2"].to_numpy(np.float64)
+            src_u = pdf["src"].to_numpy(np.int64).view(np.uint64)
+            nb = codes.max() + 1
+            S = np.bincount(codes, weights=inv_w, minlength=nb)
+            m1 = np.bincount(codes, weights=v1 * inv_w, minlength=nb)
+            m2 = np.bincount(codes, weights=v2 * inv_w, minlength=nb)
+            denom = m1 + m2
+            mask = denom > 0
+            act = float(np.sum(np.abs(m1 - m2)[mask] / denom[mask]))
+            partials = np.empty(draws)
+            for d in range(draws):
+                u = mix64(src_u ^ draw_keys[d])
+                wz = np.where(u < z_thr, inv_w, 0.0)
+                mz = np.bincount(codes, weights=wz, minlength=nb)
+                partials[d] = float(
+                    np.sum(np.abs(2.0 * mz - S)[mask] / S[mask])
+                )
+            return pd.DataFrame({"act": [act], "partials": [partials.tolist()]})
+
+        n_groups = max(E.sparkSession.sparkContext.defaultParallelism, 8)
+        parts = (
+            E.groupBy(F.pmod(F.xxhash64("dst"), F.lit(n_groups)).alias("__g"))
+            .applyInPandas(group_partials, "act double, partials array<double>")
+            .toPandas()
+        )
+        D.unpersist()
+        self.d_act = float(parts["act"].sum()) / n_points
+        dists = np.sum(np.array(parts["partials"].tolist()), axis=0) / n_points
         mu, std = float(np.mean(dists)), float(np.std(dists))
         self.threshold = mu + norm_ppf(1 - self.alpha) * std
         if self.d_act > self.threshold:

@@ -9,10 +9,14 @@ streaming engine.
 
 The kernel object is pickled into a single binary state column; at
 10^12-row scale the state per key is O(kernel) (a few KB), and keys
-shard across executors. Within a micro-batch rows are processed in
-``order_col`` order; across micro-batches ordering is the stream's
-arrival order (the standard streaming contract — use event-time
-windows upstream if late data must be reordered).
+shard across executors. Within a micro-batch ALL of a group's Arrow
+chunks are concatenated and sorted once by ``order_col`` before the
+kernel sees any row — ``applyInPandasWithState`` guarantees no order
+across chunks, so a per-chunk sort would silently interleave rows
+once a group exceeds one Arrow batch (~10k rows). Across
+micro-batches ordering is the stream's arrival order (the standard
+streaming contract — use event-time windows upstream if late data
+must be reordered).
 """
 
 from __future__ import annotations
@@ -50,8 +54,9 @@ def stateful_detector_stream(
         n = 0
         n_drift = 0
         last = None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(order_col)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             vals = [pdf[c].to_numpy() for c in value_cols]
             for i in range(len(pdf)):
                 if n_vals == 1:
