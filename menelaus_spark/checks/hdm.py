@@ -127,6 +127,26 @@ class HDM:
         # summary: {"mode": "driver", "data": {feat: (vals, cnts)}} or
         # {"mode": "cluster", "df": DataFrame(feature, value, count)}
         self._ref_summary: dict | None = None
+        # DataFrames THIS detector persisted (never caller frames) —
+        # released when the reference they back is replaced, so long
+        # drift sequences hold a bounded set of cached frames
+        self._owned: list[DataFrame] = []
+
+    def _own(self, df: DataFrame) -> DataFrame:
+        try:
+            df.persist()
+            self._owned.append(df)
+        except Exception:
+            pass  # caller already pinned it at another storage level
+        return df
+
+    def _release_owned(self) -> None:
+        for d in self._owned:
+            try:
+                d.unpersist()
+            except Exception:
+                pass
+        self._owned = []
 
     # -- input validation (schema freeze, reference detector.py:221-307) --
 
@@ -149,7 +169,8 @@ class HDM:
         """``summary_values`` = {col: (distinct values, counts)} lets a
         caller that already summarized the batch (the ValidationSuite's
         one global summary pass) skip this detector's reference scan."""
-        df = df.persist()
+        self._release_owned()
+        df = self._own(df)
         n, mm = self._minmax_count(df, self._features(df))
         self._validate(df, n)
         self._reference = [(batch_id, df)]
@@ -181,16 +202,25 @@ class HDM:
     # -- internals --
 
     def _ref_df(self) -> DataFrame:
-        out = self._reference[0][1]
-        for _, d in self._reference[1:]:
+        frames = [d for _, d in self._reference if d is not None]
+        if len(frames) != len(self._reference):
+            raise RuntimeError(
+                "raw reference frames were released after the bootstrap; "
+                "reference state lives in the mergeable summary"
+            )
+        out = frames[0]
+        for d in frames[1:]:
             out = out.unionByName(d)
         return out
 
     @staticmethod
     def _minmax_count(df: DataFrame, cols: list[str]) -> tuple[int, dict]:
+        # NaN-filter so ranges match _minmax_count_from_summary exactly
+        # (plain F.max would pick NaN, which sorts above every double)
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
-            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+            clean = F.when(~F.isnan(F.col(c).cast("double")), F.col(c))
+            aggs += [F.min(clean).alias(f"__min_{c}"), F.max(clean).alias(f"__max_{c}")]
         row = df.agg(*aggs).collect()[0]
         return int(row["__n"]), {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
 
@@ -273,7 +303,8 @@ class HDM:
                             ],
                         }
                     self.drift_state = DRIFT
-                    self._reference = [(batch_id, X)]
+                    self._release_owned()  # old reference frames are dead
+                    self._reference = [(batch_id, self._own(X))]
                     self.reference_batch_ids = [batch_id]
                     self._ref_minmax = test_mm
                     self._ref_batch_counts = [test_n]
@@ -283,13 +314,24 @@ class HDM:
         if self.drift_state != DRIFT:
             self._prev_distance = self.current_distance
             self._prev_feature_distances = feature_distances
-            self._reference.append((batch_id, X))
+            # past the bootstrap batch the mergeable summary carries
+            # ALL reference state — keep only the batch id for lineage,
+            # not a live DataFrame handle per no-drift batch
+            keep_frame = self.batches_since_reset < 2 or self._ref_summary is None
+            self._reference.append((batch_id, X if keep_frame else None))
             self.reference_batch_ids.append(batch_id)
             self._ref_minmax = ranges
             self._ref_batch_counts.append(test_n)
             self._set_ref_summary(self._merge_summaries(self._ref_summary, test_sum))
             self.reference_n += test_n
             self._bins = int(np.floor(np.sqrt(self.reference_n)))
+        # the batch's own cluster summary is dead once merged/replaced
+        if (
+            test_sum["mode"] == "cluster"
+            and self._ref_summary is not test_sum
+            and test_sum["df"] is not self._ref_summary.get("df")
+        ):
+            test_sum["df"].unpersist()
 
     def reset(self) -> None:
         self.batches_since_reset = 0
@@ -298,7 +340,7 @@ class HDM:
         if self.detect_batch == 1:
             first, proxy = self._split_half(self._reference[0][1])
             bid = self._reference[0][0]
-            first = first.persist()
+            first = self._own(first)
             self._reference = [(f"{bid}#half0", first)]
             self.reference_batch_ids = [f"{bid}#half0"]
             # the half-split changes the reference min/max: one agg
@@ -317,7 +359,7 @@ class HDM:
         self.epsilon = []
         self.total_epsilon = 0.0
         if proxy is not None:
-            proxy = proxy.persist()
+            proxy = self._own(proxy)
             bid = self.reference_batch_ids[0].replace("#half0", "#half1")
             self._update_inner(proxy, bid)
 
@@ -454,6 +496,9 @@ class HDM:
             .agg(F.sum("count").alias("count"))
             .persist()
         )
+        # materialize NOW so the inputs (about to be unpersisted) are
+        # never recomputed and the merge lineage stays one level deep
+        mdf.count()
         return {"mode": "cluster", "df": mdf}
 
     def _hists_from_summaries(

@@ -256,3 +256,64 @@ def test_bin_weighted_driver_matches_bin_index_col(spark):
         assert np.array_equal(driver, dist)
 
     check()
+
+
+def _run_sequence(spark, batches, **kw):
+    """Drive one HDM through set_reference + updates; return the full
+    diagnostic state (distances / epsilons / thresholds / verdicts)."""
+    hdm = _hdm(**kw)
+    hdm.set_reference(_sdf(spark, batches[0]))
+    verdicts = [hdm.update(_sdf(spark, b)) for b in batches[1:]]
+    return hdm, verdicts
+
+
+def test_cluster_spill_branch_bit_equal_to_driver(spark):
+    # driver_value_cap=0 forces _summarize to spill every batch summary
+    # to a persisted cluster DataFrame, _merge_summaries to union
+    # cluster frames, and _hists_from_summaries to run the salted
+    # weighted aggregation — the exact branch that runs at 100 TB. The
+    # module claims bit-equality with the driver path; verify it over a
+    # full drift cycle, including a NaN-carrying batch (range parity).
+    rng = np.random.default_rng(17)
+    b0 = rng.normal(0.0, 1.0, (120, 3))
+    b1 = rng.normal(0.0, 1.0, (120, 3))
+    b2 = rng.normal(0.0, 1.0, (120, 3))
+    b2[5, 1] = np.nan  # NaN must not poison the joint min/max
+    b3 = rng.normal(6.0, 1.0, (120, 3))  # drift
+    b4 = rng.normal(6.0, 1.0, (120, 3))
+    batches = [b0, b1, b2, b3, b4]
+
+    for detect_batch in (1, 2):
+        drv, vd = _run_sequence(spark, batches, detect_batch=detect_batch)
+        clu, vc = _run_sequence(
+            spark, batches, detect_batch=detect_batch, driver_value_cap=0
+        )
+        assert clu._ref_summary["mode"] == "cluster"  # branch executed
+        assert vc == vd
+        assert clu.distances == drv.distances
+        assert clu.epsilon_values == drv.epsilon_values
+        assert clu.thresholds == drv.thresholds
+        assert clu.reference_n == drv.reference_n
+        assert clu._bins == drv._bins
+        assert clu._ref_minmax == drv._ref_minmax
+
+
+def test_owned_reference_frames_released_on_drift(spark):
+    # long drift sequences must not accumulate persisted frames: every
+    # drift-replace releases the previous owned set, and no-drift
+    # batches past the bootstrap keep only lineage ids (no handles)
+    rng = np.random.default_rng(3)
+    hdm = _hdm(detect_batch=1)
+    hdm.set_reference(_sdf(spark, rng.normal(0, 1, (80, 3))))
+    level = 0.0
+    n_owned_peaks = []
+    for i in range(8):
+        if i % 3 == 2:
+            level += 6.0  # force periodic drift
+        hdm.update(_sdf(spark, rng.normal(level, 1, (80, 3))))
+        n_owned_peaks.append(len(hdm._owned))
+    # bounded: reference + half-split frames only, never one per batch
+    assert max(n_owned_peaks) <= 4
+    # no-drift batches past bootstrap carry no DataFrame handle
+    dead = [d for _, d in hdm._reference[2:] if d is None]
+    assert hdm.batches_since_reset < 2 or len(hdm._reference) <= 2 or dead

@@ -129,3 +129,18 @@ def test_vectorized_matches_sequential(spark, tmp_path, audio_df):
     v = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in v_rows.collect())
     s = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in s_rows.collect())
     assert v == s
+
+
+def test_hdm_past_cap_fallback_identical(spark, tmp_path, audio_df):
+    # driver_value_cap=0 makes the global summary pass refuse to carry
+    # HDM values to the driver (runner falls back to HDDDM's own
+    # per-batch summary jobs, which themselves spill to cluster mode);
+    # verdicts must be identical to the default driver-path run
+    s_cap = _suite(spark, tmp_path, "capped", hdm_params={"driver_value_cap": 0})
+    c_rows, _ = s_cap.run(audio_df, vectorized=True)
+    assert s_cap.hdm._ref_summary["mode"] == "cluster"  # spill branch ran
+    s_def = _suite(spark, tmp_path, "uncapped")
+    d_rows, _ = s_def.run(audio_df, vectorized=True)
+    c = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in c_rows.collect())
+    d = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in d_rows.collect())
+    assert c == d
