@@ -362,6 +362,76 @@ def q_embedding_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_embedding_neardup_kmeans(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by LEARNED k-means
+    cells (dedup.kmeans_blocks) instead of a caller-supplied label —
+    the SemDeDup production path for unlabeled embeddings. The oracle
+    regenerates the identical centroids from the same rows (the
+    driver sample admits the full table at oracle scale and Lloyd's
+    sorts its input, so centroids depend only on the row SET) and
+    inlines them as SQL literals; assignment is the same quantized
+    argmax on both sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    blocked = dedup.kmeans_blocks(emb, "vec_id", "embedding",
+                                  n_blocks=8, n_iters=20, seed=42)
+    pairs = dedup.embedding_neardup_pairs(blocked, "vec_id", "embedding",
+                                          threshold=0.35, block_col="block")
+    cos4 = F.round(F.col("cosine") * F.lit(10000.0)) / F.lit(10000.0)
+    return pairs.select(
+        "id_a", "id_b", cos4.alias("cos4")
+    ).orderBy("id_a", "id_b")
+
+
+def _kmeans_neardup_oracle() -> str | None:
+    """Build the embedding_neardup_kmeans oracle: recompute the
+    centroids dedup.kmeans_blocks learns at oracle scale (full-table
+    sample, sorted, seeded Lloyd's) and inline them as DOUBLE[]
+    literals — same precedent as the inlined LSH hyperplanes."""
+    import numpy as np
+
+    try:
+        import duckdb
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    C = dedup._lloyd(X, 8, 20, 42)
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(C)
+    )
+    return f"""
+        WITH C(ci, cv) AS (VALUES {vals}),
+        dots AS (
+          SELECT e.vec_id, c.ci,
+                 round(list_inner_product(e.embedding::DOUBLE[], c.cv)
+                       * 1000000.0) AS d6
+          FROM embeddings e CROSS JOIN C c),
+        blk AS (
+          SELECT vec_id, ci AS block FROM (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d6 DESC, ci) AS rn
+            FROM dots) WHERE rn = 1),
+        scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                              eb.embedding::DOUBLE[])
+                       * 1000000.0) / 1000000.0 AS cos6
+          FROM blk a JOIN blk b ON a.block = b.block AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT id_a, id_b, round(cos6 * 10000.0) / 10000.0 AS cos4
+        FROM scored WHERE cos6 >= 0.35 ORDER BY id_a, id_b
+    """
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for three corpus query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -662,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_kmeans": q_embedding_neardup_kmeans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -765,7 +836,7 @@ def oracle_sql() -> dict[str, str]:
         f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) as h{i}"
         for i in range(MINHASH_K)
     )
-    return {
+    out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1070,3 +1141,7 @@ def oracle_sql() -> dict[str, str]:
             FROM raw ORDER BY doc_id
         """,
     }
+    km = _kmeans_neardup_oracle()
+    if km is not None:
+        out["embedding_neardup_kmeans"] = km
+    return out

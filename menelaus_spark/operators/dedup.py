@@ -420,3 +420,158 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _lloyd(X: np.ndarray, k: int, n_iters: int, seed: int) -> np.ndarray:
+    """Seeded spherical k-means (Lloyd's) on unit-normalized rows;
+    returns (k, d) unit centroids. Pure numpy, runs on a bounded
+    sample only."""
+    rng = np.random.default_rng(seed)
+    # sort rows so the result depends only on the sampled SET, never
+    # on Spark partition/arrival order — this is what lets a DuckDB
+    # oracle regenerate the identical centroids from the same rows
+    X = X[np.lexsort(X.T[::-1])]
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    k = min(k, len(X))
+    if k < 1:
+        return np.zeros((1, X.shape[1] if X.ndim == 2 else 1))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            newC[j] = members.mean(axis=0) if len(members) else X[rng.integers(len(X))]
+        n = np.linalg.norm(newC, axis=1)
+        n[n == 0] = 1.0
+        newC /= n[:, None]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def kmeans_blocks(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int = 16,
+    max_block_size: int = 100_000, n_iters: int = 20,
+    sample_cap: int = 100_000, seed: int = 42, max_split_rounds: int = 5,
+) -> DataFrame:
+    """Seeded distributed k-means block assigner for
+    ``embedding_neardup_pairs`` — the SemDeDup cell assignment the
+    round-2 docstring prescribed for unlabeled embeddings.
+
+    Scale design: Lloyd's runs on ONE bounded seeded sample
+    (``sample_cap`` rows to the driver); cluster assignment is a
+    single Arrow pass with the (k, d) centroid matrix broadcast in
+    the UDF closure — no shuffle, no iteration over the full table.
+    Cells larger than ``max_block_size`` (one cell = one
+    ``applyInPandas`` group = one executor's memory) are re-clustered
+    with a sub-k-means sized ceil(size/cap), recursively up to
+    ``max_split_rounds``; a cell that refuses to split (e.g. one
+    massive point mass — spherical k-means cannot separate identical
+    directions) falls back to an exact positional split so the
+    memory bound ALWAYS holds. The positional fallback can separate true
+    near-duplicates into different blocks — exactly the degenerate
+    case the exact-dedup pass (``exact_duplicates``) already removes
+    upstream, which is the documented SemDeDup pipeline order.
+
+    Returns ``df`` plus a string ``block`` column.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _assign_col(centroids: np.ndarray):
+        C = centroids
+
+        @pandas_udf("int")
+        def assign_udf(v: pd.Series) -> pd.Series:
+            M = np.asarray(v.tolist(), dtype=np.float64)
+            # argmax over dot(v, C_i) — |v| is a common positive
+            # factor, so normalizing the row is unnecessary. Dots are
+            # quantized to 1e-6 with HALF-AWAY rounding (matching SQL
+            # round()) so an engine's summation-order 1e-13 wiggle
+            # can't flip the assignment vs a sequential-loop oracle;
+            # argmax first-wins = lowest centroid index on ties.
+            D = M @ C.T
+            D6 = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D)
+            return pd.Series(np.argmax(D6, axis=1))
+
+        return assign_udf
+
+    def _sample(frame: DataFrame, n_rows: int | None = None) -> np.ndarray:
+        if n_rows is None:
+            n_rows = frame.count()
+        frac = min(1.0, 1.05 * sample_cap / max(n_rows, 1))
+        pdf = (
+            frame.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .sample(False, frac, seed=seed)
+            .limit(sample_cap)
+            .toPandas()
+        )
+        return np.asarray(pdf["v"].tolist(), dtype=np.float64)
+
+    C0 = _lloyd(_sample(df), n_blocks, n_iters, seed)
+    out = df.withColumn(
+        "block", _assign_col(C0)(F.col(vec_col).cast("array<double>")).cast("string")
+    ).persist()
+    for round_i in range(max_split_rounds):
+        oversized = (
+            out.groupBy("block").count()
+            .filter(F.col("count") > max_block_size)
+            .collect()
+        )
+        if not oversized:
+            break
+        nxt = out
+        for r in oversized:
+            blk, size = r["block"], int(r["count"])
+            k_sub = int(np.ceil(size / max_block_size)) + 1
+            cell = out.filter(F.col("block") == blk)
+            Cs = _lloyd(_sample(cell, size), k_sub, n_iters,
+                        seed + 7919 * (round_i + 1))
+            if len(Cs) < 2:
+                sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(k_sub)).cast("string")
+            else:
+                sub = _assign_col(Cs)(
+                    F.col(vec_col).cast("array<double>")
+                ).cast("string")
+            nxt = nxt.withColumn(
+                "block",
+                F.when(
+                    F.col("block") == blk, F.concat_ws(".", F.lit(blk), sub)
+                ).otherwise(F.col("block")),
+            )
+        old, out = out, nxt.persist()
+        out.count()
+        old.unpersist()
+    # hard guarantee: any cell still over the cap (adversarial point
+    # mass that spherical k-means keeps refusing to split) gets an
+    # EXACT positional split — rank within the cell by id, sub-cell =
+    # floor(rank/cap). Deterministic and exactly bounded, unlike a
+    # hash split whose multinomial sizes overshoot the cap. The sort
+    # is per-oversized-cell only (Spark's sort spills), a one-off
+    # fallback path, never the common case.
+    still = (
+        out.groupBy("block").count()
+        .filter(F.col("count") > max_block_size)
+        .collect()
+    )
+    if still:
+        from pyspark.sql import Window
+
+        names = [r["block"] for r in still]
+        rn = F.row_number().over(
+            Window.partitionBy("block").orderBy(id_col)
+        )
+        sub = F.floor((rn - 1) / max_block_size).cast("string")
+        old, out = out, out.withColumn(
+            "block",
+            F.when(
+                F.col("block").isin(names),
+                F.concat_ws(".", F.col("block"), sub),
+            ).otherwise(F.col("block")),
+        ).persist()
+        out.count()
+        old.unpersist()
+    return out

@@ -182,3 +182,63 @@ def test_lsh_ann_recall(spark, emb):
     assert np.mean(recalls) >= 0.5
     # the query vector itself is always found (same bucket)
     assert (ann[ann["rank"] == 1]["cosine"] > 0.999).all()
+
+
+def test_kmeans_blocks_cap_and_determinism(spark, emb):
+    # every generated block fits the cap (one block = one applyInPandas
+    # group = one executor's memory), and the same seed reproduces the
+    # same assignment regardless of partitioning
+    b1 = dedup.kmeans_blocks(emb, "vec_id", "embedding",
+                             n_blocks=4, max_block_size=60, seed=7)
+    sizes = b1.groupBy("block").count().toPandas()
+    assert (sizes["count"] <= 60).all()
+    b2 = dedup.kmeans_blocks(emb.repartition(13), "vec_id", "embedding",
+                             n_blocks=4, max_block_size=60, seed=7)
+    a1 = {r["vec_id"]: r["block"] for r in b1.select("vec_id", "block").collect()}
+    a2 = {r["vec_id"]: r["block"] for r in b2.select("vec_id", "block").collect()}
+    assert a1 == a2
+    b1.unpersist(); b2.unpersist()
+
+
+def test_kmeans_blocks_point_mass_hash_fallback(spark):
+    # a block of identical vectors cannot be split by spherical k-means;
+    # the hash fallback must still enforce the memory bound
+    pdf = pd.DataFrame({
+        "vec_id": range(300),
+        "embedding": [[1.0, 0.0, 0.0]] * 300,
+    })
+    df = spark.createDataFrame(pdf)
+    out = dedup.kmeans_blocks(df, "vec_id", "embedding",
+                              n_blocks=2, max_block_size=50, seed=3,
+                              max_split_rounds=2)
+    sizes = out.groupBy("block").count().toPandas()
+    assert (sizes["count"] <= 50).all()
+    assert out.count() == 300
+    out.unpersist()
+
+
+def test_kmeans_blocked_neardup_pairs_are_exact_within_blocks(spark, emb):
+    # the blocked pipeline's output over generated blocks equals the
+    # numpy ground truth restricted to intra-block pairs
+    blocked = dedup.kmeans_blocks(emb, "vec_id", "embedding", n_blocks=6, seed=11)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(
+            blocked, "vec_id", "embedding", threshold=0.35, block_col="block"
+        ).collect()
+    }
+    pdf = blocked.select("vec_id", "embedding", "block").toPandas()
+    M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    n = np.linalg.norm(M, axis=1); n[n == 0] = 1.0
+    U = M / n[:, None]
+    cos = U @ U.T
+    ids = pdf["vec_id"].to_numpy()
+    blk = pdf["block"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if blk[i] == blk[j] and round(cos[i, j] * 1e6) / 1e6 >= 0.35:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b))
+    assert got == want
+    blocked.unpersist()

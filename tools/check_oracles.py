@@ -33,6 +33,7 @@ def norm(v):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # data-derived oracles (kmeans centroids)
     only = set(sys.argv[2:])
     spark = get_spark(cores=8, shuffle_partitions=8, app_name="oracle_check")
     con = duckdb.connect()
