@@ -630,6 +630,204 @@ def q_cdbd_example_confidence(spark, sf_dir):
     )
 
 
+def _drift_sequence_rows(spark, det, batches):
+    """Drive an HDM detector over (label, DataFrame) batches; report
+    via the detector's own diagnostic dicts so post-drift rows never
+    show a stale beta."""
+    rows = []
+    for i, (lbl, batch) in enumerate(batches):
+        if i == 0:
+            det.set_reference(batch, batch_id=lbl)
+            rows.append((lbl, "reference", None, None, None))
+        else:
+            state = det.update(batch, batch_id=lbl)
+            tb = det.total_batches
+            rows.append((lbl, state or "pass", det.distances.get(tb),
+                         det.epsilon_values.get(tb), det.thresholds.get(tb)))
+    out = spark.createDataFrame(
+        rows, schema="year string, state string, dist double, eps double, beta double"
+    )
+    r6 = lambda c: F.round(F.col(c) * F.lit(1000000.0)) / F.lit(1000000.0)  # noqa: E731
+    return out.select(
+        "year", "state", r6("dist").alias("dist6"),
+        r6("eps").alias("eps6"), r6("beta").alias("beta6")
+    ).orderBy("year")
+
+
+def q_hdddm_lineitem_cumulative(spark, sf_dir):
+    """HDDDM over lineitem year-batches with detect_batch=3 and the
+    stdev threshold — the bootstrap-free configuration, so the ENTIRE
+    state machine (growing reference summaries, floor(sqrt(n)) bins,
+    joint ranges, Hellinger, epsilon/beta recurrence, drift resets) is
+    reproduced by a recursive-CTE DuckDB oracle and hash-checked."""
+    from menelaus_spark.checks.hdm import HDDDM
+
+    proj, years = _lineitem_year_proj(spark, sf_dir)
+    det = HDDDM(detect_batch=3, statistic="stdev", seed=42)
+    batches = [
+        (str(yr), proj.filter(F.col("yr") == yr).drop("yr")) for yr in years
+    ]
+    return _drift_sequence_rows(spark, det, batches)
+
+
+def q_cdbd_events_value(spark, sf_dir):
+    """CDBD (Jensen-Shannon, detect_batch=3, stdev threshold) over the
+    events value column in 3-day batches — same recursive-CTE oracle
+    family as q_hdddm_lineitem_cumulative."""
+    from menelaus_spark.checks.hdm import CDBD
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor((F.dayofmonth("ts") - 1) / 3).cast("int").alias("bkt"),
+        F.col("value").cast("double").alias("value"),
+    ).coalesce(8).persist()
+    bkts = sorted(r[0] for r in ev.select("bkt").distinct().collect())
+    det = CDBD(detect_batch=3, statistic="stdev", seed=42)
+    batches = [
+        (str(b), ev.filter(F.col("bkt") == b).drop("bkt")) for b in bkts
+    ]
+    return _drift_sequence_rows(spark, det, batches)
+
+
+_HELLINGER_EXPR = (
+    "sqrt(sum((sqrt(h.tc / o.tsum) - sqrt(h.rc / o.rsum)) "
+    "* (sqrt(h.tc / o.tsum) - sqrt(h.rc / o.rsum))))"
+)
+# Jensen-Shannon DISTANCE (sqrt of divergence), rel_entr terms only
+# where the numerator mass is positive, mirroring
+# menelaus_spark.functions.distances.jensen_shannon
+_JS_EXPR = (
+    "sqrt(greatest(0.5 * ("
+    "sum(CASE WHEN h.rc > 0 THEN (h.rc / o.rsum) "
+    "* ln((h.rc / o.rsum) / (0.5 * (h.rc / o.rsum + h.tc / o.tsum))) ELSE 0 END)"
+    " + "
+    "sum(CASE WHEN h.tc > 0 THEN (h.tc / o.tsum) "
+    "* ln((h.tc / o.tsum) / (0.5 * (h.rc / o.rsum + h.tc / o.tsum))) ELSE 0 END)"
+    "), 0.0))"
+)
+
+
+def _drift_recurrence_sql(vals_sql: str, n_features: int, dist_expr: str) -> str:
+    """Recursive-CTE twin of the HDM detect_batch=3 / stdev state
+    machine over per-batch histograms. ``vals_sql`` must yield
+    (i BIGINT contiguous batch index, lbl VARCHAR, f INT feature id,
+    v DOUBLE). The reference after any drift is the contiguous batch
+    range [start, t-1], so every (start, t) distance is precomputable
+    as a plain aggregation; the recursion is a 1-row-per-step scan
+    carrying the epsilon list (a DOUBLE[] — summed in list order,
+    like the driver numpy)."""
+    return f"""
+        WITH RECURSIVE
+        vals AS ({vals_sql}),
+        years AS (SELECT DISTINCT i, lbl FROM vals),
+        counts AS (SELECT i, count(*) AS n FROM vals WHERE f = 0 GROUP BY i),
+        combos AS (SELECT s.i AS s, t.i AS t FROM years s JOIN years t ON s.i < t.i),
+        nb AS (
+          SELECT c.s, c.t, CAST(floor(sqrt(sum(k.n))) AS BIGINT) AS nb
+          FROM combos c JOIN counts k ON k.i >= c.s AND k.i < c.t
+          GROUP BY c.s, c.t),
+        rng AS (
+          SELECT c.s, c.t, v.f,
+                 CASE WHEN min(v.v) = max(v.v) THEN min(v.v) - 0.5 ELSE min(v.v) END AS lo,
+                 CASE WHEN min(v.v) = max(v.v) THEN max(v.v) + 0.5 ELSE max(v.v) END AS hi
+          FROM combos c JOIN vals v ON v.i >= c.s AND v.i <= c.t
+          WHERE v.v IS NOT NULL AND NOT isnan(v.v)
+          GROUP BY c.s, c.t, v.f),
+        binned AS (
+          SELECT c.s, c.t, v.f, CASE WHEN v.i = c.t THEN 1 ELSE 0 END AS side,
+                 CASE WHEN v.v = r.hi THEN b.nb - 1
+                      ELSE least(CAST(floor((v.v - r.lo) / ((r.hi - r.lo) / b.nb)) AS BIGINT),
+                                 b.nb - 1) END AS bin
+          FROM combos c
+          JOIN nb b ON b.s = c.s AND b.t = c.t
+          JOIN rng r ON r.s = c.s AND r.t = c.t
+          JOIN vals v ON v.f = r.f AND v.i >= c.s AND v.i <= c.t
+          WHERE v.v IS NOT NULL AND NOT isnan(v.v)),
+        hist AS (
+          SELECT s, t, f, bin, CAST(sum(1 - side) AS DOUBLE) AS rc,
+                 CAST(sum(side) AS DOUBLE) AS tc
+          FROM binned GROUP BY s, t, f, bin),
+        tot AS (SELECT s, t, f, sum(rc) AS rsum, sum(tc) AS tsum FROM hist GROUP BY s, t, f),
+        fd AS (
+          SELECT h.s, h.t, h.f, {dist_expr} AS d
+          FROM hist h JOIN tot o ON o.s = h.s AND o.t = h.t AND o.f = h.f
+          GROUP BY h.s, h.t, h.f),
+        dist AS (SELECT s, t, sum(d) / {n_features}.0 AS d FROM fd GROUP BY s, t),
+        rec AS (
+          SELECT 1 AS idx, 0 AS st,
+                 (SELECT d FROM dist WHERE s = 0 AND t = 1) AS dcur,
+                 (SELECT d FROM dist WHERE s = 0 AND t = 1) AS prevd,
+                 0 AS lam, 1 AS bsr,
+                 CAST(NULL AS DOUBLE) AS eps, CAST(NULL AS DOUBLE) AS beta,
+                 'pass' AS state, CAST(0.0 AS DOUBLE) AS tot_eps,
+                 CAST([] AS DOUBLE[]) AS eps_list
+          UNION ALL
+          SELECT r.idx + 1, a.st2, b.dcur,
+                 CASE WHEN e.state2 = 'drift' THEN r.prevd ELSE b.dcur END,
+                 CASE WHEN e.state2 = 'drift' THEN r.idx + 1 ELSE r.lam END,
+                 a.bsr2, c.eps2, d.beta2, e.state2, d.tot2,
+                 CASE WHEN c.eps2 IS NULL THEN a.el0
+                      ELSE list_append(a.el0, c.eps2) END
+          FROM rec r,
+          LATERAL (
+            SELECT CASE WHEN r.state = 'drift' THEN 1 ELSE r.bsr + 1 END AS bsr2,
+                   CASE WHEN r.state = 'drift' THEN r.idx ELSE r.st END AS st2,
+                   CASE WHEN r.state = 'drift' THEN CAST(0.0 AS DOUBLE) ELSE r.tot_eps END AS tot0,
+                   CASE WHEN r.state = 'drift' THEN CAST([] AS DOUBLE[])
+                        ELSE r.eps_list END AS el0) a,
+          LATERAL (SELECT (SELECT d FROM dist
+                           WHERE s = a.st2 AND t = r.idx + 1) AS dcur) b,
+          LATERAL (SELECT CASE WHEN a.bsr2 >= 2
+                               THEN abs(b.dcur - r.prevd) END AS eps2) c,
+          LATERAL (
+            SELECT CASE WHEN a.bsr2 >= 3 THEN a.tot0 + a.el0[-1] ELSE a.tot0 END AS tot2,
+                   CASE WHEN a.bsr2 >= 3 THEN
+                     (a.tot0 + a.el0[-1]) / (r.idx + 1 - r.lam - 1)
+                     + 0.05 * sqrt(
+                         list_sum(list_transform(a.el0,
+                           e -> (e - (a.tot0 + a.el0[-1]) / (r.idx + 1 - r.lam - 1))
+                                * (e - (a.tot0 + a.el0[-1]) / (r.idx + 1 - r.lam - 1))))
+                         / (r.idx + 1 - r.lam - 1))
+                   END AS beta2) d,
+          LATERAL (
+            SELECT CASE WHEN c.eps2 IS NOT NULL AND d.beta2 IS NOT NULL
+                             AND c.eps2 > d.beta2
+                        THEN 'drift' ELSE 'pass' END AS state2) e
+          WHERE r.idx + 1 <= (SELECT max(i) FROM years))
+        SELECT * FROM (
+          SELECT y.lbl AS year, 'reference' AS state,
+                 CAST(NULL AS DOUBLE) AS dist6, CAST(NULL AS DOUBLE) AS eps6,
+                 CAST(NULL AS DOUBLE) AS beta6
+          FROM years y WHERE y.i = 0
+          UNION ALL
+          SELECT y.lbl, rec.state,
+                 round(rec.dcur * 1000000.0) / 1000000.0,
+                 round(rec.eps * 1000000.0) / 1000000.0,
+                 round(rec.beta * 1000000.0) / 1000000.0
+          FROM rec JOIN years y ON y.i = rec.idx)
+        ORDER BY year
+    """
+
+
+_HDDDM_LI_VALS = """
+          SELECT y.i, CAST(l.yr AS VARCHAR) AS lbl, u.f,
+                 CASE u.f WHEN 0 THEN l.f0 WHEN 1 THEN l.f1 ELSE l.f2 END AS v
+          FROM (SELECT year(l_shipdate) AS yr, l_quantity::DOUBLE AS f0,
+                       l_extendedprice::DOUBLE AS f1, l_discount::DOUBLE AS f2
+                FROM lineitem) l
+          JOIN (SELECT yr, row_number() OVER (ORDER BY yr) - 1 AS i
+                FROM (SELECT DISTINCT year(l_shipdate) AS yr FROM lineitem)) y
+            ON y.yr = l.yr
+          CROSS JOIN (VALUES (0), (1), (2)) u(f)
+"""
+
+_CDBD_EV_VALS = """
+          SELECT e.i, CAST(e.i AS VARCHAR) AS lbl, 0 AS f, e.v
+          FROM (SELECT CAST(floor((dayofmonth(ts) - 1) / 3) AS BIGINT) AS i,
+                       value::DOUBLE AS v FROM events) e
+"""
+
+
+
 def q_nndvi_lineitem(spark, sf_dir):
     """NN-DVI drift sequence over lineitem year-batches (bounded
     seeded samples; permutation-threshold Gaussian fit)."""
@@ -733,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_kmeans": q_embedding_neardup_kmeans,
+        "hdddm_lineitem_cumulative": q_hdddm_lineitem_cumulative,
+        "cdbd_events_value": q_cdbd_events_value,
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -1144,4 +1344,8 @@ def oracle_sql() -> dict[str, str]:
     km = _kmeans_neardup_oracle()
     if km is not None:
         out["embedding_neardup_kmeans"] = km
+    out["hdddm_lineitem_cumulative"] = _drift_recurrence_sql(
+        _HDDDM_LI_VALS, 3, _HELLINGER_EXPR)
+    out["cdbd_events_value"] = _drift_recurrence_sql(
+        _CDBD_EV_VALS, 1, _JS_EXPR)
     return out

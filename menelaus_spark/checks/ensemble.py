@@ -115,6 +115,12 @@ class StreamingEnsemble:
         self.drift_state: str | None = None
         self.total_samples = 0
         self.samples_since_reset = 0
+        # classify members ONCE — inspect.signature per sample would be
+        # O(samples x members) reflection inside the per-row hot loop
+        # that also runs in the distributed trace kernels
+        self._labeled = {
+            name: self._wants_labels(det) for name, det in self.detectors.items()
+        }
 
     @staticmethod
     def _wants_labels(det) -> bool:
@@ -127,7 +133,7 @@ class StreamingEnsemble:
 
     def update(self, x=None, y_true=None, y_pred=None) -> str | None:
         for name, det in self.detectors.items():
-            if self._wants_labels(det):
+            if self._labeled[name]:
                 det.update(y_true, y_pred)
             else:
                 sel = self.column_selectors.get(name)

@@ -39,10 +39,15 @@ def asof_join_last(
     # Tag sides; right sorts before left at equal timestamps so that a
     # right row at exactly left_ts is visible under <= semantics.  For
     # strict (<) semantics, right sorts after left at equal ts.
+    # __tie makes the pick among right rows TIED on (key, right_ts)
+    # deterministic (content hash; the highest-hash row wins) — without
+    # it, last(..., ignorenulls) would return whichever tied row the
+    # shuffle happened to order last, so asof_<c> could differ per run.
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1 if strict else 0).alias("__side"),
+        F.xxhash64(F.col(right_ts), *[F.col(c) for c in value_cols]).alias("__tie"),
         F.col(right_ts).alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
@@ -50,6 +55,7 @@ def asof_join_last(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(0 if strict else 1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
         F.lit(None).cast(r.schema["__r_ts"].dataType).alias("__r_ts"),
         *[
             F.lit(None).cast(r.schema[f"__r_{c}"].dataType).alias(f"__r_{c}")
@@ -60,7 +66,7 @@ def asof_join_last(
     r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(

@@ -23,12 +23,23 @@ def windowed_profile_stream(
     window_duration: str = "10 minutes",
     watermark_delay: str = "5 minutes",
     group_col: str | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """Per-window (optionally per-group) profile statistics:
     count, per-column null count / min / max / mean. Append-mode
     emission happens when the watermark passes the window end, so each
-    window's row is final — suitable for direct verdict evaluation."""
-    keys: list[Column] = [F.window(F.col(ts_col), window_duration).alias("win")]
+    window's row is final — suitable for direct verdict evaluation.
+
+    ``slide_duration`` < ``window_duration`` makes the windows SLIDING
+    (each row lands in window_duration/slide_duration overlapping
+    windows); state is still O(open windows x groups) and the
+    watermark still finalizes/evicts each window as its end passes."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    keys: list[Column] = [win.alias("win")]
     if group_col:
         keys.append(F.col(group_col))
     aggs = [F.count(F.lit(1)).alias("n")]

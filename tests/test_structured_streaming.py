@@ -180,3 +180,139 @@ def test_windowed_profile_watermark_drops_late(spark, tmp_path):
     assert by_start[10]["n"] == 1
     assert by_start[30]["n"] == 2         # finalized once watermark passed
     assert 50 not in by_start             # still-open window not emitted
+
+
+def test_sliding_windowed_profile(spark, tmp_path):
+    """Sliding windows (10 min window, 5 min slide): each row lands in
+    two overlapping windows; watermark still finalizes each window
+    exactly once and drops late rows."""
+    from datetime import datetime
+
+    from menelaus_spark.streaming.windowed import windowed_profile_stream
+
+    src = str(tmp_path / "src")
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+
+    def ts(minute):
+        return datetime(2026, 1, 1, 0, minute)
+
+    f1 = pd.DataFrame({"ts": [ts(m) for m in (1, 2, 3, 4, 12)],
+                       "v": [1.0, 2.0, 3.0, 4.0, 10.0]})
+    f2 = pd.DataFrame({"ts": [ts(30)], "v": [7.0]})
+    f3 = pd.DataFrame({"ts": [ts(31)], "v": [8.0]})
+    f4 = pd.DataFrame({"ts": [ts(3), ts(50)], "v": [99.0, 6.0]})
+    for i, f in enumerate((f1, f2, f3, f4)):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(f).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = windowed_profile_stream(
+        stream, "ts", ["v"], window_duration="10 minutes",
+        watermark_delay="5 minutes", slide_duration="5 minutes",
+    )
+    rows = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    by_start = {(r["window_start"].hour, r["window_start"].minute): r for r in rows}
+    # overlapping membership: minutes 1-4 land in [23:55, 00:05) AND [00:00, 00:10)
+    assert by_start[(23, 55)]["n"] == 4
+    assert by_start[(0, 0)]["n"] == 4
+    # the late 99.0 row was dropped from BOTH of its windows
+    assert by_start[(0, 0)]["max_v"] == 4.0
+    assert by_start[(23, 55)]["max_v"] == 4.0
+    # minute 12 in [00:05, 00:15) and [00:10, 00:20)
+    assert by_start[(0, 5)]["n"] == 1 and by_start[(0, 10)]["n"] == 1
+    # minutes 30, 31 in [00:25, 00:35) and [00:30, 00:40)
+    assert by_start[(0, 25)]["n"] == 2 and by_start[(0, 30)]["n"] == 2
+    # windows holding the ts=00:50 row are still open (not emitted)
+    assert (0, 45) not in by_start and (0, 50) not in by_start
+
+
+def test_stateful_streaming_ensemble(spark, tmp_path):
+    """A per-key StreamingEnsemble rides applyInPandasWithState exactly
+    like a single kernel: state (both members + election) survives
+    micro-batches, alarms in the shifted batch with member counts."""
+    from menelaus_spark.checks.ensemble import (
+        MinimumApprovalElection,
+        StreamingEnsemble,
+    )
+    from menelaus_spark.streaming.detectors import CUSUM, PageHinkley
+    from menelaus_spark.streaming.stateful import stateful_detector_stream
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    rng = np.random.default_rng(4)
+    frames = [
+        pd.DataFrame({"grp": "a", "idx": range(0, 60),
+                      "value": rng.normal(0, 1, 60)}),
+        pd.DataFrame({"grp": "a", "idx": range(60, 120),
+                      "value": rng.normal(0, 1, 60)}),
+        pd.DataFrame({"grp": "a", "idx": range(120, 180),
+                      "value": rng.normal(30, 1, 60)}),
+    ]
+    for f in frames:
+        spark.createDataFrame(f).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("grp string, idx long, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # two identical CUSUM members alarm in lockstep, so the 2-approval
+    # election fires deterministically at the shifted batch; the PH
+    # member exercises the mixed-member classification path
+    out = stateful_detector_stream(
+        stream,
+        lambda: StreamingEnsemble(
+            {"c1": CUSUM(burn_in=30), "c2": CUSUM(burn_in=30),
+             "ph": PageHinkley(burn_in=30)},
+            MinimumApprovalElection(2),
+        ),
+        group_col="grp", order_col="idx", value_cols=["value"],
+    )
+    rows = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    per_batch = {int(r["total_samples"]): r for r in rows}
+    # ensemble state (members + counters) carried across micro-batches
+    assert set(per_batch) == {60, 120, 180}
+    assert per_batch[60]["n_drift"] == 0
+    assert per_batch[120]["n_drift"] == 0
+    assert per_batch[180]["n_drift"] >= 1  # election fired in the batch
+    # snapshot's statistic counts members CURRENTLY alarming — members
+    # reset right after the election, so it reads 0.0 at batch end
+    assert per_batch[180]["statistic"] == 0.0

@@ -110,3 +110,24 @@ def test_salted_count_under_extreme_skew(spark):
     plain = {r["category"]: r["count"] for r in df.groupBy("category").count().collect()}
     assert salted == plain
     assert salted["pcm"] == 49_500
+
+
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """Multiple right rows tied on (key, ts): the value pick is the
+    content-hash tiebreaker's winner — stable across runs and input
+    partitionings (round-2 ADVICE: last() over shuffle order was not)."""
+    import pandas as pd
+
+    from menelaus_spark.operators.relational import asof_join_last
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "lts": [100]}))
+    right_pdf = pd.DataFrame({"k": [1, 1, 1], "rts": [50, 50, 50],
+                              "v": ["a", "b", "c"]})
+    picks = set()
+    for n_parts in (1, 2, 3):
+        right = spark.createDataFrame(right_pdf).repartition(n_parts)
+        out = asof_join_last(left, right, on="k", left_ts="lts",
+                             right_ts="rts", value_cols=["v"]).collect()
+        assert len(out) == 1 and out[0]["asof_rts"] == 50
+        picks.add(out[0]["asof_v"])
+    assert len(picks) == 1  # same winner under every partitioning
