@@ -64,14 +64,18 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     _PYFILES_SESSIONS.add(key)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Read one testdata table. ``spread=True`` repartitions a
+    single-split local file to defaultParallelism — the small parquet
+    arrives as ONE input split, which would serialize a string-heavy
+    map stage (shingle/minhash/fingerprint hashing) onto one core.
+    Only the heavy pipelines opt in: for cheap scans the ~1 s shuffle
+    of the text column costs more than it buys (measured r03: it was
+    the r02 token_stats/ann regression). At real scale the scan has
+    many splits and the branch never fires."""
     _ensure_workers_can_import(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name in ("documents", "embeddings"):
-        # these small local files arrive as ONE input split, which
-        # would serialize the string/vector-heavy pipeline ops onto a
-        # single core; spread them (a ~15 MB shuffle). At real scale
-        # the scan has many splits and this branch never fires.
+    if spread:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
@@ -311,7 +315,7 @@ MINHASH_K = 8
 def q_minhash_documents(spark, sf_dir):
     """MinHash signatures (k=8, md5-prefix hash family) as scalar
     columns for exact oracle comparison."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sig = dedup.minhash_signatures(docs, "doc_id", "text", n=3, k=MINHASH_K)
     cols = [F.col("doc_id")] + [
         F.element_at("sig", i + 1).alias(f"h{i}") for i in range(MINHASH_K)
@@ -324,14 +328,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     -> band -> bucket join -> exact-Jaccard verify), exactly
     reproducible in SQL thanks to the md5-prefix hash family:
     k=8 signatures, 4 bands x 2 rows, verify threshold 0.1."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_dedup(
         docs, "doc_id", "text", n=3, k=MINHASH_K, bands=4, rows=2, threshold=0.1
     ).orderBy("id_a", "id_b")
 
 
 def q_dedup_exact_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dedup.exact_duplicates(docs, "doc_id").select(
         "text_hash", "n_dups", "keep_id"
     ).orderBy("text_hash")
@@ -342,7 +346,7 @@ def q_ngram_jaccard_documents(spark, sf_dir):
     bucket): near-duplicates have near-equal lengths, so the classic
     length-bucket block keeps the pair count linear-ish while lang
     partitions the vocabulary."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _t(spark, sf_dir, "documents", spread=True).withColumn(
         "__blk", F.concat_ws("|", F.col("lang"), F.floor(F.col("n_chars") / 64))
     )
     return dedup.ngram_jaccard_pairs(
@@ -469,12 +473,12 @@ def q_lang_id(spark, sf_dir):
 # rows-only (non-SQL-expressible) entries
 
 def q_doc_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return T.doc_fingerprint(docs, "doc_id").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
 def q_simhash_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dedup.simhash64(docs, "doc_id").select("doc_id", "simhash").orderBy("doc_id")
 
 
