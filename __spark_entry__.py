@@ -872,6 +872,92 @@ def q_example_data_profile(spark, sf_dir):
     )
 
 
+def _example_profile_oracle() -> str:
+    """Constant-table oracle for example_data_profile: re-derive the
+    dataset in pure numpy — the generator is a counter-based RNG over
+    fixed contiguous id ranges (one Arrow batch per range partition at
+    year_size=1500), so the SAME numpy calls reproduce it bit-exactly
+    without Spark — then aggregate and inline the expected rows.
+    Rounding uses Decimal HALF_UP, the same decision Spark's round()
+    applies to the exact double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    year_size, seed, n_parts = 1500, 123, 30
+    n = year_size * 15
+    per = n // n_parts
+    frames = []
+    mu_c, mu_d = 7000.0, 100000.0
+    for p in range(n_parts):
+        idx = np.arange(p * per, (p + 1) * per)
+        m = len(idx)
+        rng = np.random.default_rng([seed, int(idx[0])])
+        year = (2007 + idx // year_size).astype("int32")
+        out = pd.DataFrame({"year": year})
+        out["a"] = rng.gamma(shape=8.0, size=m) * 1000
+        out["b"] = rng.normal(200.0, 10.0, m)
+        out["c"] = rng.gamma(shape=7.0, size=m) * 1000
+        out["d"] = rng.gamma(shape=10.0, size=m) * 10000
+        ef = rng.multivariate_normal((0, 0), np.array([[2.0, 0.0], [0.0, 2.0]]), m)
+        out["e"], out["f"] = ef[:, 0], ef[:, 1]
+        out["g"] = rng.gamma(shape=11.0, size=m) * 10000
+        out["h"] = rng.gamma(shape=12.0, size=m) * 1000
+        out["i"] = rng.gamma(shape=9.0, size=m) * 1000
+        out["j"] = rng.gamma(shape=10.0, size=m) * 100
+        out["cat"] = rng.choice(
+            np.arange(7), size=m, p=(0.3, 0.3, 0.2, 0.1, 0.05, 0.04, 0.01)
+        ).astype("int32")
+        out["confidence"] = rng.uniform(0.0, 0.6, m)
+        mask = year == 2009
+        out.loc[mask, "b"] = rng.normal(500.0, 10.0, int(mask.sum()))
+        mask = (year == 2012) & (idx % 10 == 0)
+        out.loc[mask, "c"] = mu_c + rng.normal(0, 10, int(mask.sum()))
+        mask = (year == 2012) & (idx % 2 == 0)
+        out.loc[mask, "d"] = mu_d + rng.normal(0, 10, int(mask.sum()))
+        mask = year == 2015
+        k = int(mask.sum())
+        if k:
+            ef2 = rng.multivariate_normal((0, 0), np.array([[2.0, 1.0], [1.0, 2.0]]), k)
+            out.loc[mask, "e"] = ef2[:, 0]
+            out.loc[mask, "f"] = ef2[:, 1]
+        mask = year > 2018
+        k = int(mask.sum())
+        if k:
+            out.loc[mask, "h"] = rng.gamma(shape=1.0, scale=1.0, size=k) * 1000
+            out.loc[mask, "confidence"] = rng.uniform(0.4, 1.0, k)
+        mask = year == 2021
+        k = int(mask.sum())
+        if k:
+            out.loc[mask, "j"] = rng.gamma(shape=10.0, size=k) * 10
+        frames.append(out)
+    df = pd.concat(frames, ignore_index=True)
+
+    def r(x, nd):
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    rows = []
+    for yr, g in df.groupby("year"):
+        rows.append((
+            int(yr), r(g["b"].mean(), 1), r(g["d"].std(ddof=1), 0),
+            r(np.corrcoef(g["e"], g["f"])[0, 1], 3), r(g["h"].mean(), 0),
+            r(g["confidence"].mean(), 3),
+            int(yr in (2009, 2012, 2015, 2018, 2021)),
+        ))
+    vals = ", ".join(
+        f"({y}, {bm!r}::DOUBLE, {ds!r}::DOUBLE, {ec!r}::DOUBLE, "
+        f"{hm!r}::DOUBLE, {cm!r}::DOUBLE, {dr})"
+        for (y, bm, ds, ec, hm, cm, dr) in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals + ") "
+        "t(year, b_mean, d_std, ef_corr, h_mean, conf_mean, drift_flag) "
+        "ORDER BY year"
+    )
+
+
 def q_audio_suite(spark, sf_dir):
     """Flagship: full constraint + drift validation of the synthetic
     audio table (deterministic seed 42, injected drift partitions),
@@ -1352,4 +1438,5 @@ def oracle_sql() -> dict[str, str]:
         _HDDDM_LI_VALS, 3, _HELLINGER_EXPR)
     out["cdbd_events_value"] = _drift_recurrence_sql(
         _CDBD_EV_VALS, 1, _JS_EXPR)
+    out["example_data_profile"] = _example_profile_oracle()
     return out
