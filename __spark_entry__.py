@@ -511,6 +511,35 @@ def _lineitem_year_proj(spark, sf_dir):
     return proj, years
 
 
+def _batch_summaries(df, batch_col: str, cols: list[str]) -> dict:
+    """ALL per-batch (value, count) summaries in ONE exploded salted
+    pass -> {batch_value: {col: (values, counts)}} — the same feed the
+    ValidationSuite gives HDM, so a drift sequence over k batches costs
+    one Spark job instead of one summary job per batch. Null values
+    are kept as groups (n/min/max derive from the summary)."""
+    import numpy as np
+
+    from menelaus_spark.operators import histograms as H
+
+    structs = [
+        F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+        for c in cols
+    ]
+    ex = df.select(
+        F.col(batch_col).alias("__b"), F.explode(F.array(*structs)).alias("fv")
+    ).select("__b", "fv.feature", "fv.value")
+    pdf = H.salted_count(ex, ["__b", "feature", "value"]).toPandas()
+    out: dict = {}
+    for (b, c), g in pdf.groupby(["__b", "feature"]):
+        out.setdefault(b, {})[str(c)] = (
+            g["value"].to_numpy(np.float64), g["count"].to_numpy(np.float64)
+        )
+    for b in out:
+        for c in cols:
+            out[b].setdefault(c, (np.array([]), np.array([])))
+    return out
+
+
 def q_hdddm_lineitem(spark, sf_dir):
     """HDDDM drift sequence over lineitem year-batches (quantity,
     extendedprice, discount) — the reference flagship state machine."""
@@ -518,14 +547,17 @@ def q_hdddm_lineitem(spark, sf_dir):
 
     proj, years = _lineitem_year_proj(spark, sf_dir)
     det = HDDDM(detect_batch=2, seed=42)
+    # every per-year summary in ONE pass; the state machine then runs
+    # driver-side except the (batch 2) bootstrap job
+    sums = _batch_summaries(proj, "yr", _LI_DRIFT_COLS)
     rows = []
     for i, yr in enumerate(years):
         batch = proj.filter(F.col("yr") == yr).drop("yr")
         if i == 0:
-            det.set_reference(batch, batch_id=str(yr))
+            det.set_reference(batch, batch_id=str(yr), summary_values=sums[yr])
             rows.append((str(yr), "reference", None, None))
         else:
-            state = det.update(batch, batch_id=str(yr))
+            state = det.update(batch, batch_id=str(yr), summary_values=sums[yr])
             rows.append((str(yr), state or "pass",
                          det.epsilon[-1] if det.epsilon else None, det.beta))
     return spark.createDataFrame(
@@ -617,16 +649,17 @@ def q_cdbd_example_confidence(spark, sf_dir):
     df = tables.make_example_batch_data(spark, year_size=1500).select(
         "year", "confidence"
     ).coalesce(8).persist()
-    years = sorted(r[0] for r in df.select("year").distinct().collect())
+    sums = _batch_summaries(df, "year", ["confidence"])
+    years = sorted(sums)
     det = CDBD(detect_batch=2, seed=42)
     rows = []
     for i, yr in enumerate(years):
         batch = df.filter(F.col("year") == yr).select("confidence")
         if i == 0:
-            det.set_reference(batch, batch_id=str(yr))
+            det.set_reference(batch, batch_id=str(yr), summary_values=sums[yr])
             rows.append((str(yr), "reference", None, None))
         else:
-            state = det.update(batch, batch_id=str(yr))
+            state = det.update(batch, batch_id=str(yr), summary_values=sums[yr])
             rows.append((str(yr), state or "pass",
                          det.epsilon[-1] if det.epsilon else None, det.beta))
     return spark.createDataFrame(
@@ -635,16 +668,18 @@ def q_cdbd_example_confidence(spark, sf_dir):
 
 
 def _drift_sequence_rows(spark, det, batches):
-    """Drive an HDM detector over (label, DataFrame) batches; report
-    via the detector's own diagnostic dicts so post-drift rows never
-    show a stale beta."""
+    """Drive an HDM detector over (label, DataFrame, summary) batches
+    (summaries from the one-pass `_batch_summaries` feed — detect_batch
+    3 sequences then run entirely driver-side after that single job);
+    report via the detector's own diagnostic dicts so post-drift rows
+    never show a stale beta."""
     rows = []
-    for i, (lbl, batch) in enumerate(batches):
+    for i, (lbl, batch, sv) in enumerate(batches):
         if i == 0:
-            det.set_reference(batch, batch_id=lbl)
+            det.set_reference(batch, batch_id=lbl, summary_values=sv)
             rows.append((lbl, "reference", None, None, None))
         else:
-            state = det.update(batch, batch_id=lbl)
+            state = det.update(batch, batch_id=lbl, summary_values=sv)
             tb = det.total_batches
             rows.append((lbl, state or "pass", det.distances.get(tb),
                          det.epsilon_values.get(tb), det.thresholds.get(tb)))
@@ -668,8 +703,10 @@ def q_hdddm_lineitem_cumulative(spark, sf_dir):
 
     proj, years = _lineitem_year_proj(spark, sf_dir)
     det = HDDDM(detect_batch=3, statistic="stdev", seed=42)
+    sums = _batch_summaries(proj, "yr", _LI_DRIFT_COLS)
     batches = [
-        (str(yr), proj.filter(F.col("yr") == yr).drop("yr")) for yr in years
+        (str(yr), proj.filter(F.col("yr") == yr).drop("yr"), sums[yr])
+        for yr in years
     ]
     return _drift_sequence_rows(spark, det, batches)
 
@@ -684,10 +721,12 @@ def q_cdbd_events_value(spark, sf_dir):
         F.floor((F.dayofmonth("ts") - 1) / 3).cast("int").alias("bkt"),
         F.col("value").cast("double").alias("value"),
     ).coalesce(8).persist()
-    bkts = sorted(r[0] for r in ev.select("bkt").distinct().collect())
+    sums = _batch_summaries(ev, "bkt", ["value"])
+    bkts = sorted(sums)
     det = CDBD(detect_batch=3, statistic="stdev", seed=42)
     batches = [
-        (str(b), ev.filter(F.col("bkt") == b).drop("bkt")) for b in bkts
+        (str(b), ev.filter(F.col("bkt") == b).drop("bkt"), sums[b])
+        for b in bkts
     ]
     return _drift_sequence_rows(spark, det, batches)
 

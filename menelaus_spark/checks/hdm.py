@@ -171,17 +171,24 @@ class HDM:
         one global summary pass) skip this detector's reference scan."""
         self._release_owned()
         df = self._own(df)
-        n, mm = self._minmax_count(df, self._features(df))
+        cols = self._features(df)
+        if summary_values is not None:
+            # n / min / max derive from the caller's summary — zero
+            # Spark jobs on this path (the ValidationSuite's and the
+            # entry queries' one-global-pass feed)
+            if self._input_cols is None:
+                self._input_cols = cols
+            s = {"mode": "driver", "data": dict(summary_values)}
+            n, mm = self._minmax_count_from_summary(s)
+        else:
+            s = None
+            n, mm = self._minmax_count(df, cols)
         self._validate(df, n)
         self._reference = [(batch_id, df)]
         self.reference_batch_ids = [batch_id]
         self._ref_minmax = mm
         self._ref_batch_counts = [n]
-        self._ref_summary = (
-            {"mode": "driver", "data": dict(summary_values)}
-            if summary_values is not None
-            else None
-        )
+        self._ref_summary = s
         self.reset()
 
     def update(self, df: DataFrame, batch_id: str | None = None,
