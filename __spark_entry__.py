@@ -1006,9 +1006,13 @@ def q_audio_suite(spark, sf_dir):
     _ensure_workers_can_import(spark)
     ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
     try:
-        df = tables.audio_table(spark, n_rows=600, n_parts=6,
+        df = tables.audio_table(spark, n_rows=700, n_parts=7,
                                 drift={3: {"dur_mu_shift": 0.8},
-                                       4: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]}})
+                                       4: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]},
+                                       # audio-depth faults: clipping +
+                                       # overdense transcripts + padded payloads
+                                       5: {"gain": 8.0, "words_per_s": 40.0,
+                                           "pad_bytes": 4096}})
         path = os.path.join(ckpt, "table")
         tables.write_audio_table(df, path)
         suite = ValidationSuite(
@@ -1017,6 +1021,9 @@ def q_audio_suite(spark, sf_dir):
             null_rate_max={"transcript": 0.2},
             ranges={"dur_ms": (200, 3000)},
             kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
         )
         verdicts, _ = suite.run(spark.read.parquet(path))
         return verdicts.select("partition_key", "check_name", "state").orderBy(

@@ -125,6 +125,12 @@ def main():
         ranges={"dur_ms": (200, 3000)},
         accepted_values={"codec": ["pcm", "opus", "mp3", "aac", "flac"]},
         kdq_params={"count_ubound": 200, "bootstrap_samples": 200},
+        # audio-depth checks ride the existing passes (transcript rate +
+        # payload size in the fused constraint agg / decode pass; clip +
+        # silence metrics from the same decoded buffers)
+        cps_bounds=(1.0, 60.0),
+        payload_tol=0.02,
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
     )
     suite.run(df)
     audio_suite_s = round(time.time() - t0, 3)

@@ -77,6 +77,56 @@ def decode_clip(buf: bytes, codec: str) -> tuple[int, np.ndarray]:
 FRAME = 512      # 32 ms @ 16 kHz
 HOP = 256
 
+N_QUALITY = 5
+QUALITY_COLS = ("q_clip_rate", "q_silence_ratio", "q_lead_sil_ms",
+                "q_trail_sil_ms", "q_byte_len")
+# one int16 step below full scale: a sample is "clipped" when the
+# encoder saturated it at +/-32767 (or -32768)
+CLIP_LEVEL = 32766.5 / 32768.0
+SILENCE_RMS = 0.01  # -40 dBFS frame RMS
+
+
+def _frame_rms(x: np.ndarray) -> np.ndarray:
+    """Frame-wise RMS over the same FRAME/HOP grid as the STFT
+    features — one strided matmul-free pass, no per-frame Python."""
+    if x.size < FRAME:
+        return np.array([np.sqrt(np.mean(x * x))]) if x.size else np.zeros(1)
+    n_frames = 1 + (x.size - FRAME) // HOP
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, FRAME), strides=(x.strides[0] * HOP, x.strides[0])
+    )
+    return np.sqrt(np.mean(frames * frames, axis=1))
+
+
+def quality_metrics(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
+    """One clip's float PCM -> (clip_rate, silence_ratio, lead_sil_ms,
+    trail_sil_ms) float32 vector — the audio-quality counterpart of
+    :func:`extract_features`, computed from the SAME decoded buffer so
+    the binary column is still read exactly once per suite run.
+
+    - clip_rate: fraction of samples saturated at int16 full scale
+      (digital clipping / gain-staging failures);
+    - silence_ratio: fraction of FRAME/HOP frames under the -40 dBFS
+      RMS floor (dead-air / wrong-channel recordings);
+    - lead/trail_sil_ms: leading/trailing silent span (sloppy trims).
+      An all-silent clip reports the full duration in both.
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return np.array([0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+    clip_rate = float(np.mean(np.abs(x) >= CLIP_LEVEL))
+    rms = _frame_rms(x)
+    sil = rms < SILENCE_RMS
+    silence_ratio = float(np.mean(sil))
+    voiced = np.flatnonzero(~sil)
+    dur_ms = 1000.0 * x.size / sr_hz
+    if voiced.size == 0:
+        lead_ms = trail_ms = dur_ms
+    else:
+        lead_ms = min(dur_ms, 1000.0 * voiced[0] * HOP / sr_hz)
+        trail_ms = min(dur_ms, 1000.0 * (sil.size - 1 - voiced[-1]) * HOP / sr_hz)
+    return np.array([clip_rate, silence_ratio, lead_ms, trail_ms], dtype=np.float32)
+
 
 def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     """One clip's float PCM -> fixed N_FEATURES-dim float32 vector.
@@ -113,33 +163,48 @@ def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     return np.concatenate([[rms, zcr, peak, dc], band_power]).astype(np.float32)
 
 
-def features_for_batch(bufs, codecs) -> np.ndarray:
+def features_for_batch(bufs, codecs, quality: bool = False) -> np.ndarray:
     """Vectorized-over-batch feature extraction for a pandas UDF body.
 
-    Returns an (n, N_FEATURES) float32 matrix; decode failures yield a
-    NaN row (surfaced as violation rows by the decode-integrity check,
+    Returns an (n, N_FEATURES) float32 matrix — (n, N_FEATURES +
+    N_QUALITY) with ``quality=True``, appending :func:`quality_metrics`
+    computed from the same decoded buffer. Decode failures yield a NaN
+    row (surfaced as violation rows by the decode-integrity check,
     never as a UDF crash).
     """
-    out = np.empty((len(bufs), N_FEATURES), dtype=np.float32)
+    width = N_FEATURES + (N_QUALITY if quality else 0)
+    out = np.empty((len(bufs), width), dtype=np.float32)
     for i, (buf, codec) in enumerate(zip(bufs, codecs)):
+        buf = bytes(buf)
         try:
-            sr, pcm = decode_clip(bytes(buf), codec)
-            out[i] = extract_features(pcm, sr)
+            sr, pcm = decode_clip(buf, codec)
+            out[i, :N_FEATURES] = extract_features(pcm, sr)
+            if quality:
+                out[i, N_FEATURES:-1] = quality_metrics(pcm, sr)
         except Exception:
             out[i] = np.nan
+        if quality:
+            # payload length is knowable even when decode fails — the
+            # payload-size check rides this column so the binary column
+            # is never re-read by the constraint aggregation
+            out[i, -1] = len(buf)
     return out
 
 
 def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
-                codec_col: str = "codec", carry_cols: tuple[str, ...] = ()):
-    """(key, f0..f11) feature DataFrame via mapInPandas — the Arrow-
-    batched decode + feature path (no per-row Python in the plan; the
-    numpy kernel runs per Arrow batch). Only (key, bytes, codec) are
-    read: Catalyst prunes every other column, so the huge binary column
-    is the only heavy input and it never shuffles."""
+                codec_col: str = "codec", carry_cols: tuple[str, ...] = (),
+                quality: bool = False):
+    """(key, f0..f11[, q_*]) feature DataFrame via mapInPandas — the
+    Arrow-batched decode + feature path (no per-row Python in the plan;
+    the numpy kernel runs per Arrow batch). Only (key, bytes, codec)
+    are read: Catalyst prunes every other column, so the huge binary
+    column is the only heavy input and it never shuffles.
+    ``quality=True`` appends the QUALITY_COLS from the same decode."""
     import pandas as pd
 
     feature_cols = [f"f{i}" for i in range(N_FEATURES)]
+    if quality:
+        feature_cols += list(QUALITY_COLS)
     carry_types = dict(df.dtypes)
     head = f"{key_col} string"
     for c in carry_cols:
@@ -148,7 +213,9 @@ def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
 
     def extract(batches):
         for pdf in batches:
-            mat = features_for_batch(pdf[bytes_col].tolist(), pdf[codec_col].tolist())
+            mat = features_for_batch(
+                pdf[bytes_col].tolist(), pdf[codec_col].tolist(), quality=quality
+            )
             out = pd.DataFrame(mat.astype(np.float64), columns=feature_cols)
             for c in reversed(carry_cols):
                 out.insert(0, c, pdf[c].to_numpy())

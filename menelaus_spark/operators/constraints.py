@@ -91,6 +91,65 @@ def range_violations(df: DataFrame, col: str, lo=None, hi=None, key: str = None)
     )
 
 
+def transcript_rate_expr(transcript_col: str, dur_col: str):
+    """Characters-per-second of the transcript against the clip's
+    metadata duration — the audio<->transcript consistency signal.
+    Pure JVM expression (no decode): rides the fused constraint
+    aggregation at zero extra scan cost."""
+    return F.length(F.col(transcript_col)).cast("double") / (
+        F.col(dur_col).cast("double") / 1000.0
+    )
+
+
+def transcript_rate_cond(transcript_col: str, dur_col: str, lo: float, hi: float):
+    """True for rows whose transcript rate is implausible for the
+    recorded duration. Null transcripts are excluded (null-rate rules
+    own those); non-positive durations are excluded (range rules)."""
+    cps = transcript_rate_expr(transcript_col, dur_col)
+    return (
+        F.col(transcript_col).isNotNull()
+        & (F.col(dur_col) > 0)
+        & ((cps < F.lit(lo)) | (cps > F.lit(hi)))
+    )
+
+
+def transcript_rate_violations(df: DataFrame, transcript_col: str, dur_col: str,
+                               lo: float, hi: float, key: str = None) -> DataFrame:
+    keyc = F.col(key) if key else F.monotonically_increasing_id().cast("string")
+    return df.filter(transcript_rate_cond(transcript_col, dur_col, lo, hi)).select(
+        keyc.alias("row_key"),
+        F.round(transcript_rate_expr(transcript_col, dur_col), 3)
+        .cast("string").alias("value"),
+    )
+
+
+def payload_size_cond(bytes_col: str, sr_col: str, dur_col: str, tol_frac: float):
+    """True when the binary payload's length is inconsistent with the
+    (sr_hz, dur_ms) metadata for a PCM16-WAV container: expected =
+    44-byte header + 2 bytes x round(dur_ms * sr_hz / 1000) samples.
+    Catches truncated/padded/corrupt payloads WITHOUT decoding —
+    length(binary) is a JVM-side O(1) metadata read per row, so this
+    also rides the fused constraint aggregation. tol_frac absorbs
+    rounding-mode differences (floor 4 bytes)."""
+    expected = 44.0 + 2.0 * F.round(
+        F.col(dur_col).cast("double") * F.col(sr_col).cast("double") / 1000.0
+    )
+    tol = F.greatest(F.lit(4.0), F.lit(tol_frac) * expected)
+    return (
+        F.col(bytes_col).isNotNull()
+        & (F.abs(F.length(F.col(bytes_col)).cast("double") - expected) > tol)
+    )
+
+
+def payload_size_violations(df: DataFrame, bytes_col: str, sr_col: str, dur_col: str,
+                            tol_frac: float, key: str = None) -> DataFrame:
+    keyc = F.col(key) if key else F.monotonically_increasing_id().cast("string")
+    return df.filter(payload_size_cond(bytes_col, sr_col, dur_col, tol_frac)).select(
+        keyc.alias("row_key"),
+        F.length(F.col(bytes_col)).cast("string").alias("value"),
+    )
+
+
 def accepted_values_violations(df: DataFrame, col: str, allowed: list, key: str = None) -> DataFrame:
     keyc = F.col(key) if key else F.monotonically_increasing_id().cast("string")
     return df.filter(~F.col(col).isin(allowed) | F.col(col).isNull()).select(

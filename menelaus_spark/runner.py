@@ -79,6 +79,13 @@ class ValidationSuite:
         hdm_params: dict | None = None,
         hdm_input_partitions: int = 8,
         global_uniqueness: bool = True,
+        cps_bounds: tuple | None = None,
+        payload_tol: float | None = None,
+        quality_rules: dict | None = None,
+        transcript_col: str = "transcript",
+        dur_col: str = "dur_ms",
+        sr_col: str = "sr_hz",
+        bytes_col: str = "bytes",
     ):
         self.spark = spark
         self.manifest = CheckpointManifest(checkpoint_dir)
@@ -112,12 +119,115 @@ class ValidationSuite:
             else None
         )
         self.global_uniqueness = global_uniqueness
+        # audio-depth checks (north_star: audio clip + transcript pairs).
+        # cps_bounds / payload_tol are pure-JVM row predicates that ride
+        # the fused constraint aggregation; quality_rules are per-clip
+        # thresholds over decode-pass metrics (audio.QUALITY_COLS):
+        #   {"clip_rate_max": .., "silence_ratio_max": ..}
+        self.cps_bounds = cps_bounds
+        self.payload_tol = payload_tol
+        self.quality_rules = quality_rules or None
+        self.transcript_col = transcript_col
+        self.dur_col = dur_col
+        self.sr_col = sr_col
+        self.bytes_col = bytes_col
         # KS / PSI reference summaries (set on first partition)
         self._ks_ref: dict | None = None  # col -> {"lo","hi","counts","n"}
         self._psi_ref: dict | None = None  # {"freqs": {cat: n}, "n": int}
         self._feats_cache = None
 
     # ---------------------------------------------------- check runners
+
+    def _payload_in_decode(self) -> bool:
+        """The payload-size check needs length(bytes). When a decode
+        pass runs anyway (kdq features / quality rules), the length
+        rides that pass's quality columns so the huge binary column is
+        read EXACTLY ONCE per suite run; only a suite with no decode
+        pass at all falls back to length(bytes) inside the fused
+        constraint aggregation."""
+        return self.payload_tol is not None and (
+            self.kdq is not None or self.quality_rules is not None
+        )
+
+    def _quality_active(self) -> bool:
+        return self.quality_rules is not None or self._payload_in_decode()
+
+    def _feats_carry_cols(self, with_part: bool) -> tuple:
+        carry = (self.partition_col,) if with_part else ()
+        if self._payload_in_decode():
+            carry += (self.sr_col, self.dur_col)
+        return carry
+
+    def _quality_conds(self) -> list:
+        """(check_name, row predicate over the feats frame, value expr)
+        in fixed emission order — shared by both execution paths so
+        verdict tables stay byte-identical."""
+        out = []
+        clean = ~F.isnan("f0")
+        rules = self.quality_rules or {}
+        if "clip_rate_max" in rules:
+            out.append(("audio_clipping",
+                        clean & (F.col("q_clip_rate") > F.lit(rules["clip_rate_max"])),
+                        F.round(F.col("q_clip_rate"), 4).cast("string")))
+        if "silence_ratio_max" in rules:
+            out.append(("audio_silence",
+                        clean & (F.col("q_silence_ratio") > F.lit(rules["silence_ratio_max"])),
+                        F.round(F.col("q_silence_ratio"), 4).cast("string")))
+        if self._payload_in_decode():
+            expected = 44.0 + 2.0 * F.round(
+                F.col(self.dur_col).cast("double") * F.col(self.sr_col).cast("double")
+                / 1000.0
+            )
+            tol = F.greatest(F.lit(4.0), F.lit(self.payload_tol) * expected)
+            out.append(("payload_size",
+                        F.abs(F.col("q_byte_len") - expected) > tol,
+                        F.col("q_byte_len").cast("long").cast("string")))
+        return out
+
+    def _quality_counts_by_part(self, feats: DataFrame, pks: list[str]) -> dict:
+        """Violation counts for EVERY quality check x partition in ONE
+        aggregation over the cached feats frame (keeps the vectorized
+        path's job count O(1) in the partition count)."""
+        conds = self._quality_conds()
+        if not conds:
+            return {}
+        rows = feats.groupBy(self.partition_col).agg(*[
+            F.sum(cond.cast("long")).alias(f"__q{i}")
+            for i, (_, cond, _) in enumerate(conds)
+        ]).collect()
+        out = {str(r[self.partition_col]): [int(r[f"__q{i}"] or 0)
+                                            for i in range(len(conds))]
+               for r in rows}
+        return {pk: out.get(pk, [0] * len(conds)) for pk in pks}
+
+    def _quality_verdicts(self, pk: str, feats_pk: DataFrame, n_rows: int,
+                          precounts: list[int] | None = None):
+        """Per-clip audio-quality + payload-size verdicts from the
+        decode-pass metrics: ONE tiny aggregation over the cached
+        (key, f*, q*) frame (or the precollected grouped counts);
+        violation rows only materialized on failure."""
+        conds = self._quality_conds()
+        if not conds:
+            return [], []
+        if precounts is None:
+            row = feats_pk.agg(*[
+                F.sum(cond.cast("long")).alias(f"__q{i}")
+                for i, (_, cond, _) in enumerate(conds)
+            ]).collect()[0]
+            precounts = [int(row[f"__q{i}"] or 0) for i in range(len(conds))]
+        verdicts, violations = [], []
+        for i, (name, cond, value) in enumerate(conds):
+            n_bad = precounts[i]
+            verdicts.append(Verdict(pk, name, PASS if n_bad == 0 else FAIL,
+                                    statistic=float(n_bad), threshold=0.0, n_rows=n_rows))
+            if n_bad:
+                violations.append(
+                    feats_pk.filter(cond)
+                    .select(F.col(self.key_col).alias("row_key"),
+                            value.alias("value"))
+                    .withColumn("reason", F.lit(name))
+                )
+        return verdicts, violations
 
     def _constraint_aggs(self) -> list:
         """All scalar constraint statistics + the lineage fingerprint
@@ -139,6 +249,16 @@ class ValidationSuite:
         for c, allowed in self.accepted_values.items():
             bad = ~F.col(c).isin(allowed) | F.col(c).isNull()
             aggs.append(F.sum(bad.cast("long")).alias(f"__acc_{c}"))
+        if self.cps_bounds is not None:
+            lo, hi = self.cps_bounds
+            aggs.append(F.sum(
+                C.transcript_rate_cond(self.transcript_col, self.dur_col, lo, hi)
+                .cast("long")).alias("__cps_bad"))
+        if self.payload_tol is not None and not self._payload_in_decode():
+            aggs.append(F.sum(
+                C.payload_size_cond(self.bytes_col, self.sr_col, self.dur_col,
+                                    self.payload_tol)
+                .cast("long")).alias("__paysize_bad"))
         # test-side min/max for the HDM + KS drift checks ride along in
         # the same pass (HDM consumes them via `precomputed`), plus
         # mean + approx-quantile sketches for the manifest metrics
@@ -185,6 +305,31 @@ class ValidationSuite:
                 violations.append(
                     C.accepted_values_violations(part_df, c, allowed, key=self.key_col)
                     .withColumn("reason", F.lit(f"accepted:{c}"))
+                )
+
+        if self.cps_bounds is not None:
+            lo, hi = self.cps_bounds
+            n_bad = int(stats["__cps_bad"] or 0)
+            verdicts.append(Verdict(pk, "transcript_rate", PASS if n_bad == 0 else FAIL,
+                                    statistic=float(n_bad), threshold=0.0, n_rows=n_rows))
+            if n_bad:
+                violations.append(
+                    C.transcript_rate_violations(
+                        part_df, self.transcript_col, self.dur_col, lo, hi,
+                        key=self.key_col)
+                    .withColumn("reason", F.lit("transcript_rate"))
+                )
+
+        if self.payload_tol is not None and not self._payload_in_decode():
+            n_bad = int(stats["__paysize_bad"] or 0)
+            verdicts.append(Verdict(pk, "payload_size", PASS if n_bad == 0 else FAIL,
+                                    statistic=float(n_bad), threshold=0.0, n_rows=n_rows))
+            if n_bad:
+                violations.append(
+                    C.payload_size_violations(
+                        part_df, self.bytes_col, self.sr_col, self.dur_col,
+                        self.payload_tol, key=self.key_col)
+                    .withColumn("reason", F.lit("payload_size"))
                 )
 
         n_dup_rows = n_rows - int(stats["__n_distinct"])
@@ -329,10 +474,18 @@ class ValidationSuite:
                     threshold=self.hdm.beta, n_rows=n_rows, details=det,
                 ))
 
-        if self.kdq is not None:
-            feats = audio.features_df(part_df, key_col=self.key_col).persist()
+        feats = None
+        if self.kdq is not None or self._quality_active():
+            feats = audio.features_df(
+                part_df, key_col=self.key_col,
+                carry_cols=self._feats_carry_cols(with_part=False),
+                quality=self._quality_active(),
+            ).persist()
             self._feats_cache = feats
-            clean = feats.filter(~F.isnan("f0")).drop(self.key_col)
+        if self.kdq is not None:
+            clean = feats.filter(~F.isnan("f0")).select(
+                *[f"f{i}" for i in range(audio.N_FEATURES)]
+            )
             if is_ref:
                 self.kdq.set_reference(clean)
                 n_clean = int(self.kdq._ref_counts.sum())
@@ -358,6 +511,11 @@ class ValidationSuite:
                     .withColumn("value", F.lit(None).cast("string"))
                     .withColumn("reason", F.lit("decode_integrity"))
                 )
+
+        if self._quality_active():
+            qv, qviol = self._quality_verdicts(pk, feats, n_rows)
+            verdicts.extend(qv)
+            violations.extend(qviol)
 
         if self.ks_cols or self.psi_col:
             ranges = self._ks_psi_ranges(stats)
@@ -666,14 +824,15 @@ class ValidationSuite:
         global feature frame when the partition is in scope, else
         recomputed from the source table (resume case: the kdq
         reference partition may already be completed)."""
+        fcols = [f"f{i}" for i in range(audio.N_FEATURES)]
         if feats is not None and pk in todo:
             return feats.filter(
                 F.col(self.partition_col).cast("string") == pk
-            ).filter(~F.isnan("f0")).drop(self.key_col, self.partition_col)
+            ).filter(~F.isnan("f0")).select(*fcols)
         part = df.filter(F.col(self.partition_col) == self._pk_value(df, pk))
         return audio.features_df(part, key_col=self.key_col).filter(
             ~F.isnan("f0")
-        ).drop(self.key_col)
+        ).select(*fcols)
 
     def _kdq_build_tree(self, clean_part_feats: DataFrame):
         """Driver-side tree build from a bounded sample of one
@@ -704,15 +863,20 @@ class ValidationSuite:
                 ranges = self._ks_psi_ranges(stats_by[todo[0]])
             kspsi_by, hdm_sum_by = self._global_summary_pass(scoped, todo, ranges)
 
-        # global pass 3 (the only pandas stage): decode + features for
-        # ALL partitions; small output cached for kdq fills + rebuild
+        # global pass 3 (the only pandas stage): decode + features +
+        # quality metrics for ALL partitions; small output cached for
+        # kdq fills + rebuild + the quality aggregation
         feats = None
         counts_by: dict = {}
-        if self.kdq is not None:
+        qcounts_by: dict = {}
+        if self.kdq is not None or self._quality_active():
             feats = audio.features_df(
-                scoped, key_col=self.key_col, carry_cols=(self.partition_col,)
+                scoped, key_col=self.key_col,
+                carry_cols=self._feats_carry_cols(with_part=True),
+                quality=self._quality_active(),
             ).persist()
             self._feats_cache = feats
+        if self.kdq is not None:
             clean = feats.filter(~F.isnan("f0"))
             if self.kdq._tree is None:
                 tree = self._kdq_build_tree(
@@ -726,6 +890,10 @@ class ValidationSuite:
             else:
                 counts_by = self._kdq_counts_by_part(clean, self.kdq._tree, todo)
                 self._kdq_fresh_ref = False
+        if self._quality_active():
+            # one grouped aggregation covers every partition's quality
+            # violation counts (violation rows materialize lazily below)
+            qcounts_by = self._quality_counts_by_part(feats, todo)
 
         # sequential decision loop over collected summaries
         for i, pk in enumerate(todo):
@@ -813,6 +981,16 @@ class ValidationSuite:
                         .withColumn("value", F.lit(None).cast("string"))
                         .withColumn("reason", F.lit("decode_integrity"))
                     )
+
+            if self._quality_active():
+                qv, qviol = self._quality_verdicts(
+                    pk,
+                    feats.filter(F.col(self.partition_col).cast("string") == pk),
+                    n_rows,
+                    precounts=qcounts_by.get(pk),
+                )
+                verdicts.extend(qv)
+                violations.extend(qviol)
 
             if self.ks_cols or self.psi_col:
                 mat, freqs = kspsi_by.get(

@@ -97,15 +97,34 @@ def _gen_rows(
         f0 = rng.uniform(80.0, 1000.0)
         noise_scale = float(d.get("noise_scale", 1.0))
         sig = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * noise_scale * rng.standard_normal(n)
+        # quality-fault injection (drift-spec keys; extra rng draws only
+        # happen in partitions that request them, so clean partitions
+        # stay byte-identical across configs):
+        #   gain: amplifies the signal into int16 saturation (clipping)
+        #   silence_frac: fraction of clips replaced by digital silence
+        sig = sig * float(d.get("gain", 1.0))
         pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
-        # transcript: seeded token sequence, length ~ duration
+        if "silence_frac" in d and rng.random() < float(d["silence_frac"]):
+            pcm = np.zeros(n, dtype=np.int16)
+        # transcript: seeded token sequence, length ~ duration;
+        # words_per_s overrides the token rate (transcript-rate faults)
         if null_frac > 0 and rng.random() < null_frac:
             transcript = None
+        elif "words_per_s" in d:
+            n_tok = max(1, int(round(dur / 1000.0 * float(d["words_per_s"]))))
+            transcript = " ".join(rng.choice(_WORDS, size=n_tok))
         else:
             n_tok = max(1, int(dur / 400))
             transcript = " ".join(rng.choice(_WORDS, size=n_tok))
+        buf = wav_encode(pcm, sr)
+        # pad_bytes: trailing junk after the data chunk — still fully
+        # decodable (the header's data length wins) but inconsistent
+        # with (sr_hz, dur_ms), so ONLY the payload-size check fires
+        pad = int(d.get("pad_bytes", 0))
+        if pad:
+            buf += b"\x00" * pad
         out["clip_id"].append(clip_id)
-        out["bytes"].append(wav_encode(pcm, sr))
+        out["bytes"].append(buf)
         out["sr_hz"].append(sr)
         out["dur_ms"].append(dur)
         out["codec"].append(codec)

@@ -87,3 +87,51 @@ def test_frame_sample_shapes(spark):
     starts = sorted(r["start_ms"] for r in mine)
     assert starts[0] == 0 and starts[-1] == 900  # spans the clip
     assert not [r for r in rows if r["clip_id"] == "bad"]  # undecodable -> no rows
+
+
+def test_quality_metrics_clean_clip():
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 s tone, no clipping, no silence
+    q = audio.quality_metrics(0.4 * np.sin(2 * np.pi * 220 * t), sr)
+    assert q.shape == (audio.N_QUALITY - 1,)  # q_byte_len rides the batch kernel
+    clip_rate, silence_ratio, lead_ms, trail_ms = q
+    assert clip_rate == 0.0
+    assert silence_ratio == 0.0
+    assert lead_ms == 0.0 and trail_ms == 0.0
+
+
+def test_quality_metrics_clipped():
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.clip(3.0 * np.sin(2 * np.pi * 220 * t), -1.0, 1.0)
+    q = audio.quality_metrics(x, sr)
+    assert q[0] > 0.3          # most of the saturated sine sits at full scale
+    assert q[1] == 0.0
+
+
+def test_quality_metrics_silence_and_lead():
+    sr = 16000
+    q = audio.quality_metrics(np.zeros(sr), sr)
+    assert q[1] == 1.0
+    assert q[2] == q[3] == 1000.0  # all-silent: full duration both sides
+
+    # 0.5 s silence then 0.5 s tone -> leading silence ~500 ms, no trail
+    t = np.arange(sr // 2) / sr
+    x = np.concatenate([np.zeros(sr // 2), 0.4 * np.sin(2 * np.pi * 440 * t)])
+    q = audio.quality_metrics(x, sr)
+    assert 400.0 < q[2] <= 520.0
+    assert q[3] <= audio.FRAME / sr * 1000.0
+
+
+def test_features_for_batch_quality_and_byte_len():
+    sr = 8000
+    pcm = (np.sin(np.arange(sr) / 20.0) * 15000).astype(np.int16)
+    good = audio.wav_encode(pcm, sr)
+    bad = b"not-a-wav-payload"
+    mat = audio.features_for_batch([good, bad], ["pcm", "opus"], quality=True)
+    assert mat.shape == (2, audio.N_FEATURES + audio.N_QUALITY)
+    assert np.isfinite(mat[0]).all()
+    # decode failure: features NaN, but payload length still known
+    assert np.isnan(mat[1, : audio.N_FEATURES]).all()
+    assert mat[1, -1] == len(bad)
+    assert mat[0, -1] == len(good)

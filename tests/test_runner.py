@@ -144,3 +144,86 @@ def test_hdm_past_cap_fallback_identical(spark, tmp_path, audio_df):
     c = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in c_rows.collect())
     d = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in d_rows.collect())
     assert c == d
+
+
+_AUDIO_DEPTH_DRIFT = {
+    1: {"gain": 8.0},              # saturates the int16 encode -> clipping
+    2: {"silence_frac": 0.5},      # half the clips become digital silence
+    3: {"words_per_s": 40.0},      # transcript rate far above speech
+    4: {"pad_bytes": 4096},        # payload inconsistent with (sr, dur)
+}
+_AUDIO_DEPTH_KW = dict(
+    cps_bounds=(1.0, 60.0),
+    payload_tol=0.02,
+    quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+)
+
+
+@pytest.fixture(scope="module")
+def depth_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("audio_depth") / "table")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=500, n_parts=5, drift=_AUDIO_DEPTH_DRIFT),
+        path,
+    )
+    return spark.read.parquet(path)
+
+
+def test_audio_depth_checks(spark, tmp_path, depth_df):
+    suite = _suite(spark, tmp_path, "adepth", **_AUDIO_DEPTH_KW)
+    verdicts_df, violations_df = suite.run(depth_df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+
+    for name in ("audio_clipping", "audio_silence", "transcript_rate", "payload_size"):
+        assert v[("0", name)]["state"] == "pass", name  # clean partition
+    assert v[("1", "audio_clipping")]["state"] == "fail"
+    assert v[("2", "audio_silence")]["state"] == "fail"
+    assert v[("3", "transcript_rate")]["state"] == "fail"
+    assert v[("4", "payload_size")]["state"] == "fail"
+    # faults don't cross-contaminate other checks
+    assert v[("4", "decode_integrity")]["state"] == "pass"  # padding still decodes
+    assert v[("1", "audio_silence")]["state"] == "pass"
+    assert v[("3", "payload_size")]["state"] == "pass"
+
+    # violation rows carry clip ids + metric values, one reason each
+    by_reason = {
+        r["check_name"]: r["n"]
+        for r in violations_df.groupBy("check_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_reason["audio_clipping"] >= 90        # whole partition clipped
+    assert 20 <= by_reason["audio_silence"] <= 80   # ~half the clips
+    assert by_reason["transcript_rate"] >= 90
+    assert by_reason["payload_size"] == 100
+    row = violations_df.filter(F.col("check_name") == "payload_size").first()
+    assert int(row["details"]["value"]) > 4096  # value = payload byte length
+
+
+def test_audio_depth_vectorized_matches_sequential(spark, tmp_path, depth_df):
+    s_v = _suite(spark, tmp_path, "adepth_vec", **_AUDIO_DEPTH_KW)
+    v_rows, _ = s_v.run(depth_df, vectorized=True)
+    s_s = _suite(spark, tmp_path, "adepth_seq", **_AUDIO_DEPTH_KW)
+    s_rows, _ = s_s.run(depth_df, vectorized=False)
+    v = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in v_rows.collect())
+    s = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True) for r in s_rows.collect())
+    assert v == s
+
+
+def test_payload_fallback_without_decode_pass(spark, tmp_path, depth_df):
+    # no kdq features, no quality rules -> length(bytes) rides the
+    # fused constraint aggregation instead of the decode pass, with
+    # identical statistics
+    suite = _suite(spark, tmp_path, "payfb", kdq_features=False, payload_tol=0.02)
+    assert not suite._payload_in_decode()
+    verdicts_df, violations_df = suite.run(depth_df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("4", "payload_size")]["state"] == "fail"
+    assert v[("4", "payload_size")]["statistic"] == 100.0
+    assert v[("0", "payload_size")]["state"] == "pass"
+
+    s_dec = _suite(spark, tmp_path, "paydec", **_AUDIO_DEPTH_KW)
+    assert s_dec._payload_in_decode()
+    d_rows, _ = s_dec.run(depth_df)
+    d = _by_check([r.asDict(recursive=True) for r in d_rows.collect()])
+    for pk in map(str, range(5)):
+        assert (d[(pk, "payload_size")]["statistic"]
+                == v[(pk, "payload_size")]["statistic"])

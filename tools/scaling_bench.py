@@ -45,7 +45,10 @@ suite = ValidationSuite(spark, {ckpt!r},
     null_rate_max={{"transcript": 0.2}},
     ranges={{"dur_ms": (200, 30000)}},
     accepted_values={{"codec": ["pcm", "opus", "mp3", "aac", "flac"]}},
-    kdq_params={{"count_ubound": 500, "bootstrap_samples": 200}})
+    kdq_params={{"count_ubound": 500, "bootstrap_samples": 200}},
+    cps_bounds=(1.0, 60.0),
+    payload_tol=0.02,
+    quality_rules={{"clip_rate_max": 0.05, "silence_ratio_max": 0.9}})
 verdicts, _ = suite.run(df)
 n = sum(r["n_rows"] for r in suite.manifest.records)
 dt = time.time() - t0
