@@ -386,6 +386,142 @@ def q_embedding_neardup_kmeans(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _kdq_oracle_sql() -> str | None:
+    """kdq_lineitem oracle: the tree builds and bootstrap criticals
+    are driver-side deterministic (the build is multiset-invariant
+    over the full under-cap reference year; the criticals are seeded
+    multinomial draws, not SQL-expressible) and are inlined as
+    literals; the DISTRIBUTED work the Spark side does — per-year leaf
+    counts via the broadcast-tree pandas UDF + salted aggregation, and
+    the Dasu-smoothed KL — is recomputed independently in pure SQL via
+    a recursive tree walk over the same parquet. Same inlined-constant
+    precedent as the k-means centroids / LSH hyperplanes."""
+    import numpy as np
+
+    try:
+        import duckdb
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        pdf = con.execute(
+            f"""SELECT year(l_shipdate) AS yr,
+                       l_quantity AS x0, l_extendedprice AS x1, l_discount AS x2
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetch_df()
+        con.close()
+    except Exception:
+        return None
+    from menelaus_spark.checks.kdqtree import (
+        KDQTreePartitioner,
+        bootstrap_critical_kld,
+    )
+
+    years = sorted(int(y) for y in pdf["yr"].unique())
+    by_year = {
+        yr: pdf.loc[pdf["yr"] == yr, ["x0", "x1", "x2"]].to_numpy(dtype=np.float64)
+        for yr in years
+    }
+
+    # twin of q_kdq_lineitem's state machine, with numpy leaf counts
+    # standing in for the distributed fill (which the SQL re-verifies)
+    def build_epoch(ref_year):
+        # mirror KdqTreeBatch defaults exactly (alpha=0.01, lbound=2e-10)
+        tree = KDQTreePartitioner(count_ubound=100, cutpoint_proportion_lbound=2e-10)
+        tree.build(by_year[ref_year])
+        counts = tree.fill_counts(by_year[ref_year])
+        crit = bootstrap_critical_kld(counts, int(counts.sum()), 0.01, 100, 42)
+        return tree, counts, crit
+
+    from menelaus_spark.functions.distances import dasu_smooth, kl_divergence
+
+    epochs = []  # (eid, ref_year, tree, critical, [test_years])
+    tree, ref_counts, crit = build_epoch(years[0])
+    epochs.append([0, years[0], tree, crit, []])
+    drift_pending = None
+    for yr in years[1:]:
+        if drift_pending is not None:
+            tree, ref_counts, crit = build_epoch(drift_pending)
+            epochs.append([len(epochs), drift_pending, tree, crit, []])
+            drift_pending = None
+        epochs[-1][4].append(yr)
+        kl = kl_divergence(
+            dasu_smooth(ref_counts), dasu_smooth(tree.fill_counts(by_year[yr]))
+        )
+        if kl > epochs[-1][3]:
+            drift_pending = yr
+
+    node_rows, map_rows, epoch_rows = [], [], []
+    for eid, ref_year, tree, critical, test_years in epochs:
+        ax, mid, lc, rc, leaf = tree.tree_arrays()
+        for nid in range(len(ax)):
+            node_rows.append(
+                f"({eid}, {nid}, {int(ax[nid])}, {float(mid[nid])!r}, "
+                f"{int(lc[nid])}, {int(rc[nid])}, {int(leaf[nid])})"
+            )
+        map_rows.append(f"({ref_year}, {eid}, 'ref')")
+        for yr in test_years:
+            map_rows.append(f"({yr}, {eid}, 'test')")
+        epoch_rows.append(f"({eid}, {critical!r}, {tree.n_leaves})")
+
+    return f"""
+        WITH RECURSIVE
+        nodes(eid, nid, axis, mid, lc, rc, leaf) AS (VALUES {", ".join(node_rows)}),
+        ymap(yr, eid, role) AS (VALUES {", ".join(map_rows)}),
+        epochs(eid, critical, n_leaves) AS (VALUES {", ".join(epoch_rows)}),
+        rows_ AS (
+          SELECT year(l_shipdate) AS yr, l_quantity AS x0,
+                 l_extendedprice AS x1, l_discount AS x2 FROM lineitem),
+        walk(yr, eid, role, x0, x1, x2, node) AS (
+          SELECT r.yr, m.eid, m.role, r.x0, r.x1, r.x2, 0::BIGINT
+          FROM rows_ r JOIN ymap m ON r.yr = m.yr
+          UNION ALL
+          SELECT w.yr, w.eid, w.role, w.x0, w.x1, w.x2,
+                 CASE WHEN (CASE n.axis WHEN 0 THEN w.x0 WHEN 1 THEN w.x1
+                            ELSE w.x2 END) > n.mid
+                      THEN n.rc ELSE n.lc END
+          FROM walk w JOIN nodes n ON n.eid = w.eid AND n.nid = w.node
+          WHERE n.axis >= 0),
+        landed AS (
+          SELECT w.yr, w.eid, w.role, n.leaf
+          FROM walk w JOIN nodes n ON n.eid = w.eid AND n.nid = w.node
+          WHERE n.axis = -1),
+        leaves AS (SELECT eid, leaf FROM nodes WHERE axis = -1),
+        refc AS (
+          SELECT l.eid, l.leaf, count(d.leaf) AS c
+          FROM leaves l LEFT JOIN landed d
+            ON d.eid = l.eid AND d.leaf = l.leaf AND d.role = 'ref'
+          GROUP BY l.eid, l.leaf),
+        refn AS (SELECT eid, sum(c) AS n FROM refc GROUP BY eid),
+        testc AS (
+          SELECT m.yr, l.eid, l.leaf, count(d.leaf) AS c
+          FROM ymap m JOIN leaves l ON l.eid = m.eid
+          LEFT JOIN landed d
+            ON d.eid = l.eid AND d.leaf = l.leaf
+           AND d.role = 'test' AND d.yr = m.yr
+          WHERE m.role = 'test'
+          GROUP BY m.yr, l.eid, l.leaf),
+        testn AS (SELECT yr, eid, sum(c) AS n FROM testc GROUP BY yr, eid),
+        kls AS (
+          SELECT t.yr, t.eid,
+                 sum(((r.c + 0.5) / (rn.n + e.n_leaves / 2.0))
+                     * ln(((r.c + 0.5) / (rn.n + e.n_leaves / 2.0))
+                          / ((t.c + 0.5) / (tn.n + e.n_leaves / 2.0)))) AS kl
+          FROM testc t
+          JOIN refc r ON r.eid = t.eid AND r.leaf = t.leaf
+          JOIN refn rn ON rn.eid = t.eid
+          JOIN testn tn ON tn.yr = t.yr AND tn.eid = t.eid
+          JOIN epochs e ON e.eid = t.eid
+          GROUP BY t.yr, t.eid)
+        SELECT {years[0]}::VARCHAR AS year, 'reference' AS state,
+               NULL::DOUBLE AS kl, NULL::DOUBLE AS critical
+        UNION ALL
+        SELECT k.yr::VARCHAR, CASE WHEN k.kl > e.critical THEN 'drift' ELSE 'pass' END,
+               round(k.kl, 6), round(e.critical, 6)
+        FROM kls k JOIN epochs e ON e.eid = k.eid
+        ORDER BY year
+    """
+
+
 def _kmeans_neardup_oracle() -> str | None:
     """Build the embedding_neardup_kmeans oracle: recompute the
     centroids dedup.kmeans_blocks learns at oracle scale (full-table
@@ -579,7 +715,10 @@ def q_kdq_lineitem(spark, sf_dir):
             rows.append((str(yr), "reference", None, None))
         else:
             state = det.update(batch)
-            rows.append((str(yr), state or "pass", det.test_dist, det._critical_dist))
+            # 6-dp rounding on both engines: cross-engine float-sum
+            # order differs at ~1e-13 relative, far under this grain
+            rows.append((str(yr), state or "pass",
+                         round(det.test_dist, 6), round(det._critical_dist, 6)))
     return spark.createDataFrame(
         rows, schema="year string, state string, kl double, critical double"
     )
@@ -1480,6 +1619,9 @@ def oracle_sql() -> dict[str, str]:
     km = _kmeans_neardup_oracle()
     if km is not None:
         out["embedding_neardup_kmeans"] = km
+    kdq = _kdq_oracle_sql()
+    if kdq is not None:
+        out["kdq_lineitem"] = kdq
     out["hdddm_lineitem_cumulative"] = _drift_recurrence_sql(
         _HDDDM_LI_VALS, 3, _HELLINGER_EXPR)
     out["cdbd_events_value"] = _drift_recurrence_sql(
