@@ -522,6 +522,151 @@ def _kdq_oracle_sql() -> str | None:
     """
 
 
+def _ph_oracle_sql() -> str:
+    """streaming_traces oracle: the Page-Hinkley recurrence replayed
+    in DuckDB as a recursive CTE, one step per row in event_id order
+    per group, with a LATERAL let-chain mirroring PageHinkley.update's
+    exact expression order (expanding mean, s += x - mean - delta,
+    running min, theta = threshold * mean, burn-in gate, full reset
+    after an alarm row). Plain-SQL double arithmetic maps 1:1 onto the
+    kernel's Python float ops, so the per-group (n, n_drift) aggregates
+    are exact. Same LATERAL recurrence pattern as _drift_recurrence_sql."""
+    z = "CAST(0.0 AS DOUBLE)"
+    d = "CAST(0.01 AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE
+        vals AS (
+          SELECT (user_id % 8)::VARCHAR AS grp, value::DOUBLE AS v,
+                 row_number() OVER (PARTITION BY user_id % 8
+                                    ORDER BY event_id) AS rn
+          FROM events),
+        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp),
+        rec AS (
+          SELECT grp, 1 AS rn, CAST(1 AS BIGINT) AS n, v AS mean,
+                 (v - v - {d}) AS s, least({z}, v - v - {d}) AS mn,
+                 CAST(0 AS BIGINT) AS nd, false AS alarm
+          FROM vals WHERE rn = 1
+          UNION ALL
+          SELECT r.grp, r.rn + 1, CAST(q1.n2 AS BIGINT), q2.mean2, q3.s2,
+                 q4.mn2, r.nd + (CASE WHEN q5.alarm2 THEN 1 ELSE 0 END),
+                 q5.alarm2
+          FROM rec r
+          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,
+          LATERAL (SELECT CASE WHEN r.alarm THEN 1 ELSE r.n + 1 END AS n2) q1,
+          LATERAL (SELECT (CASE WHEN r.alarm THEN {z} ELSE r.mean END)
+                          + (v.v - (CASE WHEN r.alarm THEN {z} ELSE r.mean END))
+                            / q1.n2 AS mean2) q2,
+          LATERAL (SELECT (CASE WHEN r.alarm THEN {z} ELSE r.s END)
+                          + (v.v - q2.mean2 - {d}) AS s2) q3,
+          LATERAL (SELECT least(CASE WHEN r.alarm THEN {z} ELSE r.mn END,
+                                q3.s2) AS mn2) q4,
+          LATERAL (SELECT ((q3.s2 - q4.mn2) > (20 * q2.mean2)
+                           AND q1.n2 > 30) AS alarm2) q5)
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift
+        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
+        ORDER BY "group"
+    """
+
+
+def _ensemble_oracle_sql() -> str:
+    """streaming_ensemble_events oracle: CUSUM + PageHinkley replayed
+    jointly per group in one recursive CTE, reduced per row by the
+    MinimumApprovalElection(2) (both members in drift state). The
+    CUSUM recurrence reproduces the reference's stream-indexed quirk
+    (after a member reset, the z-score numerator indexes the GLOBAL
+    stream at samples_since_reset - 1 — detectors.py CUSUM.update), the
+    trailing-burn_in target/sd re-estimation, and the burn-in gates.
+    Mean/std windows use SQL aggregation order (numpy uses pairwise
+    summation) — a ~1e-16 relative difference that cannot move the
+    integer outputs except on exact threshold ties."""
+    z = "CAST(0.0 AS DOUBLE)"
+    d = "CAST(0.01 AS DOUBLE)"       # PH delta
+    cd = "CAST(0.005 AS DOUBLE)"     # CUSUM delta
+    return f"""
+        WITH RECURSIVE
+        vals AS (
+          SELECT (user_id % 8)::VARCHAR AS grp, value::DOUBLE AS v,
+                 row_number() OVER (PARTITION BY user_id % 8
+                                    ORDER BY event_id) AS rn
+          FROM events),
+        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp),
+        rec AS (
+          SELECT grp, 1 AS rn,
+                 CAST(1 AS BIGINT) AS pn, v AS pmean, (v - v - {d}) AS ps,
+                 least({z}, v - v - {d}) AS pmn, false AS palarm,
+                 CAST(1 AS BIGINT) AS cn, CAST(NULL AS DOUBLE) AS tgt,
+                 CAST(NULL AS DOUBLE) AS sd, {z} AS up, {z} AS lo,
+                 false AS calarm,
+                 CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS mm
+          FROM vals WHERE rn = 1
+          UNION ALL
+          SELECT r.grp, r.rn + 1,
+                 CAST(p1.n2 AS BIGINT), p2.mean2, p3.s2, p4.mn2, p5.alarm2,
+                 CAST(c1.cn2 AS BIGINT), c2.tgt2, c2.sd2, c3.up2, c3.lo2,
+                 c4.calarm2,
+                 r.nd + (CASE WHEN p5.alarm2 AND c4.calarm2 THEN 1 ELSE 0 END),
+                 greatest(r.mm, (CASE WHEN p5.alarm2 THEN 1 ELSE 0 END)
+                                + (CASE WHEN c4.calarm2 THEN 1 ELSE 0 END))
+          FROM rec r
+          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,
+          LATERAL (SELECT CASE WHEN r.palarm THEN 1 ELSE r.pn + 1 END AS n2) p1,
+          LATERAL (SELECT (CASE WHEN r.palarm THEN {z} ELSE r.pmean END)
+                          + (v.v - (CASE WHEN r.palarm THEN {z} ELSE r.pmean END))
+                            / p1.n2 AS mean2) p2,
+          LATERAL (SELECT (CASE WHEN r.palarm THEN {z} ELSE r.ps END)
+                          + (v.v - p2.mean2 - {d}) AS s2) p3,
+          LATERAL (SELECT least(CASE WHEN r.palarm THEN {z} ELSE r.pmn END,
+                                p3.s2) AS mn2) p4,
+          LATERAL (SELECT ((p3.s2 - p4.mn2) > (20 * p2.mean2)
+                           AND p1.n2 > 30) AS alarm2) p5,
+          LATERAL (SELECT CASE WHEN r.calarm THEN 1 ELSE r.cn + 1 END AS cn2) c1,
+          LATERAL (
+            SELECT
+              CASE WHEN r.calarm THEN
+                     (SELECT avg(w.v) FROM vals w
+                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
+                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
+                     (SELECT avg(w.v) FROM vals w
+                      WHERE w.grp = r.grp AND w.rn <= 30)
+                   ELSE r.tgt END AS tgt2,
+              CASE WHEN r.calarm THEN
+                     (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))
+                        * (w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))))
+                      FROM vals w
+                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
+                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
+                     (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn <= 30))
+                        * (w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn <= 30))))
+                      FROM vals w WHERE w.grp = r.grp AND w.rn <= 30)
+                   ELSE r.sd END AS sd2) c2,
+          LATERAL (
+            SELECT
+              CASE WHEN c2.tgt2 IS NULL THEN {z}
+                   ELSE greatest({z},
+                     (CASE WHEN r.calarm THEN {z} ELSE r.up END)
+                     + (((SELECT w.v FROM vals w
+                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
+                        / c2.sd2) - {cd}) END AS up2,
+              CASE WHEN c2.tgt2 IS NULL THEN {z}
+                   ELSE greatest({z},
+                     (CASE WHEN r.calarm THEN {z} ELSE r.lo END)
+                     - {cd}
+                     - (((SELECT w.v FROM vals w
+                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
+                        / c2.sd2)) END AS lo2) c3,
+          LATERAL (SELECT (c1.cn2 > 30
+                           AND (c3.up2 > 50 OR c3.lo2 > 50)) AS calarm2) c4)
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift,
+               CAST(r.mm AS DOUBLE) AS max_members_alarming
+        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
+        ORDER BY "group"
+    """
+
+
 def _kmeans_neardup_oracle() -> str | None:
     """Build the embedding_neardup_kmeans oracle: recompute the
     centroids dedup.kmeans_blocks learns at oracle scale (full-table
@@ -1622,6 +1767,8 @@ def oracle_sql() -> dict[str, str]:
     kdq = _kdq_oracle_sql()
     if kdq is not None:
         out["kdq_lineitem"] = kdq
+    out["streaming_traces"] = _ph_oracle_sql()
+    out["streaming_ensemble_events"] = _ensemble_oracle_sql()
     out["hdddm_lineitem_cumulative"] = _drift_recurrence_sql(
         _HDDDM_LI_VALS, 3, _HELLINGER_EXPR)
     out["cdbd_events_value"] = _drift_recurrence_sql(
