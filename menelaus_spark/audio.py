@@ -86,16 +86,20 @@ CLIP_LEVEL = 32766.5 / 32768.0
 SILENCE_RMS = 0.01  # -40 dBFS frame RMS
 
 
+_HANN = np.hanning(FRAME)
+
+
 def _frame_rms(x: np.ndarray) -> np.ndarray:
     """Frame-wise RMS over the same FRAME/HOP grid as the STFT
-    features — one strided matmul-free pass, no per-frame Python."""
+    features — einsum reduction over a stride view, so no per-frame
+    Python AND no materialized squared matrix."""
     if x.size < FRAME:
         return np.array([np.sqrt(np.mean(x * x))]) if x.size else np.zeros(1)
     n_frames = 1 + (x.size - FRAME) // HOP
     frames = np.lib.stride_tricks.as_strided(
         x, shape=(n_frames, FRAME), strides=(x.strides[0] * HOP, x.strides[0])
     )
-    return np.sqrt(np.mean(frames * frames, axis=1))
+    return np.sqrt(np.einsum("ij,ij->i", frames, frames) / FRAME)
 
 
 def quality_metrics(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
@@ -156,7 +160,7 @@ def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
         frames = np.lib.stride_tricks.as_strided(
             x, shape=(n_frames, FRAME), strides=(x.strides[0] * HOP, x.strides[0])
         )
-        spec = np.abs(np.fft.rfft(frames * np.hanning(FRAME), axis=1)) ** 2
+        spec = np.abs(np.fft.rfft(frames * _HANN, axis=1)) ** 2
     mean_spec = spec.mean(axis=0)
     bands = np.array_split(mean_spec[1:], 8)
     band_power = np.array([np.log1p(np.mean(b)) for b in bands])
