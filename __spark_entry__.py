@@ -1290,13 +1290,16 @@ def q_audio_suite(spark, sf_dir):
     _ensure_workers_can_import(spark)
     ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
     try:
-        df = tables.audio_table(spark, n_rows=700, n_parts=7,
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
                                 drift={3: {"dur_mu_shift": 0.8},
                                        4: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]},
                                        # audio-depth faults: clipping +
                                        # overdense transcripts + padded payloads
                                        5: {"gain": 8.0, "words_per_s": 40.0,
-                                           "pad_bytes": 4096}})
+                                           "pad_bytes": 4096},
+                                       # bandwidth fault: claims sr_hz but the
+                                       # spectrum is empty above 1 kHz
+                                       6: {"upsample_from": 2000}})
         path = os.path.join(ckpt, "table")
         tables.write_audio_table(df, path)
         suite = ValidationSuite(
@@ -1307,7 +1310,8 @@ def q_audio_suite(spark, sf_dir):
             kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
             cps_bounds=(1.0, 60.0),
             payload_tol=0.02,
-            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01},
         )
         verdicts, _ = suite.run(spark.read.parquet(path))
         return verdicts.select("partition_key", "check_name", "state").orderBy(

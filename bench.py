@@ -130,7 +130,8 @@ def main():
         # silence metrics from the same decoded buffers)
         cps_bounds=(1.0, 60.0),
         payload_tol=0.02,
-        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                       "min_band_ratio": 0.01},
     )
     suite.run(df)
     audio_suite_s = round(time.time() - t0, 3)

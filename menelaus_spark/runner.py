@@ -173,6 +173,20 @@ class ValidationSuite:
             out.append(("audio_silence",
                         clean & (F.col("q_silence_ratio") > F.lit(rules["silence_ratio_max"])),
                         F.round(F.col("q_silence_ratio"), 4).cast("string")))
+        if "min_band_ratio" in rules:
+            # upsampling / bandwidth-mismatch detection from the
+            # ALREADY-COMPUTED spectral bands: a clip whose upper-half
+            # spectrum carries almost no energy was upsampled from a
+            # lower rate than its sr_hz claims. Zero extra decode cost
+            # — a JVM expression over the cached feature columns
+            # (bands f4..f11 are log1p(mean power) over 8 equal slices
+            # of 0..nyquist; expm1 undoes the compression).
+            hi = sum(F.expm1(F.col(f"f{i}")) for i in range(8, audio.N_FEATURES))
+            tot = sum(F.expm1(F.col(f"f{i}")) for i in range(4, audio.N_FEATURES))
+            out.append(("audio_bandwidth",
+                        clean & (tot > F.lit(0.0))
+                        & ((hi / tot) < F.lit(rules["min_band_ratio"])),
+                        F.round(hi / tot, 6).cast("string")))
         if self._payload_in_decode():
             expected = 44.0 + 2.0 * F.round(
                 F.col(self.dur_col).cast("double") * F.col(self.sr_col).cast("double")

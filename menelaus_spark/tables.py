@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from menelaus_spark.audio import wav_encode
+from menelaus_spark.audio import resample_pcm, wav_encode
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -93,10 +93,24 @@ def _gen_rows(
         codec = str(rng.choice(CODEC_CHOICES, p=codec_probs / codec_probs.sum()))
         # audio payload: seeded sine + noise mixture, PCM16 WAV container
         n = max(1, int(round(dur * sr / 1000.0)))
-        t = np.arange(n, dtype=np.float64) / sr
         f0 = rng.uniform(80.0, 1000.0)
         noise_scale = float(d.get("noise_scale", 1.0))
-        sig = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * noise_scale * rng.standard_normal(n)
+        if "upsample_from" in d:
+            # bandwidth fault: synthesize at a LOWER rate then stretch
+            # to sr — the clip claims sr_hz but its spectrum is empty
+            # above upsample_from/2 (audio_bandwidth check fodder)
+            sr_low = int(d["upsample_from"])
+            n_low = max(1, int(round(dur * sr_low / 1000.0)))
+            t = np.arange(n_low, dtype=np.float64) / sr_low
+            sig = (0.4 * np.sin(2 * np.pi * f0 * t)
+                   + 0.05 * noise_scale * rng.standard_normal(n_low))
+            sig = resample_pcm(sig, sr_low, sr)
+            sig = sig[:n] if sig.size >= n else np.pad(sig, (0, n - sig.size),
+                                                      mode="edge")
+        else:
+            t = np.arange(n, dtype=np.float64) / sr
+            sig = (0.4 * np.sin(2 * np.pi * f0 * t)
+                   + 0.05 * noise_scale * rng.standard_normal(n))
         # quality-fault injection (drift-spec keys; extra rng draws only
         # happen in partitions that request them, so clean partitions
         # stay byte-identical across configs):

@@ -48,7 +48,8 @@ suite = ValidationSuite(spark, {ckpt!r},
     kdq_params={{"count_ubound": 500, "bootstrap_samples": 200}},
     cps_bounds=(1.0, 60.0),
     payload_tol=0.02,
-    quality_rules={{"clip_rate_max": 0.05, "silence_ratio_max": 0.9}})
+    quality_rules={{"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                    "min_band_ratio": 0.01}})
 verdicts, _ = suite.run(df)
 n = sum(r["n_rows"] for r in suite.manifest.records)
 dt = time.time() - t0
