@@ -737,6 +737,13 @@ def q_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repeated-token / repeated-3-gram fractions per
+    document — pure JVM higher-order array expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "doc_id").orderBy("doc_id")
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return T.quality_features(docs).select(
@@ -1359,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdbd_events_value": q_cdbd_events_value,
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_stats": q_token_stats,
+        "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         # rows-only (no SQL equivalent)
@@ -1688,6 +1696,29 @@ def oracle_sql() -> dict[str, str]:
                    len({_TOKS_GUARDED}) AS n_tokens,
                    len(regexp_extract_all(coalesce(text,''), '{_BPE_SQL_DUCK}')) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # integer-ratio doubles are bit-identical across engines (one
+        # IEEE division each) — no rounding required
+        "repetition_stats": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1), i ->
+                         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS tris
+              FROM t)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(tris) AS n_trigrams,
+                   CASE WHEN len(toks) > 0
+                        THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                        ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN len(tris) > 0
+                        THEN 1.0 - len(list_distinct(tris))::DOUBLE / len(tris)
+                        ELSE 0.0 END AS dup_trigram_frac
+            FROM g ORDER BY doc_id
         """,
         "text_quality": f"""
             WITH base AS (

@@ -157,3 +157,38 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
         return pd.Series(out)
 
     return df.withColumn("fingerprint", fp(F.col(text_col)))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition quality signals, pure JVM (one
+    projection pass, whole-stage codegen — higher-order array
+    functions, no Python):
+
+    - dup_token_frac: 1 - distinct/total over whitespace tokens;
+    - dup_trigram_frac: same over word 3-grams (the standard
+      "repeated n-gram" filter for machine-generated / boilerplate
+      text at pretraining scale).
+
+    Empty/sub-3-token documents score 0.0 by definition. Exact DuckDB
+    oracle (list_distinct twin): integer-ratio doubles are identical
+    across engines, no rounding needed.
+    """
+    toks = tokens_col(F.col(text_col))
+    out = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    tris = F.when(
+        n >= 3,
+        F.expr("transform(sequence(1, size(__toks) - 2), "
+               "i -> concat_ws(' ', slice(__toks, i, 3)))"),
+    ).otherwise(F.array().cast("array<string>"))
+    out = out.withColumn("__tris", tris)
+    nt = F.size("__tris")
+    return out.select(
+        id_col,
+        n.alias("n_tokens"),
+        nt.alias("n_trigrams"),
+        F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct("__toks"))
+               .cast("double") / n).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        F.when(nt > 0, F.lit(1.0) - F.size(F.array_distinct("__tris"))
+               .cast("double") / nt).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+    )

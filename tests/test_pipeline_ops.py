@@ -242,3 +242,27 @@ def test_kmeans_blocked_neardup_pairs_are_exact_within_blocks(spark, emb):
                 want.add((a, b))
     assert got == want
     blocked.unpersist()
+
+
+def test_repetition_stats(spark):
+    import pandas as pd
+
+    from menelaus_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat sat on the mat",            # 6 tokens, 1 dup token, no dup 3-gram
+            "spam spam spam spam spam",          # maximal repetition
+            "one two",                           # < 3 tokens -> no trigrams
+            None,                                # null -> zeros
+        ],
+    }))
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id").collect()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_trigrams"] == 4
+    assert abs(rows[1]["dup_token_frac"] - (1 - 5 / 6)) < 1e-12
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    assert rows[2]["n_tokens"] == 5 and abs(rows[2]["dup_token_frac"] - 0.8) < 1e-12
+    assert abs(rows[2]["dup_trigram_frac"] - (1 - 1 / 3)) < 1e-12
+    assert rows[3]["n_trigrams"] == 0 and rows[3]["dup_trigram_frac"] == 0.0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["dup_token_frac"] == 0.0
