@@ -568,6 +568,80 @@ def _ph_oracle_sql() -> str:
     """
 
 
+def _cusum_oracle_sql() -> str:
+    """streaming_cusum_traces oracle: the CUSUM recurrence alone (see
+    _ensemble_oracle_sql for the machinery notes — stream-indexed
+    numerator quirk, trailing-window re-estimation, burn-in gates)."""
+    z = "CAST(0.0 AS DOUBLE)"
+    cd = "CAST(0.005 AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE
+        vals AS (
+          SELECT (user_id % 8)::VARCHAR AS grp, value::DOUBLE AS v,
+                 row_number() OVER (PARTITION BY user_id % 8
+                                    ORDER BY event_id) AS rn
+          FROM events),
+        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp),
+        rec AS (
+          SELECT grp, 1 AS rn,
+                 CAST(1 AS BIGINT) AS cn, CAST(NULL AS DOUBLE) AS tgt,
+                 CAST(NULL AS DOUBLE) AS sd, {z} AS up, {z} AS lo,
+                 false AS calarm, CAST(0 AS BIGINT) AS nd
+          FROM vals WHERE rn = 1
+          UNION ALL
+          SELECT r.grp, r.rn + 1,
+                 CAST(c1.cn2 AS BIGINT), c2.tgt2, c2.sd2, c3.up2, c3.lo2,
+                 c4.calarm2,
+                 r.nd + (CASE WHEN c4.calarm2 THEN 1 ELSE 0 END)
+          FROM rec r
+          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,
+          LATERAL (SELECT CASE WHEN r.calarm THEN 1 ELSE r.cn + 1 END AS cn2) c1,
+          LATERAL (
+            SELECT
+              CASE WHEN r.calarm THEN
+                     (SELECT avg(w.v) FROM vals w
+                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
+                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
+                     (SELECT avg(w.v) FROM vals w
+                      WHERE w.grp = r.grp AND w.rn <= 30)
+                   ELSE r.tgt END AS tgt2,
+              CASE WHEN r.calarm THEN
+                     (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))
+                        * (w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))))
+                      FROM vals w
+                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
+                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
+                     (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn <= 30))
+                        * (w.v - (SELECT avg(w2.v) FROM vals w2
+                        WHERE w2.grp = r.grp AND w2.rn <= 30))))
+                      FROM vals w WHERE w.grp = r.grp AND w.rn <= 30)
+                   ELSE r.sd END AS sd2) c2,
+          LATERAL (
+            SELECT
+              CASE WHEN c2.tgt2 IS NULL THEN {z}
+                   ELSE greatest({z},
+                     (CASE WHEN r.calarm THEN {z} ELSE r.up END)
+                     + (((SELECT w.v FROM vals w
+                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
+                        / c2.sd2) - {cd}) END AS up2,
+              CASE WHEN c2.tgt2 IS NULL THEN {z}
+                   ELSE greatest({z},
+                     (CASE WHEN r.calarm THEN {z} ELSE r.lo END)
+                     - {cd}
+                     - (((SELECT w.v FROM vals w
+                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
+                        / c2.sd2)) END AS lo2) c3,
+          LATERAL (SELECT (c1.cn2 > 30
+                           AND (c3.up2 > 50 OR c3.lo2 > 50)) AS calarm2) c4)
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift
+        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
+        ORDER BY "group"
+    """
+
+
 def _ensemble_oracle_sql() -> str:
     """streaming_ensemble_events oracle: CUSUM + PageHinkley replayed
     jointly per group in one recursive CTE, reduced per row by the
@@ -891,6 +965,28 @@ def q_streaming_traces(spark, sf_dir):
     return trace.groupBy("group").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("state") == "drift").cast("long")).alias("n_drift"),
+    ).orderBy("group")
+
+
+def q_streaming_cusum_traces(spark, sf_dir):
+    """Standalone CUSUM traces per user bucket (the two-sided z-score
+    cumulative-sum kernel incl. the reference's stream-indexed
+    recurrence) — same distributed trace machinery, own recursive-CTE
+    oracle."""
+    from menelaus_spark.streaming.detectors import CUSUM, apply_streaming_detector
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.pmod("user_id", F.lit(8)).cast("string")
+    )
+    trace = apply_streaming_detector(
+        ev, lambda: CUSUM(burn_in=30), group_col="grp",
+        order_col="event_id", value_cols=["value"],
+    )
+    # when/otherwise (not a null-propagating comparison cast): a group
+    # with zero drift rows must aggregate to 0, not NULL
+    return trace.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("state") == "drift", 1).otherwise(0)).alias("n_drift"),
     ).orderBy("group")
 
 
@@ -1376,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdddm_lineitem": q_hdddm_lineitem,
         "kdq_lineitem": q_kdq_lineitem,
         "streaming_traces": q_streaming_traces,
+        "streaming_cusum_traces": q_streaming_cusum_traces,
         "streaming_ensemble_events": q_streaming_ensemble_events,
         "cdbd_example_confidence": q_cdbd_example_confidence,
         "nndvi_lineitem": q_nndvi_lineitem,
@@ -1803,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
     if kdq is not None:
         out["kdq_lineitem"] = kdq
     out["streaming_traces"] = _ph_oracle_sql()
+    out["streaming_cusum_traces"] = _cusum_oracle_sql()
     out["streaming_ensemble_events"] = _ensemble_oracle_sql()
     out["hdddm_lineitem_cumulative"] = _drift_recurrence_sql(
         _HDDDM_LI_VALS, 3, _HELLINGER_EXPR)

@@ -351,3 +351,87 @@ def frame_sample(df, n_frames: int = 4, frame_ms: int = 100,
             )
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+def vad_segments(df, key_col: str = "clip_id", bytes_col: str = "bytes",
+                 codec_col: str = "codec", min_speech_ms: int = 100,
+                 sil_rms: float = SILENCE_RMS):
+    """Energy-VAD segmentation: contiguous voiced spans from the same
+    FRAME/HOP frame-RMS grid as the quality metrics, one Arrow-batched
+    mapInPandas pass (the standard silence-cutting step of a speech
+    training-data pipeline). Segments shorter than ``min_speech_ms``
+    are dropped; undecodable clips contribute no rows (the
+    decode-integrity check owns reporting them).
+
+    Returns (key, seg_idx, start_ms, end_ms) — one row per voiced span.
+    """
+    import pandas as pd
+
+    schema = f"{key_col} string, seg_idx int, start_ms int, end_ms int"
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                except Exception:
+                    continue
+                x = np.asarray(pcm, dtype=np.float64)
+                voiced = _frame_rms(x) >= sil_rms
+                if not voiced.any():
+                    continue
+                # run boundaries on the padded mask diff
+                edges = np.flatnonzero(np.diff(np.r_[0, voiced.view(np.int8), 0]))
+                seg = 0
+                for a, b in zip(edges[::2], edges[1::2]):
+                    start_ms = int(round(1000.0 * a * HOP / sr))
+                    end_ms = int(round(1000.0 * min((b - 1) * HOP + FRAME, x.size) / sr))
+                    if end_ms - start_ms >= min_speech_ms:
+                        rows.append((key, seg, start_ms, end_ms))
+                        seg += 1
+            yield pd.DataFrame(rows, columns=[key_col, "seg_idx", "start_ms", "end_ms"])
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+def normalize_loudness(df, target_dbfs: float = -20.0, key_col: str = "clip_id",
+                       bytes_col: str = "bytes", codec_col: str = "codec"):
+    """Loudness normalization: decode -> scale to ``target_dbfs`` RMS
+    -> re-encode WAV, one Arrow-batched pass (gain-staging before
+    feature extraction / augmentation). Samples clip at full scale; the
+    applied gain is reported so callers can bound clipping. Silent or
+    undecodable clips pass through with null bytes.
+
+    Returns (key, bytes, sr_hz, gain_db).
+    """
+    import pandas as pd
+
+    schema = f"{key_col} string, {bytes_col} binary, sr_hz int, gain_db double"
+    target_rms = 10.0 ** (target_dbfs / 20.0)
+
+    def work(batches):
+        for pdf in batches:
+            keys, bufs, srs, gains = [], [], [], []
+            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+                keys.append(key)
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                    x = np.asarray(pcm, dtype=np.float64)
+                    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                    if rms == 0.0:
+                        raise ValueError("silent clip")
+                    g = target_rms / rms
+                    out = np.clip(x * g, -1.0, 1.0)
+                    bufs.append(wav_encode(
+                        np.round(out * 32768.0).clip(-32768, 32767), sr))
+                    srs.append(sr)
+                    gains.append(20.0 * np.log10(g))
+                except Exception:
+                    bufs.append(None)
+                    srs.append(None)
+                    gains.append(None)
+            yield pd.DataFrame({key_col: keys, bytes_col: bufs,
+                                "sr_hz": srs, "gain_db": gains})
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)

@@ -135,3 +135,43 @@ def test_features_for_batch_quality_and_byte_len():
     assert np.isnan(mat[1, : audio.N_FEATURES]).all()
     assert mat[1, -1] == len(bad)
     assert mat[0, -1] == len(good)
+
+
+def test_vad_segments(spark):
+    sr = 16000
+    t = np.arange(sr // 2) / sr  # 0.5 s tone pieces
+    tone = 0.4 * np.sin(2 * np.pi * 440 * t)
+    gap = np.zeros(sr // 2)
+    pcm = np.concatenate([gap, tone, gap, tone, gap])  # 2.5 s, 2 voiced spans
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["a", "bad"],
+                      "bytes": [audio.wav_encode(pcm * 32767, sr), b"junk"],
+                      "codec": ["pcm", "opus"]})
+    )
+    rows = sorted(
+        (r for r in audio.vad_segments(df).collect() if r["clip_id"] == "a"),
+        key=lambda r: r["seg_idx"],
+    )
+    assert len(rows) == 2
+    # frame-grid tolerance: one FRAME (32 ms) either side
+    assert abs(rows[0]["start_ms"] - 500) <= 40 and abs(rows[0]["end_ms"] - 1000) <= 40
+    assert abs(rows[1]["start_ms"] - 1500) <= 40 and abs(rows[1]["end_ms"] - 2000) <= 40
+    assert not [r for r in audio.vad_segments(df).collect() if r["clip_id"] == "bad"]
+
+
+def test_normalize_loudness(spark):
+    sr = 8000
+    t = np.arange(sr) / sr
+    quiet = 0.01 * np.sin(2 * np.pi * 220 * t)   # ~ -43 dBFS rms
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["q", "silent"],
+                      "bytes": [audio.wav_encode(quiet * 32767, sr),
+                                audio.wav_encode(np.zeros(sr), sr)],
+                      "codec": ["pcm", "pcm"]})
+    )
+    out = {r["clip_id"]: r for r in audio.normalize_loudness(df, target_dbfs=-20.0).collect()}
+    sr2, pcm = audio.wav_decode(bytes(out["q"]["bytes"]))
+    rms_db = 20 * np.log10(np.sqrt(np.mean((pcm / 32768.0) ** 2)))
+    assert sr2 == sr and abs(rms_db - (-20.0)) < 0.5
+    assert out["q"]["gain_db"] > 20.0          # boosted ~23 dB
+    assert out["silent"]["bytes"] is None      # silent clip passes through null
