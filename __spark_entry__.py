@@ -962,9 +962,10 @@ def q_streaming_traces(spark, sf_dir):
         ev, lambda: PageHinkley(burn_in=30), group_col="grp",
         order_col="event_id", value_cols=["value"],
     )
+    # when/otherwise: zero-drift groups must aggregate to 0, not NULL
     return trace.groupBy("group").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("state") == "drift").cast("long")).alias("n_drift"),
+        F.sum(F.when(F.col("state") == "drift", 1).otherwise(0)).alias("n_drift"),
     ).orderBy("group")
 
 
