@@ -175,3 +175,43 @@ def test_normalize_loudness(spark):
     assert sr2 == sr and abs(rms_db - (-20.0)) < 0.5
     assert out["q"]["gain_db"] > 20.0          # boosted ~23 dB
     assert out["silent"]["bytes"] is None      # silent clip passes through null
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _pcm16(draw):
+    n = draw(st.integers(min_value=1, max_value=4000))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * draw(
+        st.floats(min_value=1.0, max_value=40000.0)
+    )).clip(-32768, 32767).astype(np.int16)
+
+
+@given(_pcm16(), st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(pcm, sr):
+    sr2, out = audio.wav_decode(audio.wav_encode(pcm, sr))
+    assert sr2 == sr and np.array_equal(out, pcm)
+
+
+@given(_pcm16(), st.floats(min_value=1.0, max_value=8.0))
+@settings(max_examples=40, deadline=None)
+def test_quality_metrics_properties(pcm, gain):
+    sr = 16000
+    x = pcm.astype(np.float64) / 32768.0
+    q = audio.quality_metrics(x, sr)
+    dur_ms = 1000.0 * x.size / sr
+    assert 0.0 <= q[0] <= 1.0 and 0.0 <= q[1] <= 1.0
+    assert 0.0 <= q[2] <= dur_ms + 1e-9 and 0.0 <= q[3] <= dur_ms + 1e-9
+    # amplifying (pre-clip) never increases the silence ratio and never
+    # decreases the clipping rate
+    xg = np.clip(x * gain, -1.0, 1.0)
+    qg = audio.quality_metrics(xg, sr)
+    assert qg[1] <= q[1] + 1e-12
+    assert qg[0] >= q[0] - 1e-12
