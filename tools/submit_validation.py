@@ -58,6 +58,10 @@ def run(args) -> None:
         null_rate_max={"transcript": args.null_rate_max} if args.audio_schema else {},
         kdq_params={"count_ubound": args.kdq_count_ubound,
                     "bootstrap_samples": args.kdq_bootstrap},
+        cps_bounds=(args.cps_lo, args.cps_hi) if args.audio_depth else None,
+        payload_tol=args.payload_tol if args.audio_depth else None,
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                       "min_band_ratio": 0.01} if args.audio_depth else None,
     )
     verdicts, violations = suite.run(df)
     n_rows = sum(r["n_rows"] for r in suite.manifest.records)
@@ -91,6 +95,11 @@ def main():
     r.add_argument("--null-rate-max", type=float, default=0.2)
     r.add_argument("--kdq-count-ubound", type=int, default=200)
     r.add_argument("--kdq-bootstrap", type=int, default=200)
+    r.add_argument("--audio-depth", action="store_true", default=True,
+                   help="clipping/silence/bandwidth/transcript-rate/payload checks")
+    r.add_argument("--cps-lo", type=float, default=1.0)
+    r.add_argument("--cps-hi", type=float, default=60.0)
+    r.add_argument("--payload-tol", type=float, default=0.02)
     args = p.parse_args()
     if args.cmd == "package":
         print(build_zip())
