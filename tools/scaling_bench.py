@@ -108,7 +108,8 @@ def main():
     md = f"""# BENCH/BASELINE — measured scaling (north rule evidence)
 
 Workload: full `ValidationSuite` (schema / null-rate / range /
-accepted-values / uniqueness / decode-integrity constraints + HDDDM +
+accepted-values / uniqueness / decode-integrity / transcript-rate /
+payload-size / clipping / silence / bandwidth constraints + HDDDM +
 KS + PSI + kdq-tree drift) over a deterministically synthesized audio
 clip+transcript table, seed 42 — the BASELINE.json north-star job.
 
@@ -154,15 +155,25 @@ workloads — measured directly, independent of this engine:
 
 On a real multi-executor cluster each executor brings its own memory
 controllers, page cache, and GC — scan bandwidth grows with N, which
-is exactly what the 2 -> 8 regime shows here (0.96 efficiency) before
+is exactly what the 2 -> 8 regime shows here ({eff:.2f} efficiency) before
 the single-VM artifact kicks in. Engine-side mitigations that this
 measurement already includes: off-heap column vectors, byte-sized
 Arrow batches (~50 MB), 64 MB file splits, O(1)-in-partition-count job
 plan, no caching of raw binary partitions.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written history: everything at/after the MANUAL
+    # marker in the existing file survives regeneration
+    marker = "<!-- MANUAL SECTIONS BELOW: preserved across regenerations -->"
+    manual = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            manual = old[old.index(marker):]
+    with open(out_path, "w") as f:
         f.write(md)
+        f.write("\n" + (manual or marker + "\n"))
     print("wrote BENCH/BASELINE.md")
 
 
