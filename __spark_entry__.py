@@ -522,223 +522,156 @@ def _kdq_oracle_sql() -> str | None:
     """
 
 
-def _ph_oracle_sql() -> str:
-    """streaming_traces oracle: the Page-Hinkley recurrence replayed
-    in DuckDB as a recursive CTE, one step per row in event_id order
-    per group, with a LATERAL let-chain mirroring PageHinkley.update's
-    exact expression order (expanding mean, s += x - mean - delta,
-    running min, theta = threshold * mean, burn-in gate, full reset
-    after an alarm row). Plain-SQL double arithmetic maps 1:1 onto the
-    kernel's Python float ops, so the per-group (n, n_drift) aggregates
-    are exact. Same LATERAL recurrence pattern as _drift_recurrence_sql."""
-    z = "CAST(0.0 AS DOUBLE)"
-    d = "CAST(0.01 AS DOUBLE)"
-    return f"""
-        WITH RECURSIVE
+_ORACLE_VALS_CTE = """
         vals AS (
           SELECT (user_id % 8)::VARCHAR AS grp, value::DOUBLE AS v,
                  row_number() OVER (PARTITION BY user_id % 8
                                     ORDER BY event_id) AS rn
           FROM events),
-        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp),
-        rec AS (
-          SELECT grp, 1 AS rn, CAST(1 AS BIGINT) AS n, v AS mean,
-                 (v - v - {d}) AS s, least({z}, v - v - {d}) AS mn,
-                 CAST(0 AS BIGINT) AS nd, false AS alarm
-          FROM vals WHERE rn = 1
-          UNION ALL
-          SELECT r.grp, r.rn + 1, CAST(q1.n2 AS BIGINT), q2.mean2, q3.s2,
-                 q4.mn2, r.nd + (CASE WHEN q5.alarm2 THEN 1 ELSE 0 END),
-                 q5.alarm2
-          FROM rec r
-          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,
-          LATERAL (SELECT CASE WHEN r.alarm THEN 1 ELSE r.n + 1 END AS n2) q1,
-          LATERAL (SELECT (CASE WHEN r.alarm THEN {z} ELSE r.mean END)
-                          + (v.v - (CASE WHEN r.alarm THEN {z} ELSE r.mean END))
-                            / q1.n2 AS mean2) q2,
-          LATERAL (SELECT (CASE WHEN r.alarm THEN {z} ELSE r.s END)
-                          + (v.v - q2.mean2 - {d}) AS s2) q3,
-          LATERAL (SELECT least(CASE WHEN r.alarm THEN {z} ELSE r.mn END,
-                                q3.s2) AS mn2) q4,
-          LATERAL (SELECT ((q3.s2 - q4.mn2) > (20 * q2.mean2)
-                           AND q1.n2 > 30) AS alarm2) q5)
-        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift
-        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
-        ORDER BY "group"
-    """
+        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp)"""
+
+_Z = "CAST(0.0 AS DOUBLE)"
 
 
-def _cusum_oracle_sql() -> str:
-    """streaming_cusum_traces oracle: the CUSUM recurrence alone (see
-    _ensemble_oracle_sql for the machinery notes — stream-indexed
-    numerator quirk, trailing-window re-estimation, burn-in gates)."""
-    z = "CAST(0.0 AS DOUBLE)"
-    cd = "CAST(0.005 AS DOUBLE)"
-    return f"""
-        WITH RECURSIVE
-        vals AS (
-          SELECT (user_id % 8)::VARCHAR AS grp, value::DOUBLE AS v,
-                 row_number() OVER (PARTITION BY user_id % 8
-                                    ORDER BY event_id) AS rn
-          FROM events),
-        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp),
-        rec AS (
-          SELECT grp, 1 AS rn,
-                 CAST(1 AS BIGINT) AS cn, CAST(NULL AS DOUBLE) AS tgt,
-                 CAST(NULL AS DOUBLE) AS sd, {z} AS up, {z} AS lo,
-                 false AS calarm, CAST(0 AS BIGINT) AS nd
-          FROM vals WHERE rn = 1
-          UNION ALL
-          SELECT r.grp, r.rn + 1,
-                 CAST(c1.cn2 AS BIGINT), c2.tgt2, c2.sd2, c3.up2, c3.lo2,
-                 c4.calarm2,
-                 r.nd + (CASE WHEN c4.calarm2 THEN 1 ELSE 0 END)
-          FROM rec r
-          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,
-          LATERAL (SELECT CASE WHEN r.calarm THEN 1 ELSE r.cn + 1 END AS cn2) c1,
-          LATERAL (
-            SELECT
-              CASE WHEN r.calarm THEN
-                     (SELECT avg(w.v) FROM vals w
-                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
-                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
-                     (SELECT avg(w.v) FROM vals w
-                      WHERE w.grp = r.grp AND w.rn <= 30)
-                   ELSE r.tgt END AS tgt2,
-              CASE WHEN r.calarm THEN
-                     (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
-                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))
-                        * (w.v - (SELECT avg(w2.v) FROM vals w2
-                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))))
-                      FROM vals w
-                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
-                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
-                     (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
-                        WHERE w2.grp = r.grp AND w2.rn <= 30))
-                        * (w.v - (SELECT avg(w2.v) FROM vals w2
-                        WHERE w2.grp = r.grp AND w2.rn <= 30))))
-                      FROM vals w WHERE w.grp = r.grp AND w.rn <= 30)
-                   ELSE r.sd END AS sd2) c2,
-          LATERAL (
-            SELECT
-              CASE WHEN c2.tgt2 IS NULL THEN {z}
-                   ELSE greatest({z},
-                     (CASE WHEN r.calarm THEN {z} ELSE r.up END)
-                     + (((SELECT w.v FROM vals w
-                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
-                        / c2.sd2) - {cd}) END AS up2,
-              CASE WHEN c2.tgt2 IS NULL THEN {z}
-                   ELSE greatest({z},
-                     (CASE WHEN r.calarm THEN {z} ELSE r.lo END)
-                     - {cd}
-                     - (((SELECT w.v FROM vals w
-                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
-                        / c2.sd2)) END AS lo2) c3,
-          LATERAL (SELECT (c1.cn2 > 30
-                           AND (c3.up2 > 50 OR c3.lo2 > 50)) AS calarm2) c4)
-        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift
-        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
-        ORDER BY "group"
-    """
+def _ph_fragments(x: str):
+    """Page-Hinkley recurrence as recursive-CTE fragments (init column
+    list + LATERAL let-chain), alias-prefixed by ``x`` so the
+    standalone and ensemble oracles share ONE copy of the kernel's
+    exact float expression order (expanding mean, s += v - mean -
+    delta, running min, theta = threshold * mean, burn-in gate, full
+    reset after an alarm row). State columns: {x}n, {x}mean, {x}s,
+    {x}mn, {x}alarm."""
+    z, d = _Z, "CAST(0.01 AS DOUBLE)"
+    init = (f"CAST(1 AS BIGINT) AS {x}n, v AS {x}mean, (v - v - {d}) AS {x}s, "
+            f"least({z}, v - v - {d}) AS {x}mn, false AS {x}alarm")
+    step_cols = (f"CAST({x}1.n2 AS BIGINT), {x}2.mean2, {x}3.s2, {x}4.mn2, "
+                 f"{x}5.alarm2")
+    lateral = f"""
+          LATERAL (SELECT CASE WHEN r.{x}alarm THEN 1 ELSE r.{x}n + 1 END AS n2) {x}1,
+          LATERAL (SELECT (CASE WHEN r.{x}alarm THEN {z} ELSE r.{x}mean END)
+                          + (v.v - (CASE WHEN r.{x}alarm THEN {z} ELSE r.{x}mean END))
+                            / {x}1.n2 AS mean2) {x}2,
+          LATERAL (SELECT (CASE WHEN r.{x}alarm THEN {z} ELSE r.{x}s END)
+                          + (v.v - {x}2.mean2 - {d}) AS s2) {x}3,
+          LATERAL (SELECT least(CASE WHEN r.{x}alarm THEN {z} ELSE r.{x}mn END,
+                                {x}3.s2) AS mn2) {x}4,
+          LATERAL (SELECT (({x}3.s2 - {x}4.mn2) > (20 * {x}2.mean2)
+                           AND {x}1.n2 > 30) AS alarm2) {x}5"""
+    return init, step_cols, lateral, f"{x}5.alarm2"
 
 
-def _ensemble_oracle_sql() -> str:
-    """streaming_ensemble_events oracle: CUSUM + PageHinkley replayed
-    jointly per group in one recursive CTE, reduced per row by the
-    MinimumApprovalElection(2) (both members in drift state). The
-    CUSUM recurrence reproduces the reference's stream-indexed quirk
-    (after a member reset, the z-score numerator indexes the GLOBAL
-    stream at samples_since_reset - 1 — detectors.py CUSUM.update), the
+def _cusum_fragments(x: str):
+    """CUSUM recurrence fragments (same sharing contract as
+    :func:`_ph_fragments`), reproducing the reference's stream-indexed
+    numerator quirk (after a member reset the z-score numerator indexes
+    the GLOBAL stream at samples_since_reset - 1), the
     trailing-burn_in target/sd re-estimation, and the burn-in gates.
     Mean/std windows use SQL aggregation order (numpy uses pairwise
     summation) — a ~1e-16 relative difference that cannot move the
-    integer outputs except on exact threshold ties."""
-    z = "CAST(0.0 AS DOUBLE)"
-    d = "CAST(0.01 AS DOUBLE)"       # PH delta
-    cd = "CAST(0.005 AS DOUBLE)"     # CUSUM delta
-    return f"""
-        WITH RECURSIVE
-        vals AS (
-          SELECT (user_id % 8)::VARCHAR AS grp, value::DOUBLE AS v,
-                 row_number() OVER (PARTITION BY user_id % 8
-                                    ORDER BY event_id) AS rn
-          FROM events),
-        cnts AS (SELECT grp, max(rn) AS mx FROM vals GROUP BY grp),
-        rec AS (
-          SELECT grp, 1 AS rn,
-                 CAST(1 AS BIGINT) AS pn, v AS pmean, (v - v - {d}) AS ps,
-                 least({z}, v - v - {d}) AS pmn, false AS palarm,
-                 CAST(1 AS BIGINT) AS cn, CAST(NULL AS DOUBLE) AS tgt,
-                 CAST(NULL AS DOUBLE) AS sd, {z} AS up, {z} AS lo,
-                 false AS calarm,
-                 CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS mm
-          FROM vals WHERE rn = 1
-          UNION ALL
-          SELECT r.grp, r.rn + 1,
-                 CAST(p1.n2 AS BIGINT), p2.mean2, p3.s2, p4.mn2, p5.alarm2,
-                 CAST(c1.cn2 AS BIGINT), c2.tgt2, c2.sd2, c3.up2, c3.lo2,
-                 c4.calarm2,
-                 r.nd + (CASE WHEN p5.alarm2 AND c4.calarm2 THEN 1 ELSE 0 END),
-                 greatest(r.mm, (CASE WHEN p5.alarm2 THEN 1 ELSE 0 END)
-                                + (CASE WHEN c4.calarm2 THEN 1 ELSE 0 END))
-          FROM rec r
-          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,
-          LATERAL (SELECT CASE WHEN r.palarm THEN 1 ELSE r.pn + 1 END AS n2) p1,
-          LATERAL (SELECT (CASE WHEN r.palarm THEN {z} ELSE r.pmean END)
-                          + (v.v - (CASE WHEN r.palarm THEN {z} ELSE r.pmean END))
-                            / p1.n2 AS mean2) p2,
-          LATERAL (SELECT (CASE WHEN r.palarm THEN {z} ELSE r.ps END)
-                          + (v.v - p2.mean2 - {d}) AS s2) p3,
-          LATERAL (SELECT least(CASE WHEN r.palarm THEN {z} ELSE r.pmn END,
-                                p3.s2) AS mn2) p4,
-          LATERAL (SELECT ((p3.s2 - p4.mn2) > (20 * p2.mean2)
-                           AND p1.n2 > 30) AS alarm2) p5,
-          LATERAL (SELECT CASE WHEN r.calarm THEN 1 ELSE r.cn + 1 END AS cn2) c1,
+    integer outputs except on exact threshold ties. State columns:
+    {x}n, {x}tgt, {x}sd, {x}up, {x}lo, {x}alarm."""
+    z, cd = _Z, "CAST(0.005 AS DOUBLE)"
+    init = (f"CAST(1 AS BIGINT) AS {x}n, CAST(NULL AS DOUBLE) AS {x}tgt, "
+            f"CAST(NULL AS DOUBLE) AS {x}sd, {z} AS {x}up, {z} AS {x}lo, "
+            f"false AS {x}alarm")
+    step_cols = (f"CAST({x}1.cn2 AS BIGINT), {x}2.tgt2, {x}2.sd2, {x}3.up2, "
+                 f"{x}3.lo2, {x}4.calarm2")
+    win30 = f"w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn"
+    win30i = f"w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn"
+    lateral = f"""
+          LATERAL (SELECT CASE WHEN r.{x}alarm THEN 1 ELSE r.{x}n + 1 END AS cn2) {x}1,
           LATERAL (
             SELECT
-              CASE WHEN r.calarm THEN
-                     (SELECT avg(w.v) FROM vals w
-                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
-                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
+              CASE WHEN r.{x}alarm THEN
+                     (SELECT avg(w.v) FROM vals w WHERE {win30})
+                   WHEN r.{x}tgt IS NULL AND {x}1.cn2 = 30 THEN
                      (SELECT avg(w.v) FROM vals w
                       WHERE w.grp = r.grp AND w.rn <= 30)
-                   ELSE r.tgt END AS tgt2,
-              CASE WHEN r.calarm THEN
+                   ELSE r.{x}tgt END AS tgt2,
+              CASE WHEN r.{x}alarm THEN
                      (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
-                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))
+                        WHERE {win30i}))
                         * (w.v - (SELECT avg(w2.v) FROM vals w2
-                        WHERE w2.grp = r.grp AND w2.rn BETWEEN r.rn - 29 AND r.rn))))
-                      FROM vals w
-                      WHERE w.grp = r.grp AND w.rn BETWEEN r.rn - 29 AND r.rn)
-                   WHEN r.tgt IS NULL AND c1.cn2 = 30 THEN
+                        WHERE {win30i}))))
+                      FROM vals w WHERE {win30})
+                   WHEN r.{x}tgt IS NULL AND {x}1.cn2 = 30 THEN
                      (SELECT sqrt(avg((w.v - (SELECT avg(w2.v) FROM vals w2
                         WHERE w2.grp = r.grp AND w2.rn <= 30))
                         * (w.v - (SELECT avg(w2.v) FROM vals w2
                         WHERE w2.grp = r.grp AND w2.rn <= 30))))
                       FROM vals w WHERE w.grp = r.grp AND w.rn <= 30)
-                   ELSE r.sd END AS sd2) c2,
+                   ELSE r.{x}sd END AS sd2) {x}2,
           LATERAL (
             SELECT
-              CASE WHEN c2.tgt2 IS NULL THEN {z}
+              CASE WHEN {x}2.tgt2 IS NULL THEN {z}
                    ELSE greatest({z},
-                     (CASE WHEN r.calarm THEN {z} ELSE r.up END)
+                     (CASE WHEN r.{x}alarm THEN {z} ELSE r.{x}up END)
                      + (((SELECT w.v FROM vals w
-                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
-                        / c2.sd2) - {cd}) END AS up2,
-              CASE WHEN c2.tgt2 IS NULL THEN {z}
+                          WHERE w.grp = r.grp AND w.rn = {x}1.cn2) - {x}2.tgt2)
+                        / {x}2.sd2) - {cd}) END AS up2,
+              CASE WHEN {x}2.tgt2 IS NULL THEN {z}
                    ELSE greatest({z},
-                     (CASE WHEN r.calarm THEN {z} ELSE r.lo END)
+                     (CASE WHEN r.{x}alarm THEN {z} ELSE r.{x}lo END)
                      - {cd}
                      - (((SELECT w.v FROM vals w
-                          WHERE w.grp = r.grp AND w.rn = c1.cn2) - c2.tgt2)
-                        / c2.sd2)) END AS lo2) c3,
-          LATERAL (SELECT (c1.cn2 > 30
-                           AND (c3.up2 > 50 OR c3.lo2 > 50)) AS calarm2) c4)
-        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift,
-               CAST(r.mm AS DOUBLE) AS max_members_alarming
+                          WHERE w.grp = r.grp AND w.rn = {x}1.cn2) - {x}2.tgt2)
+                        / {x}2.sd2)) END AS lo2) {x}3,
+          LATERAL (SELECT ({x}1.cn2 > 30
+                           AND ({x}3.up2 > 50 OR {x}3.lo2 > 50)) AS calarm2) {x}4"""
+    return init, step_cols, lateral, f"{x}4.calarm2"
+
+
+def _trace_oracle_sql(kernels: list[str]) -> str:
+    """Assemble a per-group streaming-trace oracle from the shared
+    recurrence fragments. ``kernels``: ["ph"], ["cusum"], or both
+    (both => MinimumApprovalElection(2): a drift row needs EVERY
+    member alarming, and max_members_alarming is tracked)."""
+    frs = [(_ph_fragments if k == "ph" else _cusum_fragments)(k[0]) for k in kernels]
+    init_cols = ", ".join(f[0] for f in frs)
+    step_cols = ", ".join(f[1] for f in frs)
+    laterals = ",".join(f[2] for f in frs)
+    alarms = [f[3] for f in frs]
+    fired = " AND ".join(alarms)
+    members = " + ".join(f"(CASE WHEN {a} THEN 1 ELSE 0 END)" for a in alarms)
+    ens = len(kernels) > 1
+    mm_init = ", CAST(0 AS BIGINT) AS mm" if ens else ""
+    mm_step = f", greatest(r.mm, {members})" if ens else ""
+    mm_sel = ", CAST(r.mm AS DOUBLE) AS max_members_alarming" if ens else ""
+    return f"""
+        WITH RECURSIVE
+        {_ORACLE_VALS_CTE.strip()},
+        rec AS (
+          SELECT grp, 1 AS rn, {init_cols},
+                 CAST(0 AS BIGINT) AS nd{mm_init}
+          FROM vals WHERE rn = 1
+          UNION ALL
+          SELECT r.grp, r.rn + 1, {step_cols},
+                 r.nd + (CASE WHEN {fired} THEN 1 ELSE 0 END){mm_step}
+          FROM rec r
+          JOIN vals v ON v.grp = r.grp AND v.rn = r.rn + 1,{laterals})
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift{mm_sel}
         FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
         ORDER BY "group"
     """
+
+
+def _ph_oracle_sql() -> str:
+    """streaming_traces oracle: Page-Hinkley replayed step-per-row in
+    a recursive CTE (see _ph_fragments) — bit-identical doubles, exact
+    per-group (n, n_drift)."""
+    return _trace_oracle_sql(["ph"])
+
+
+def _cusum_oracle_sql() -> str:
+    """streaming_cusum_traces oracle (see _cusum_fragments)."""
+    return _trace_oracle_sql(["cusum"])
+
+
+def _ensemble_oracle_sql() -> str:
+    """streaming_ensemble_events oracle: joint CUSUM + PH replay
+    reduced per row by MinimumApprovalElection(2) — both members in
+    drift state (see _ph_fragments / _cusum_fragments)."""
+    return _trace_oracle_sql(["cusum", "ph"])
 
 
 def _kmeans_neardup_oracle() -> str | None:

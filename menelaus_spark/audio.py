@@ -167,48 +167,62 @@ def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     return np.concatenate([[rms, zcr, peak, dc], band_power]).astype(np.float32)
 
 
-def features_for_batch(bufs, codecs, quality: bool = False) -> np.ndarray:
+def features_for_batch(bufs, codecs, quality: bool = False,
+                       byte_len: bool = False) -> np.ndarray:
     """Vectorized-over-batch feature extraction for a pandas UDF body.
 
-    Returns an (n, N_FEATURES) float32 matrix — (n, N_FEATURES +
-    N_QUALITY) with ``quality=True``, appending :func:`quality_metrics`
-    computed from the same decoded buffer. Decode failures yield a NaN
-    row (surfaced as violation rows by the decode-integrity check,
-    never as a UDF crash).
+    Returns an (n, N_FEATURES) float32 matrix; ``quality=True``
+    appends :func:`quality_metrics` + the payload byte length
+    (N_QUALITY extra columns); ``byte_len=True`` alone appends ONLY
+    the byte-length column — the payload-size check without the
+    quality kernels' per-clip frame-RMS cost. Decode failures yield a
+    NaN row — which the Arrow boundary delivers to Spark as NULLs, so
+    engine-side filters must be null-robust (runner._f0_clean) — and is
+    surfaced as violation rows by the decode-integrity check, never as
+    a UDF crash.
     """
-    width = N_FEATURES + (N_QUALITY if quality else 0)
+    width = N_FEATURES + (N_QUALITY if quality else (1 if byte_len else 0))
+    want_len = quality or byte_len
     out = np.empty((len(bufs), width), dtype=np.float32)
     for i, (buf, codec) in enumerate(zip(bufs, codecs)):
-        buf = bytes(buf)
         try:
+            # bytes() stays INSIDE the try: a null payload must become
+            # a NaN decode-integrity row, never a UDF crash
+            buf = bytes(buf)
             sr, pcm = decode_clip(buf, codec)
             out[i, :N_FEATURES] = extract_features(pcm, sr)
             if quality:
                 out[i, N_FEATURES:-1] = quality_metrics(pcm, sr)
         except Exception:
             out[i] = np.nan
-        if quality:
+        if want_len and isinstance(buf, bytes):
             # payload length is knowable even when decode fails — the
             # payload-size check rides this column so the binary column
-            # is never re-read by the constraint aggregation
+            # is never re-read by the constraint aggregation. Null
+            # payloads keep NaN (mirrors the fallback path's
+            # isNotNull guard, so both paths' statistics agree)
             out[i, -1] = len(buf)
     return out
 
 
 def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
                 codec_col: str = "codec", carry_cols: tuple[str, ...] = (),
-                quality: bool = False):
+                quality: bool = False, byte_len: bool = False):
     """(key, f0..f11[, q_*]) feature DataFrame via mapInPandas — the
     Arrow-batched decode + feature path (no per-row Python in the plan;
     the numpy kernel runs per Arrow batch). Only (key, bytes, codec)
     are read: Catalyst prunes every other column, so the huge binary
     column is the only heavy input and it never shuffles.
-    ``quality=True`` appends the QUALITY_COLS from the same decode."""
+    ``quality=True`` appends the QUALITY_COLS from the same decode;
+    ``byte_len=True`` alone appends only q_byte_len (payload-size
+    check without the quality kernels)."""
     import pandas as pd
 
     feature_cols = [f"f{i}" for i in range(N_FEATURES)]
     if quality:
         feature_cols += list(QUALITY_COLS)
+    elif byte_len:
+        feature_cols += [QUALITY_COLS[-1]]
     carry_types = dict(df.dtypes)
     head = f"{key_col} string"
     for c in carry_cols:
@@ -218,7 +232,8 @@ def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
     def extract(batches):
         for pdf in batches:
             mat = features_for_batch(
-                pdf[bytes_col].tolist(), pdf[codec_col].tolist(), quality=quality
+                pdf[bytes_col].tolist(), pdf[codec_col].tolist(),
+                quality=quality, byte_len=byte_len,
             )
             out = pd.DataFrame(mat.astype(np.float64), columns=feature_cols)
             for c in reversed(carry_cols):

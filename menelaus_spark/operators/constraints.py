@@ -123,18 +123,26 @@ def transcript_rate_violations(df: DataFrame, transcript_col: str, dur_col: str,
     )
 
 
-def payload_size_cond(bytes_col: str, sr_col: str, dur_col: str, tol_frac: float):
-    """True when the binary payload's length is inconsistent with the
-    (sr_hz, dur_ms) metadata for a PCM16-WAV container: expected =
-    44-byte header + 2 bytes x round(dur_ms * sr_hz / 1000) samples.
-    Catches truncated/padded/corrupt payloads WITHOUT decoding —
-    length(binary) is a JVM-side O(1) metadata read per row, so this
-    also rides the fused constraint aggregation. tol_frac absorbs
-    rounding-mode differences (floor 4 bytes)."""
+def payload_expected_and_tol(sr_col: str, dur_col: str, tol_frac: float):
+    """(expected byte length, tolerance) for a PCM16-WAV payload:
+    expected = 44-byte header + 2 bytes x round(dur_ms * sr_hz / 1000)
+    samples; tolerance absorbs rounding-mode differences (floor 4
+    bytes). ONE definition shared by the fused-aggregation fallback
+    (length(bytes)) and the decode-pass path (q_byte_len) — the
+    statistic-parity contract between the two paths depends on it."""
     expected = 44.0 + 2.0 * F.round(
         F.col(dur_col).cast("double") * F.col(sr_col).cast("double") / 1000.0
     )
-    tol = F.greatest(F.lit(4.0), F.lit(tol_frac) * expected)
+    return expected, F.greatest(F.lit(4.0), F.lit(tol_frac) * expected)
+
+
+def payload_size_cond(bytes_col: str, sr_col: str, dur_col: str, tol_frac: float):
+    """True when the binary payload's length is inconsistent with the
+    (sr_hz, dur_ms) metadata. Catches truncated/padded/corrupt
+    payloads WITHOUT decoding — length(binary) is a JVM-side O(1)
+    metadata read per row, so this also rides the fused constraint
+    aggregation."""
+    expected, tol = payload_expected_and_tol(sr_col, dur_col, tol_frac)
     return (
         F.col(bytes_col).isNotNull()
         & (F.abs(F.length(F.col(bytes_col)).cast("double") - expected) > tol)

@@ -50,6 +50,17 @@ from menelaus_spark.verdicts import (
 KS_BINS = 1024
 
 
+def _f0_clean():
+    """Row decodes successfully. Decode failures arrive as NULL
+    through the Arrow boundary (pandas NaN -> null), so every filter
+    must be null-robust, not isnan-only."""
+    return F.col("f0").isNotNull() & ~F.isnan("f0")
+
+
+def _f0_bad():
+    return F.col("f0").isNull() | F.isnan("f0")
+
+
 def ks_critical(n: int, m: int, alpha: float = 0.05) -> float:
     """Two-sample KS critical value: c(alpha) * sqrt((n+m)/(n*m))."""
     c = float(np.sqrt(-np.log(alpha / 2.0) / 2.0))
@@ -163,7 +174,7 @@ class ValidationSuite:
         in fixed emission order — shared by both execution paths so
         verdict tables stay byte-identical."""
         out = []
-        clean = ~F.isnan("f0")
+        clean = _f0_clean()
         rules = self.quality_rules or {}
         if "clip_rate_max" in rules:
             out.append(("audio_clipping",
@@ -188,13 +199,17 @@ class ValidationSuite:
                         & ((hi / tot) < F.lit(rules["min_band_ratio"])),
                         F.round(hi / tot, 6).cast("string")))
         if self._payload_in_decode():
-            expected = 44.0 + 2.0 * F.round(
-                F.col(self.dur_col).cast("double") * F.col(self.sr_col).cast("double")
-                / 1000.0
+            expected, tol = C.payload_expected_and_tol(
+                self.sr_col, self.dur_col, self.payload_tol
             )
-            tol = F.greatest(F.lit(4.0), F.lit(self.payload_tol) * expected)
+            # explicit NULL/NaN guard: q_byte_len is missing for NULL
+            # payloads (mirroring the fallback path's isNotNull), and
+            # Spark sorts NaN ABOVE every double, so a bare > would
+            # flag such rows
             out.append(("payload_size",
-                        F.abs(F.col("q_byte_len") - expected) > tol,
+                        F.col("q_byte_len").isNotNull()
+                        & ~F.isnan("q_byte_len")
+                        & (F.abs(F.col("q_byte_len") - expected) > tol),
                         F.col("q_byte_len").cast("long").cast("string")))
         return out
 
@@ -493,11 +508,12 @@ class ValidationSuite:
             feats = audio.features_df(
                 part_df, key_col=self.key_col,
                 carry_cols=self._feats_carry_cols(with_part=False),
-                quality=self._quality_active(),
+                quality=self.quality_rules is not None,
+                byte_len=self._payload_in_decode(),
             ).persist()
             self._feats_cache = feats
         if self.kdq is not None:
-            clean = feats.filter(~F.isnan("f0")).select(
+            clean = feats.filter(_f0_clean()).select(
                 *[f"f{i}" for i in range(audio.N_FEATURES)]
             )
             if is_ref:
@@ -520,7 +536,7 @@ class ValidationSuite:
                                     statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
             if n_nan:
                 violations.append(
-                    feats.filter(F.isnan("f0"))
+                    feats.filter(_f0_bad())
                     .select(F.col(self.key_col).alias("row_key"))
                     .withColumn("value", F.lit(None).cast("string"))
                     .withColumn("reason", F.lit("decode_integrity"))
@@ -567,7 +583,7 @@ class ValidationSuite:
             if ref_pk is not None:
                 part = df.filter(F.col(self.partition_col) == self._pk_value(df, ref_pk))
                 ref_df = audio.features_df(part, key_col=self.key_col).filter(
-                    ~F.isnan("f0")
+                    _f0_clean()
                 ).drop(self.key_col)
             self.kdq.set_state(states["kdq_tree"], ref_data=ref_df)
             self._kdq_ref_pk = ref_pk
@@ -842,10 +858,10 @@ class ValidationSuite:
         if feats is not None and pk in todo:
             return feats.filter(
                 F.col(self.partition_col).cast("string") == pk
-            ).filter(~F.isnan("f0")).select(*fcols)
+            ).filter(_f0_clean()).select(*fcols)
         part = df.filter(F.col(self.partition_col) == self._pk_value(df, pk))
         return audio.features_df(part, key_col=self.key_col).filter(
-            ~F.isnan("f0")
+            _f0_clean()
         ).select(*fcols)
 
     def _kdq_build_tree(self, clean_part_feats: DataFrame):
@@ -887,11 +903,12 @@ class ValidationSuite:
             feats = audio.features_df(
                 scoped, key_col=self.key_col,
                 carry_cols=self._feats_carry_cols(with_part=True),
-                quality=self._quality_active(),
+                quality=self.quality_rules is not None,
+                byte_len=self._payload_in_decode(),
             ).persist()
             self._feats_cache = feats
         if self.kdq is not None:
-            clean = feats.filter(~F.isnan("f0"))
+            clean = feats.filter(_f0_clean())
             if self.kdq._tree is None:
                 tree = self._kdq_build_tree(
                     self._kdq_clean_feats_for(df, feats, todo[0], todo)
@@ -955,7 +972,7 @@ class ValidationSuite:
                     # one recount pass for the drifted reference + all
                     # not-yet-decided partitions under the new tree
                     scope = ([ref_pk] if ref_pk in todo else []) + todo[i:]
-                    clean = feats.filter(~F.isnan("f0"))
+                    clean = feats.filter(_f0_clean())
                     recount = self._kdq_counts_by_part(
                         clean.filter(F.col(self.partition_col).cast("string").isin(scope)),
                         tree, scope,
@@ -989,7 +1006,7 @@ class ValidationSuite:
                     violations.append(
                         feats.filter(
                             (F.col(self.partition_col).cast("string") == pk)
-                            & F.isnan("f0")
+                            & _f0_bad()
                         )
                         .select(F.col(self.key_col).alias("row_key"))
                         .withColumn("value", F.lit(None).cast("string"))

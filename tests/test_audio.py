@@ -128,13 +128,21 @@ def test_features_for_batch_quality_and_byte_len():
     pcm = (np.sin(np.arange(sr) / 20.0) * 15000).astype(np.int16)
     good = audio.wav_encode(pcm, sr)
     bad = b"not-a-wav-payload"
-    mat = audio.features_for_batch([good, bad], ["pcm", "opus"], quality=True)
-    assert mat.shape == (2, audio.N_FEATURES + audio.N_QUALITY)
+    mat = audio.features_for_batch([good, bad, None], ["pcm", "opus", "pcm"],
+                                   quality=True)
+    assert mat.shape == (3, audio.N_FEATURES + audio.N_QUALITY)
     assert np.isfinite(mat[0]).all()
     # decode failure: features NaN, but payload length still known
     assert np.isnan(mat[1, : audio.N_FEATURES]).all()
     assert mat[1, -1] == len(bad)
     assert mat[0, -1] == len(good)
+    # NULL payload: never a UDF crash; full-NaN row incl. byte_len
+    # (mirrors the fallback path's isNotNull guard)
+    assert np.isnan(mat[2]).all()
+    # byte_len-only mode: one extra column, no quality kernels needed
+    m2 = audio.features_for_batch([good, None], ["pcm", "pcm"], byte_len=True)
+    assert m2.shape == (2, audio.N_FEATURES + 1)
+    assert m2[0, -1] == len(good) and np.isnan(m2[1, -1])
 
 
 def test_vad_segments(spark):

@@ -238,3 +238,33 @@ def test_payload_fallback_without_decode_pass(spark, tmp_path, depth_df):
     for pk in map(str, range(6)):
         assert (d[(pk, "payload_size")]["statistic"]
                 == v[(pk, "payload_size")]["statistic"])
+
+
+def test_decode_failure_rows_flow_through_suite(spark, tmp_path):
+    """Decode failures reach Spark as NULL feature rows (the Arrow
+    boundary maps pandas NaN to null) — regression test for the
+    null-robust _f0_clean/_f0_bad predicates: a NULL payload in the
+    REFERENCE partition must not crash the kdq tree build, and
+    undecodable clips must fail decode_integrity with violation rows,
+    identically in both execution paths."""
+    pdf = tables.audio_table(spark, n_rows=200, n_parts=2, drift={}).toPandas()
+    pdf.loc[0, "bytes"] = None                    # NULL payload, ref partition
+    idx = pdf[pdf["part"] == 1].index[:5]
+    pdf.loc[idx, "bytes"] = b"corrupt-not-a-wav"  # undecodable, partition 1
+    df = spark.createDataFrame(pdf)
+
+    results = {}
+    for mode, vec in [("vec", True), ("seq", False)]:
+        suite = _suite(spark, tmp_path, f"decfail_{mode}",
+                       quality_rules={"clip_rate_max": 0.05}, payload_tol=0.02)
+        v, viol = suite.run(df, vectorized=vec)
+        r = {(x["partition_key"], x["check_name"]): x for x in v.collect()}
+        results[mode] = (
+            r[("0", "decode_integrity")]["state"],
+            r[("0", "decode_integrity")]["statistic"],
+            r[("1", "decode_integrity")]["statistic"],
+            r[("1", "payload_size")]["statistic"],
+            viol.filter(F.col("check_name") == "decode_integrity").count(),
+        )
+    assert results["vec"] == results["seq"]
+    assert results["vec"] == ("fail", 1.0, 5.0, 5.0, 6)

@@ -91,12 +91,14 @@ def main():
     r.add_argument("--input", required=True)
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--output", default=None)
-    r.add_argument("--audio-schema", action="store_true", default=True)
+    r.add_argument("--audio-schema", action=argparse.BooleanOptionalAction, default=True)
     r.add_argument("--null-rate-max", type=float, default=0.2)
     r.add_argument("--kdq-count-ubound", type=int, default=200)
     r.add_argument("--kdq-bootstrap", type=int, default=200)
-    r.add_argument("--audio-depth", action="store_true", default=True,
-                   help="clipping/silence/bandwidth/transcript-rate/payload checks")
+    r.add_argument("--audio-depth", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="clipping/silence/bandwidth/transcript-rate/payload "
+                        "checks (disable with --no-audio-depth)")
     r.add_argument("--cps-lo", type=float, default=1.0)
     r.add_argument("--cps-hi", type=float, default=60.0)
     r.add_argument("--payload-tol", type=float, default=0.02)
