@@ -795,6 +795,14 @@ def _lineitem_year_batches(spark, sf_dir):
 _LI_DRIFT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
+def _small_proj_partitions(spark) -> int:
+    """Partition bound for pinned tiny projections: cap task count at
+    the session's parallelism instead of a hard 8 (the r03 constant
+    needlessly clamped parallelism on bigger inputs; coalesce never
+    increases partitions, so small local inputs are unaffected)."""
+    return max(8, spark.sparkContext.defaultParallelism)
+
+
 def _lineitem_year_proj(spark, sf_dir):
     """Pinned (yr, 3 numeric cols) projection + its year list: the
     per-year batch filters of the drift-sequence queries must not each
@@ -802,7 +810,7 @@ def _lineitem_year_proj(spark, sf_dir):
     li, years = _lineitem_year_batches(spark, sf_dir)
     proj = li.select(
         "yr", *[F.col(c).cast("double").alias(c) for c in _LI_DRIFT_COLS]
-    ).coalesce(8).persist()
+    ).coalesce(_small_proj_partitions(spark)).persist()
     return proj, years
 
 
@@ -969,7 +977,7 @@ def q_cdbd_example_confidence(spark, sf_dir):
     # mapInPandas pass, so per-year filters must not re-generate it
     df = tables.make_example_batch_data(spark, year_size=1500).select(
         "year", "confidence"
-    ).coalesce(8).persist()
+    ).coalesce(_small_proj_partitions(spark)).persist()
     sums = _batch_summaries(df, "year", ["confidence"])
     years = sorted(sums)
     det = CDBD(detect_batch=2, seed=42)
@@ -1041,7 +1049,7 @@ def q_cdbd_events_value(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.floor((F.dayofmonth("ts") - 1) / 3).cast("int").alias("bkt"),
         F.col("value").cast("double").alias("value"),
-    ).coalesce(8).persist()
+    ).coalesce(_small_proj_partitions(spark)).persist()
     sums = _batch_summaries(ev, "bkt", ["value"])
     bkts = sorted(sums)
     det = CDBD(detect_batch=3, statistic="stdev", seed=42)

@@ -241,9 +241,11 @@ def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
             out.insert(0, key_col, pdf[key_col].to_numpy())
             yield out
 
-    return df.select(key_col, *carry_cols, bytes_col, codec_col).mapInPandas(
-        extract, schema=schema
-    )
+    # carry_cols may include codec (payload-codec gating) — dedupe so
+    # the projection never carries the same column twice
+    sel = [key_col, *carry_cols]
+    sel += [c for c in (bytes_col, codec_col) if c not in sel]
+    return df.select(*sel).mapInPandas(extract, schema=schema)
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:

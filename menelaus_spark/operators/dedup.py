@@ -388,11 +388,15 @@ def embedding_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     id_dtype = df.schema[id_col].dataType.simpleString()
-    out_schema = f"id_a {id_dtype}, id_b {id_dtype}"
+    out_schema = (
+        f"id_a {id_dtype}, id_b {id_dtype}, "
+        "__va array<double>, __vb array<double>"
+    )
     slack = 1e-6
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["__id"].to_numpy()
+        vecs = pdf["__v"].to_numpy()
         mat = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0] = 1.0  # zero vectors -> cosine 0 with all
@@ -404,19 +408,22 @@ def embedding_neardup_pairs(
         iu, ju = np.triu_indices(len(ids), k=1)
         c = cos[iu, ju]
         keep = c >= threshold - slack
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        swap = ia > ib  # emit with id_a < id_b regardless of row order
-        ia[swap], ib[swap] = ib[swap], ia[swap]
-        return pd.DataFrame({"id_a": ia, "id_b": ib})
+        ia_idx, ib_idx = iu[keep], ju[keep]
+        swap = ids[ia_idx] > ids[ib_idx]  # emit id_a < id_b always
+        a_idx = np.where(swap, ib_idx, ia_idx)
+        b_idx = np.where(swap, ia_idx, ib_idx)
+        # candidate pairs carry their own vectors out of the kernel, so
+        # the bit-stable re-verify below never joins (or shuffles) the
+        # full vector table — the r03 verify path joined two full
+        # projections of the corpus by id just to fetch a few thousand
+        # candidate vectors the GEMM already had in memory
+        return pd.DataFrame({"id_a": ids[a_idx], "id_b": ids[b_idx],
+                             "__va": vecs[a_idx], "__vb": vecs[b_idx]})
 
     cands = s.groupBy("__blk").applyInPandas(kernel, out_schema)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb"))
     cos6 = F.round(cosine_cols(F.col("__va"), F.col("__vb")) * F.lit(1e6)) / F.lit(1e6)
     return (
-        cands.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .withColumn("cosine", cos6)
+        cands.withColumn("cosine", cos6)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -515,6 +522,7 @@ def kmeans_blocks(
     out = df.withColumn(
         "block", _assign_col(C0)(F.col(vec_col).cast("array<double>")).cast("string")
     ).persist()
+    spark = df.sparkSession
     for round_i in range(max_split_rounds):
         oversized = (
             out.groupBy("block").count()
@@ -523,26 +531,70 @@ def kmeans_blocks(
         )
         if not oversized:
             break
-        nxt = out
-        for r in oversized:
-            blk, size = r["block"], int(r["count"])
-            k_sub = int(np.ceil(size / max_block_size)) + 1
-            cell = out.filter(F.col("block") == blk)
-            Cs = _lloyd(_sample(cell, size), k_sub, n_iters,
-                        seed + 7919 * (round_i + 1))
-            if len(Cs) < 2:
-                sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(k_sub)).cast("string")
-            else:
-                sub = _assign_col(Cs)(
-                    F.col(vec_col).cast("array<double>")
-                ).cast("string")
-            nxt = nxt.withColumn(
-                "block",
-                F.when(
-                    F.col("block") == blk, F.concat_ws(".", F.lit(blk), sub)
-                ).otherwise(F.col("block")),
-            )
-        old, out = out, nxt.persist()
+        # ALL oversized cells handled in one batch per round: one
+        # hash-Bernoulli sampling pass keyed by block (deterministic,
+        # partition-independent), driver-side Lloyd's per cell on the
+        # tiny samples, then ONE Arrow assignment pass with the
+        # per-cell centroid map in the UDF closure. Job count per
+        # round is O(1) in the number of oversized cells — the r03
+        # version launched a sample job per cell (a job storm with
+        # thousands of hot cells).
+        round_seed = seed + 7919 * (round_i + 1)
+        names = [r["block"] for r in oversized]
+        k_subs = {r["block"]: int(np.ceil(int(r["count"]) / max_block_size)) + 1
+                  for r in oversized}
+        fr_rows = [(r["block"],
+                    int(min(1.0, 1.05 * sample_cap / int(r["count"])) * 1_000_000))
+                   for r in oversized]
+        thr_df = spark.createDataFrame(fr_rows, "block string, __thr long")
+        hash_col = F.pmod(F.xxhash64(F.col(id_col), F.lit(round_seed)),
+                          F.lit(1_000_000))
+        samp = (
+            out.join(F.broadcast(thr_df), "block")
+            .filter(hash_col < F.col("__thr"))
+            .select("block", F.col(vec_col).cast("array<double>").alias("__v"))
+            .toPandas()
+        )
+        cent_map = {}
+        for blk, g in samp.groupby("block"):
+            X = np.asarray(g["__v"].tolist(), dtype=np.float64)
+            cent_map[blk] = _lloyd(X, k_subs[blk], n_iters, round_seed)
+        k_map = dict(k_subs)
+
+        # factory binds THIS round's maps: the plan (and a cache-
+        # evicted recomputation) must not see a later round's centroids
+        # after the loop rebinds the local names
+        def _make_sub_udf(_cents: dict, _ks: dict):
+            @pandas_udf("string")
+            def sub_udf(blk: pd.Series, h: pd.Series, v: pd.Series) -> pd.Series:
+                res = np.empty(len(blk), dtype=object)
+                bvals = blk.to_numpy()
+                hvals = h.to_numpy()
+                for b in pd.unique(bvals):
+                    m = bvals == b
+                    C = _cents.get(b)
+                    if C is None or len(C) < 2:
+                        # point-mass fallback: deterministic hash split
+                        # (same pmod(xxhash64(id), k) as the r03 column)
+                        res[m] = (hvals[m] % _ks[b]).astype(str)
+                    else:
+                        M = np.asarray(v[m].tolist(), dtype=np.float64)
+                        D = M @ C.T
+                        D6 = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D)
+                        res[m] = np.argmax(D6, axis=1).astype(str)
+                return pd.Series(res)
+
+            return sub_udf
+
+        sub = _make_sub_udf(cent_map, k_map)(
+            F.col("block"), F.xxhash64(F.col(id_col)),
+            F.col(vec_col).cast("array<double>"))
+        old, out = out, out.withColumn(
+            "block",
+            F.when(F.col("block").isin(names),
+                   F.concat_ws(".", F.col("block"), sub))
+            .otherwise(F.col("block")),
+        ).persist()
         out.count()
         old.unpersist()
     # hard guarantee: any cell still over the cap (adversarial point

@@ -92,6 +92,8 @@ class ValidationSuite:
         global_uniqueness: bool = True,
         cps_bounds: tuple | None = None,
         payload_tol: float | None = None,
+        payload_codecs: tuple | None = None,
+        codec_col: str = "codec",
         quality_rules: dict | None = None,
         transcript_col: str = "transcript",
         dur_col: str = "dur_ms",
@@ -137,6 +139,14 @@ class ValidationSuite:
         #   {"clip_rate_max": .., "silence_ratio_max": ..}
         self.cps_bounds = cps_bounds
         self.payload_tol = payload_tol
+        # payload_expected_and_tol models the mono PCM16 44-byte-header
+        # WAV layout; on tables whose payloads are genuinely compressed
+        # (opus/mp3/...), restrict the check to container codecs via
+        # payload_codecs=("pcm","wav") so every compressed row isn't
+        # flagged. None (default) checks all rows — correct whenever
+        # the physical container is WAV regardless of the codec label.
+        self.payload_codecs = tuple(payload_codecs) if payload_codecs else None
+        self.codec_col = codec_col
         self.quality_rules = quality_rules or None
         self.transcript_col = transcript_col
         self.dur_col = dur_col
@@ -167,7 +177,16 @@ class ValidationSuite:
         carry = (self.partition_col,) if with_part else ()
         if self._payload_in_decode():
             carry += (self.sr_col, self.dur_col)
+            if self.payload_codecs is not None:
+                carry += (self.codec_col,)
         return carry
+
+    def _payload_codec_gate(self):
+        """Row predicate limiting the payload-size check to rows whose
+        codec names a PCM/WAV container (no-op when ungated)."""
+        if self.payload_codecs is None:
+            return F.lit(True)
+        return F.col(self.codec_col).isin(list(self.payload_codecs))
 
     def _quality_conds(self) -> list:
         """(check_name, row predicate over the feats frame, value expr)
@@ -209,6 +228,7 @@ class ValidationSuite:
             out.append(("payload_size",
                         F.col("q_byte_len").isNotNull()
                         & ~F.isnan("q_byte_len")
+                        & self._payload_codec_gate()
                         & (F.abs(F.col("q_byte_len") - expected) > tol),
                         F.col("q_byte_len").cast("long").cast("string")))
         return out
@@ -285,8 +305,9 @@ class ValidationSuite:
                 .cast("long")).alias("__cps_bad"))
         if self.payload_tol is not None and not self._payload_in_decode():
             aggs.append(F.sum(
-                C.payload_size_cond(self.bytes_col, self.sr_col, self.dur_col,
-                                    self.payload_tol)
+                (C.payload_size_cond(self.bytes_col, self.sr_col, self.dur_col,
+                                     self.payload_tol)
+                 & self._payload_codec_gate())
                 .cast("long")).alias("__paysize_bad"))
         # test-side min/max for the HDM + KS drift checks ride along in
         # the same pass (HDM consumes them via `precomputed`), plus
@@ -356,7 +377,8 @@ class ValidationSuite:
             if n_bad:
                 violations.append(
                     C.payload_size_violations(
-                        part_df, self.bytes_col, self.sr_col, self.dur_col,
+                        part_df.filter(self._payload_codec_gate()),
+                        self.bytes_col, self.sr_col, self.dur_col,
                         self.payload_tol, key=self.key_col)
                     .withColumn("reason", F.lit("payload_size"))
                 )
@@ -532,6 +554,21 @@ class ValidationSuite:
             # of `clean`, so n_nan = n_rows - sum(leaf counts). The
             # violation rows (clip ids) are only materialized on failure.
             n_nan = n_rows - n_clean
+            verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
+                                    statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
+            if n_nan:
+                violations.append(
+                    feats.filter(_f0_bad())
+                    .select(F.col(self.key_col).alias("row_key"))
+                    .withColumn("value", F.lit(None).cast("string"))
+                    .withColumn("reason", F.lit("decode_integrity"))
+                )
+        elif feats is not None:
+            # quality rules without kdq: the decode pass ran anyway, so
+            # undecodable clips (excluded from every quality condition
+            # by _f0_clean) must still get their own verdict — derived
+            # from a direct count of bad rows, no leaf totals needed
+            n_nan = int(feats.filter(_f0_bad()).count())
             verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
                                     statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
             if n_nan:
@@ -925,6 +962,14 @@ class ValidationSuite:
             # one grouped aggregation covers every partition's quality
             # violation counts (violation rows materialize lazily below)
             qcounts_by = self._quality_counts_by_part(feats, todo)
+        nan_by: dict = {}
+        if feats is not None and self.kdq is None:
+            # no kdq leaf totals to derive decode failures from — one
+            # grouped count of bad rows covers every partition
+            bad_rows = feats.groupBy(self.partition_col).agg(
+                F.sum(_f0_bad().cast("long")).alias("__bad")).collect()
+            got = {str(r[self.partition_col]): int(r["__bad"] or 0) for r in bad_rows}
+            nan_by = {pk: got.get(pk, 0) for pk in todo}
 
         # sequential decision loop over collected summaries
         for i, pk in enumerate(todo):
@@ -1000,6 +1045,20 @@ class ValidationSuite:
                                             statistic=self.kdq.test_dist,
                                             threshold=self.kdq._critical_dist, n_rows=n_rows))
                 n_nan = n_rows - n_clean
+                verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
+                                        statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
+                if n_nan:
+                    violations.append(
+                        feats.filter(
+                            (F.col(self.partition_col).cast("string") == pk)
+                            & _f0_bad()
+                        )
+                        .select(F.col(self.key_col).alias("row_key"))
+                        .withColumn("value", F.lit(None).cast("string"))
+                        .withColumn("reason", F.lit("decode_integrity"))
+                    )
+            elif feats is not None:
+                n_nan = nan_by[pk]
                 verdicts.append(Verdict(pk, "decode_integrity", PASS if n_nan == 0 else FAIL,
                                         statistic=float(n_nan), threshold=0.0, n_rows=n_rows))
                 if n_nan:

@@ -268,3 +268,57 @@ def test_decode_failure_rows_flow_through_suite(spark, tmp_path):
         )
     assert results["vec"] == results["seq"]
     assert results["vec"] == ("fail", 1.0, 5.0, 5.0, 6)
+
+
+def test_decode_integrity_without_kdq(spark, tmp_path):
+    """ADVICE r03: with quality_rules set but kdq disabled, the decode
+    pass still runs — undecodable clips (excluded from every quality
+    condition by _f0_clean) must get a decode_integrity verdict of
+    their own instead of silently passing the suite."""
+    pdf = tables.audio_table(spark, n_rows=200, n_parts=2, drift={}).toPandas()
+    idx = pdf[pdf["part"] == 1].index[:4]
+    pdf.loc[idx, "bytes"] = b"corrupt-not-a-wav"
+    df = spark.createDataFrame(pdf)
+
+    results = {}
+    for mode, vec in [("vec", True), ("seq", False)]:
+        suite = _suite(spark, tmp_path, f"nokdq_{mode}", kdq_features=False,
+                       quality_rules={"clip_rate_max": 0.05})
+        assert suite.kdq is None and suite._quality_active()
+        v, viol = suite.run(df, vectorized=vec)
+        r = {(x["partition_key"], x["check_name"]): x for x in v.collect()}
+        results[mode] = (
+            r[("0", "decode_integrity")]["state"],
+            r[("1", "decode_integrity")]["state"],
+            r[("1", "decode_integrity")]["statistic"],
+            viol.filter(F.col("check_name") == "decode_integrity").count(),
+        )
+    assert results["vec"] == results["seq"]
+    assert results["vec"] == ("pass", "fail", 4.0, 4)
+
+
+def test_payload_codec_gate(spark, tmp_path):
+    """ADVICE r03: payload_expected_and_tol models the PCM16-WAV
+    container; with payload_codecs=("pcm",) only pcm-labeled rows are
+    checked, so compressed-codec rows with padded payloads are not
+    flagged — identically in the fallback (no decode) and decode-pass
+    paths."""
+    df = tables.audio_table(spark, n_rows=200, n_parts=2,
+                            drift={1: {"pad_bytes": 4096}}, null_frac=0.0)
+    n_pcm_bad = df.filter((F.col("part") == 1) & (F.col("codec") == "pcm")).count()
+    assert 0 < n_pcm_bad < 100  # gate must actually exclude something
+
+    stats = {}
+    # fallback path (no decode pass at all) and decode-pass path
+    for name, kw in [
+        ("gate_fb", dict(kdq_features=False)),
+        ("gate_dec", dict(kdq_features=False,
+                          quality_rules={"clip_rate_max": 0.05})),
+    ]:
+        suite = _suite(spark, tmp_path, name, payload_tol=0.02,
+                       payload_codecs=("pcm",), **kw)
+        v, viol = suite.run(df)
+        r = {(x["partition_key"], x["check_name"]): x for x in v.collect()}
+        stats[name] = (r[("1", "payload_size")]["statistic"],
+                       viol.filter(F.col("check_name") == "payload_size").count())
+    assert stats["gate_fb"] == stats["gate_dec"] == (float(n_pcm_bad), n_pcm_bad)

@@ -60,6 +60,10 @@ def run(args) -> None:
                     "bootstrap_samples": args.kdq_bootstrap},
         cps_bounds=(args.cps_lo, args.cps_hi) if args.audio_depth else None,
         payload_tol=args.payload_tol if args.audio_depth else None,
+        payload_codecs=(
+            tuple(c.strip() for c in args.payload_codecs.split(",") if c.strip())
+            if (args.audio_depth and args.payload_codecs) else None
+        ),
         quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                        "min_band_ratio": 0.01} if args.audio_depth else None,
     )
@@ -98,7 +102,15 @@ def main():
     r.add_argument("--audio-depth", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="clipping/silence/bandwidth/transcript-rate/payload "
-                        "checks (disable with --no-audio-depth)")
+                        "checks (disable with --no-audio-depth). The "
+                        "payload-size check assumes a mono PCM16 WAV "
+                        "container (44-byte header + 2 bytes/sample); rows "
+                        "with other codec values are skipped per "
+                        "--payload-codecs")
+    r.add_argument("--payload-codecs", default="pcm,wav",
+                   help="comma-separated codec values whose payloads use "
+                        "the WAV container layout; only these rows get the "
+                        "payload-size check (empty string = check all rows)")
     r.add_argument("--cps-lo", type=float, default=1.0)
     r.add_argument("--cps-hi", type=float, default=60.0)
     r.add_argument("--payload-tol", type=float, default=0.02)
