@@ -674,6 +674,205 @@ def _ensemble_oracle_sql() -> str:
     return _trace_oracle_sql(["cusum", "ph"])
 
 
+# --------------------------------------------------------------------------
+# r04 detector oracles
+
+# the labeled stream _labeled_events builds, re-derived in pure SQL
+_LVALS_SQL = """
+        lvals AS (
+          SELECT grp, rn, mx, err, 1 - err AS correct
+          FROM (SELECT grp, rn, mx,
+                       CASE WHEN (eid * 1000003) % 100 <
+                            (CASE WHEN 2 * rn <= mx THEN 10 ELSE 35 END)
+                            THEN 1 ELSE 0 END AS err
+                FROM (SELECT (user_id % 8)::VARCHAR AS grp, event_id AS eid,
+                             row_number() OVER (PARTITION BY user_id % 8
+                                                ORDER BY event_id) AS rn,
+                             count(*) OVER (PARTITION BY user_id % 8) AS mx
+                      FROM events))),
+        cnts AS (SELECT grp, max(rn) AS mx FROM lvals GROUP BY grp)"""
+
+_INF = "CAST('infinity' AS DOUBLE)"
+
+
+def _ddm_oracle_sql() -> str:
+    """DDM recurrence as a recursive CTE: expanding error rate,
+    sqrt-reused std accumulator, joint (rate_min, std_min) tracking,
+    warn/drift scales over the current std — exactly the engine
+    kernel's float expression order (detectors.py DDM / reference
+    ddm.py:84-117)."""
+    z = _Z
+    return f"""
+        WITH RECURSIVE
+        {_LVALS_SQL.strip()},
+        rec AS (
+          SELECT grp, 0 AS rn, CAST(0 AS BIGINT) AS n, {z} AS rate, {z} AS std,
+                 {_INF} AS rmin, {_INF} AS smin, 'none' AS state,
+                 CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS nw
+          FROM cnts
+          UNION ALL
+          SELECT r.grp, r.rn + 1, CAST(a.n2 AS BIGINT), b.rate2, c.std2,
+                 d.rmin2, d.smin2, e.state2,
+                 r.nd + (CASE WHEN e.state2 = 'drift' THEN 1 ELSE 0 END),
+                 r.nw + (CASE WHEN e.state2 = 'warning' THEN 1 ELSE 0 END)
+          FROM rec r
+          JOIN lvals v ON v.grp = r.grp AND v.rn = r.rn + 1,
+          LATERAL (SELECT CASE WHEN r.state = 'drift' THEN 1 ELSE r.n + 1 END AS n2,
+                          CASE WHEN r.state = 'drift' THEN {z} ELSE r.rate END AS rate0,
+                          CASE WHEN r.state = 'drift' THEN {z} ELSE r.std END AS std0,
+                          CASE WHEN r.state = 'drift' THEN {_INF} ELSE r.rmin END AS rmin0,
+                          CASE WHEN r.state = 'drift' THEN {_INF} ELSE r.smin END AS smin0) a,
+          LATERAL (SELECT a.rate0 + (v.err - a.rate0) / a.n2 AS rate2) b,
+          LATERAL (SELECT sqrt((a.std0 + (v.err - b.rate2) * (v.err - a.rate0)) / a.n2) AS std2) c,
+          LATERAL (SELECT CASE WHEN a.n2 >= 30 AND b.rate2 + c.std2 <= a.rmin0 + a.smin0
+                               THEN b.rate2 ELSE a.rmin0 END AS rmin2,
+                          CASE WHEN a.n2 >= 30 AND b.rate2 + c.std2 <= a.rmin0 + a.smin0
+                               THEN c.std2 ELSE a.smin0 END AS smin2) d,
+          LATERAL (SELECT CASE WHEN a.n2 < 30 THEN 'none'
+                               WHEN b.rate2 + c.std2 >= d.rmin2 + 3 * c.std2 THEN 'drift'
+                               WHEN b.rate2 + c.std2 >= d.rmin2 + 2 * c.std2 THEN 'warning'
+                               ELSE 'none' END AS state2) e
+          WHERE r.rn + 1 <= (SELECT mx FROM cnts c2 WHERE c2.grp = r.grp))
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift, r.nw AS n_warn
+        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
+        ORDER BY "group"
+    """
+
+
+def _eddm_oracle_sql() -> str:
+    """EDDM recurrence (distance-between-errors): state advances only
+    on error rows, warning persists across correct rows, max-numerator
+    ratio thresholds (engine EDDM / reference eddm.py:89-133)."""
+    z = _Z
+    return f"""
+        WITH RECURSIVE
+        {_LVALS_SQL.strip()},
+        rec AS (
+          SELECT grp, 0 AS rn, CAST(0 AS BIGINT) AS ssr, CAST(0 AS BIGINT) AS ne,
+                 CAST(0 AS BIGINT) AS ic, {z} AS dm, {z} AS ds, {z} AS mxn,
+                 'none' AS state, CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS nw
+          FROM cnts
+          UNION ALL
+          SELECT r.grp, r.rn + 1, CAST(a.ssr2 AS BIGINT), CAST(b.ne2 AS BIGINT),
+                 CAST(b.ic2 AS BIGINT), b.dm2, b.ds2, c.mx2, c.state2,
+                 r.nd + (CASE WHEN c.state2 = 'drift' THEN 1 ELSE 0 END),
+                 r.nw + (CASE WHEN c.state2 = 'warning' THEN 1 ELSE 0 END)
+          FROM rec r
+          JOIN lvals v ON v.grp = r.grp AND v.rn = r.rn + 1,
+          LATERAL (SELECT CASE WHEN r.state = 'drift' THEN 1 ELSE r.ssr + 1 END AS ssr2,
+                          CASE WHEN r.state = 'drift' THEN 0 ELSE r.ne END AS ne0,
+                          CASE WHEN r.state = 'drift' THEN 0 ELSE r.ic END AS ic0,
+                          CASE WHEN r.state = 'drift' THEN {z} ELSE r.dm END AS dm0,
+                          CASE WHEN r.state = 'drift' THEN {z} ELSE r.ds END AS ds0,
+                          CASE WHEN r.state = 'drift' THEN {z} ELSE r.mxn END AS mx0,
+                          CASE WHEN r.state = 'drift' THEN 'none' ELSE r.state END AS st0) a,
+          LATERAL (
+            SELECT CASE WHEN v.err = 1 THEN a.ne0 + 1 ELSE a.ne0 END AS ne2,
+                   CASE WHEN v.err = 1 THEN a.ssr2 - 1 ELSE a.ic0 END AS ic2,
+                   CASE WHEN v.err = 1
+                        THEN a.dm0 + ((a.ssr2 - 1 - a.ic0) - a.dm0) / (a.ne0 + 1)
+                        ELSE a.dm0 END AS dm2,
+                   CASE WHEN v.err = 1
+                        THEN sqrt((a.ds0
+                              + ((a.ssr2 - 1 - a.ic0)
+                                 - (a.dm0 + ((a.ssr2 - 1 - a.ic0) - a.dm0) / (a.ne0 + 1)))
+                                * ((a.ssr2 - 1 - a.ic0) - a.dm0)) / (a.ne0 + 1))
+                        ELSE a.ds0 END AS ds2) b,
+          LATERAL (
+            SELECT CASE WHEN v.err = 1 AND b.ne2 >= 30
+                             AND a.mx0 < b.dm2 + 2 * b.ds2
+                        THEN b.dm2 + 2 * b.ds2 ELSE a.mx0 END AS mx2,
+                   CASE WHEN v.err = 1 AND b.ne2 >= 30 THEN
+                          CASE WHEN (b.dm2 + 2 * b.ds2)
+                                    / (CASE WHEN a.mx0 < b.dm2 + 2 * b.ds2
+                                            THEN b.dm2 + 2 * b.ds2 ELSE a.mx0 END)
+                                    <= 0.9 THEN 'drift'
+                               WHEN (b.dm2 + 2 * b.ds2)
+                                    / (CASE WHEN a.mx0 < b.dm2 + 2 * b.ds2
+                                            THEN b.dm2 + 2 * b.ds2 ELSE a.mx0 END)
+                                    <= 0.95 THEN 'warning'
+                               ELSE 'none' END
+                        ELSE a.st0 END AS state2) c
+          WHERE r.rn + 1 <= (SELECT mx FROM cnts c2 WHERE c2.grp = r.grp))
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift, r.nw AS n_warn
+        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
+        ORDER BY "group"
+    """
+
+
+def _strict_upper_z(alpha: float) -> float:
+    """Largest double z with 1 - norm_cdf(z) >= alpha, bisected against
+    the engine's own norm_cdf, so `T > z` in SQL is exactly the
+    kernel's `1 - norm_cdf(T) < alpha` (off the measure-zero boundary
+    of an erf double-plateau)."""
+    from menelaus_spark.functions.stats import norm_cdf
+
+    lo, hi = 0.0, 16.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if 1.0 - float(norm_cdf(mid)) >= alpha:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def _stepd_oracle_sql() -> str:
+    """STEPD recurrence: the recursion carries only (segment start,
+    state); window/past accuracy sums are correlated subqueries over
+    the segment's rows, mirroring stepd.py:85-130 exactly (continuity
+    correction, pooled variance, one-sided test on decreased
+    accuracy)."""
+    zd, zw = _strict_upper_z(0.003), _strict_upper_z(0.05)
+    return f"""
+        WITH RECURSIVE
+        {_LVALS_SQL.strip()},
+        rec AS (
+          SELECT grp, 0 AS rn, CAST(1 AS BIGINT) AS rs, 'none' AS state,
+                 CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS nw
+          FROM cnts
+          UNION ALL
+          SELECT r.grp, r.rn + 1, CAST(a.rs2 AS BIGINT), d.state2,
+                 r.nd + (CASE WHEN d.state2 = 'drift' THEN 1 ELSE 0 END),
+                 r.nw + (CASE WHEN d.state2 = 'warning' THEN 1 ELSE 0 END)
+          FROM rec r
+          JOIN lvals v ON v.grp = r.grp AND v.rn = r.rn + 1,
+          LATERAL (SELECT CASE WHEN r.state = 'drift' THEN r.rn + 1 ELSE r.rs END AS rs2,
+                          r.rn + 1 - (CASE WHEN r.state = 'drift' THEN r.rn + 1
+                                           ELSE r.rs END) + 1 AS ssr2) a,
+          LATERAL (
+            SELECT (SELECT sum(w.correct) FROM lvals w
+                    WHERE w.grp = r.grp
+                      AND w.rn BETWEEN r.rn + 1 - least(30, a.ssr2) + 1 AND r.rn + 1
+                   ) AS s,
+                   CASE WHEN a.ssr2 > 30 THEN
+                     (SELECT sum(w.correct) FROM lvals w
+                      WHERE w.grp = r.grp AND w.rn BETWEEN a.rs2 AND r.rn + 1 - 30)
+                   ELSE 0 END AS rr) b,
+          LATERAL (
+            SELECT CAST(b.s AS DOUBLE) / 30 AS recent,
+                   CAST(b.rr AS DOUBLE) / (a.ssr2 - 30) AS past,
+                   CAST(b.rr + b.s AS DOUBLE) / a.ssr2 AS overall,
+                   1.0 / (a.ssr2 - 30) + 1.0 / 30 AS inv) c,
+          LATERAL (
+            SELECT CASE WHEN a.ssr2 < 60 THEN 'none'
+                        WHEN c.overall = 0.0 OR c.overall = 1.0 THEN 'none'
+                        WHEN c.past > c.recent
+                             AND (abs(c.past - c.recent) - 0.5 * c.inv)
+                                 / sqrt(c.overall * (1 - c.overall) * c.inv)
+                                 > {zd!r} THEN 'drift'
+                        WHEN c.past > c.recent
+                             AND (abs(c.past - c.recent) - 0.5 * c.inv)
+                                 / sqrt(c.overall * (1 - c.overall) * c.inv)
+                                 > {zw!r} THEN 'warning'
+                        ELSE 'none' END AS state2) d
+          WHERE r.rn + 1 <= (SELECT mx FROM cnts c2 WHERE c2.grp = r.grp))
+        SELECT r.grp AS "group", c.mx AS n, r.nd AS n_drift, r.nw AS n_warn
+        FROM rec r JOIN cnts c ON c.grp = r.grp AND r.rn = c.mx
+        ORDER BY "group"
+    """
+
+
 def _kmeans_neardup_oracle() -> str | None:
     """Build the embedding_neardup_kmeans oracle: recompute the
     centroids dedup.kmeans_blocks learns at oracle scale (full-table
@@ -1200,6 +1399,335 @@ _CDBD_EV_VALS = """
 
 
 
+def _round_half_up6(x: float) -> float:
+    """round(x*1e6)/1e6 with HALF-AWAY ties — the Spark
+    F.round(col * 1e6) / 1e6 idiom applied to the same double."""
+    import math
+
+    v = float(x) * 1e6
+    return (math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)) / 1e6
+
+
+def _oracle_stream_pdf():
+    """Twin of _labeled_events / _shifted_value_events /
+    _multivariate_events over the oracle-scale parquet (duckdb read,
+    numpy derivations — identical doubles)."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"""SELECT (user_id % 8)::VARCHAR AS grp, event_id,
+                   value::DOUBLE AS value,
+                   row_number() OVER (PARTITION BY user_id % 8
+                                      ORDER BY event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id % 8) AS mx
+            FROM '{sf_dir}/events.parquet'
+            ORDER BY grp, event_id"""
+    ).fetch_df()
+    con.close()
+    eid = pdf["event_id"].to_numpy(np.int64)
+    rn = pdf["rn"].to_numpy(np.int64)
+    mx = pdf["mx"].to_numpy(np.int64)
+    second = 2 * rn > mx
+    err = ((eid * 1000003) % 100 < np.where(second, 35, 10)).astype(np.int64)
+    pdf["err"] = err
+    pdf["y_true"] = eid % 2
+    pdf["y_pred"] = (pdf["y_true"].to_numpy() + err) % 2
+    pdf["correct"] = (1 - err).astype(np.float64)
+    val = pdf["value"].to_numpy(np.float64)
+    pdf["x_shift"] = val / 50.0 + np.where(second, 2.5, 0.0)
+    pdf["x1"] = val / 50.0 + np.where(second, 3.0, 0.0)
+    pdf["x2"] = ((eid * 1000003) % 1000) / 1000.0
+    return pdf
+
+
+def _adwin_twin(xs, delta=0.002, max_buckets=5, new_sample_thresh=32,
+                window_size_thresh=10, subwindow_size_thresh=5):
+    """Independent ADWIN re-implementation for the oracle: flat
+    level->deque bucket store (engine uses parallel total/variance row
+    lists), written from Bifet & Gavaldà 2007 semantics. Returns
+    (n_samples, n_drift_rows, final window mean)."""
+    import collections
+    import math
+
+    rows = [collections.deque()]  # rows[i]: (total, var) of 2^i elems, left = oldest
+    n = 0
+    total = 0.0
+    var_sum = 0.0
+    total_samples = 0
+    n_drift = 0
+    drift = False
+
+    def check_eps(n0, t0, n1, t1):
+        diff = t0 / n0 - t1 / n1
+        v = var_sum / n if n else 0.0
+        nh = (1 / (n0 - subwindow_size_thresh + 1)
+              + 1 / (n1 - subwindow_size_thresh + 1))
+        dpd = math.log(2 * math.log(n) / delta)
+        eps = math.sqrt(2 * nh * v * dpd) + (2 / 3) * nh * dpd
+        return abs(diff) > eps
+
+    def remove_last():
+        nonlocal n, total, var_sum
+        tail = len(rows) - 1
+        n_curr = 2 ** tail
+        bt, bv = rows[tail][0]
+        n -= n_curr
+        total -= bt
+        mean_curr = bt / n_curr
+        if n > 0:
+            new_mean = total / n
+            var_sum -= bv + n_curr * n * (mean_curr - new_mean) ** 2 / (n_curr + n)
+        else:
+            var_sum = 0.0
+        rows[tail].popleft()
+        if not rows[tail] and tail > 0:
+            rows.pop()
+        return n_curr
+
+    for x in xs:
+        x = float(x)
+        drift = False
+        total_samples += 1
+        n += 1
+        rows[0].append((x, 0.0))
+        if n > 1:
+            prev_mean = total / (n - 1)
+            var_sum += (n - 1) * (x - prev_mean) ** 2 / n
+        total += x
+        i = 0
+        while i < len(rows):
+            if len(rows[i]) == max_buckets + 1:
+                if i + 1 >= len(rows):
+                    rows.append(collections.deque())
+                n_el = 2 ** i
+                t1, v1 = rows[i].popleft()
+                t2, v2 = rows[i].popleft()
+                m1, m2 = t1 / n_el, t2 / n_el
+                rows[i + 1].append((t1 + t2, v1 + v2 + n_el * (m1 - m2) ** 2 / 2))
+                if len(rows[i + 1]) <= max_buckets:
+                    break
+            else:
+                break
+            i += 1
+        if total_samples % new_sample_thresh == 0 and n > window_size_thresh:
+            restart = True
+            while restart:
+                restart = False
+                exit_shrink = False
+                n0, n1, t0, t1 = 0, n, 0.0, total
+                pos = len(rows) - 1
+                while not exit_shrink and pos >= 0:
+                    n_inc = 2 ** pos
+                    bucket_totals = [b[0] for b in rows[pos]]
+                    for bi, bt in enumerate(bucket_totals):
+                        n0 += n_inc
+                        n1 -= n_inc
+                        t0 += bt
+                        t1 -= bt
+                        if pos == 0 and bi == len(bucket_totals) - 1:
+                            exit_shrink = True
+                            break
+                        if (n0 >= subwindow_size_thresh
+                                and n1 >= subwindow_size_thresh
+                                and check_eps(n0, t0, n1, t1)):
+                            restart = True
+                            drift = True
+                            if n > 0:
+                                n0 -= remove_last()
+                                exit_shrink = True
+                                break
+                    pos -= 1
+        if drift:
+            n_drift += 1
+    return total_samples, n_drift, (total / n if n else 0.0)
+
+
+def _adwin_values_oracle(col: str) -> str | None:
+    try:
+        pdf = _oracle_stream_pdf()
+    except Exception:
+        return None
+    rows = []
+    for g, gd in pdf.groupby("grp"):
+        n, nd, mean = _adwin_twin(gd[col].to_numpy())
+        rows.append(f"('{g}', {n}, {nd}, {_round_half_up6(mean)!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ') t("group", n, n_drift, final_mean6) ORDER BY "group"'
+    )
+
+
+def _lfr_twin(yt, yp, eta=0.9, warning_level=0.05, detect_level=0.05,
+              burn_in=50, num_mc=1000, subsample=100,
+              rates=("tpr", "tnr"), seed=42):
+    """Independent LFR twin: same seeded MC bounds (part of the
+    algorithm spec, like the kdq bootstrap criticals), recurrence
+    re-coded directly from Wang & Abraham 2015 / the engine's cited
+    semantics. Returns (n, n_drift_rows, n_warning_rows)."""
+    import numpy as np
+
+    def four(c):
+        tn, fn, fp, tp = c.ravel()
+        return {"tpr": tp / (tp + fn), "tnr": tn / (tn + fp),
+                "ppv": tp / (fp + tp), "npv": tn / (tn + fn)}
+
+    def denoms(c):
+        tn, fn, fp, tp = c.ravel()
+        return {"tpr": tp + fn, "tnr": tn + fp, "ppv": fp + tp, "npv": tn + fn}
+
+    def sim(est, denom):
+        rng = np.random.default_rng([seed, int(denom), int(est * 10 ** 6)])
+        prods = eta ** np.arange(denom - 1, -1, -1, dtype=np.float64)
+        draws = rng.binomial(1, est, size=(num_mc, int(denom)))
+        stats = (1 - eta) * (draws @ prods)
+        return (float(np.percentile(stats, warning_level * 100)),
+                float(np.percentile(stats, 100 - warning_level * 100)),
+                float(np.percentile(stats, detect_level * 100)),
+                float(np.percentile(stats, 100 - detect_level * 100)))
+
+    bounds: dict = {}
+    conf = np.array([[1, 1], [1, 1]], dtype=np.int64)
+    rstat = {r: 0.5 for r in ("tpr", "tnr", "ppv", "npv")}
+    state = None
+    ssr = 0
+    n = nd = nw = 0
+    for y_t, y_p in zip(yt, yp):
+        y_t, y_p = int(y_t), int(y_p)
+        if state == "drift":
+            conf = np.array([[1, 1], [1, 1]], dtype=np.int64)
+            rstat = {r: 0.5 for r in rstat}
+            ssr = 0
+            state = None
+        n += 1
+        ssr += 1
+        old = four(conf)
+        conf[y_p][y_t] += 1
+        new = four(conf)
+        den = denoms(conf)
+        any_warn = any_alarm = False
+        for rate in rates:
+            if new[rate] != old[rate]:
+                rstat[rate] = eta * rstat[rate] + (1 - eta) * (y_t == y_p)
+            if ssr > burn_in and ssr % subsample == 0:
+                key = (round(new[rate], 4), round(den[rate], 4))
+                if key not in bounds:
+                    bounds[key] = sim(new[rate], den[rate])
+                lw, uw, ld, ud = bounds[key]
+                r = rstat[rate]
+                any_warn = any_warn or (r < lw) or (r > uw)
+                any_alarm = any_alarm or (r < ld) or (r > ud)
+        state = "drift" if any_alarm else ("warning" if any_warn else None)
+        nd += state == "drift"
+        nw += state == "warning"
+    return n, nd, nw
+
+
+def _lfr_oracle_sql() -> str | None:
+    try:
+        pdf = _oracle_stream_pdf()
+    except Exception:
+        return None
+    p = LFR_PARAMS
+    rows = []
+    for g, gd in pdf.groupby("grp"):
+        n, nd, nw = _lfr_twin(
+            gd["y_true"].to_numpy(), gd["y_pred"].to_numpy(),
+            burn_in=p["burn_in"], num_mc=p["num_mc"], subsample=p["subsample"],
+            rates=p["rates_tracked"], seed=p["seed"],
+        )
+        rows.append(f"('{g}', {n}, {nd}, {nw})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ') t("group", n, n_drift, n_warn) ORDER BY "group"'
+    )
+
+
+def _md3_oracle_sql() -> str | None:
+    """Sequential per-sample MD3 replay on the identical stream — the
+    oracle half of the distributed(update_batch) == sequential(update)
+    parity claim."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from menelaus_spark.checks.md3 import MD3
+
+    try:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        pdf = con.execute(
+            f"""SELECT event_id, value::DOUBLE AS value
+                FROM '{sf_dir}/events.parquet' ORDER BY event_id"""
+        ).fetch_df()
+        con.close()
+    except Exception:
+        return None
+    eid = pdf["event_id"].to_numpy(np.int64)
+    mid = int(eid.max()) // 2
+    x1 = (pdf["value"].to_numpy(np.float64) - 34.0) / 30.0 + np.where(eid >= mid, 1.5, 0.0)
+    x2 = ((eid * 2654435761) % 1000) / 500.0 - 1.0
+    ref = pd.DataFrame({"x1": x1[:200], "x2": x2[:200]})
+    ref["y"] = (ref["x1"] + ref["x2"] > 0).astype(int)
+    det = MD3(sensitivity=1.5)
+    det.set_reference(ref, target_name="y")
+    state, n_proc = None, 0
+    for i in range(200, len(eid)):
+        state = det.update(pd.DataFrame({"x1": [x1[i]], "x2": [x2[i]]}))
+        n_proc += 1
+        if state == "warning":
+            break
+    return (
+        f"SELECT * FROM (VALUES ('{state or 'none'}', {n_proc})) "
+        't(state, n_processed)'
+    )
+
+
+def _replay_trace_oracle(make_det) -> str | None:
+    """Sequential replay of a multivariate streaming kernel over the
+    duckdb-read (x1, x2) stream; per-group (n, n_drift) constants."""
+    import numpy as np
+
+    try:
+        pdf = _oracle_stream_pdf()
+    except Exception:
+        return None
+    rows = []
+    for g, gd in pdf.groupby("grp"):
+        det = make_det()
+        x1 = gd["x1"].to_numpy(np.float64)
+        x2 = gd["x2"].to_numpy(np.float64)
+        n = nd = 0
+        for i in range(len(x1)):
+            state = det.update(np.array([x1[i], x2[i]], dtype=np.float64))
+            n += 1
+            nd += state == "drift"
+        rows.append(f"('{g}', {n}, {nd})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ') t("group", n, n_drift) ORDER BY "group"'
+    )
+
+
+def _pcacd_oracle_sql() -> str | None:
+    from menelaus_spark.streaming.detectors import PCACD
+
+    return _replay_trace_oracle(
+        lambda: PCACD(window_size=100, divergence_metric="intersection")
+    )
+
+
+def _kdqstream_oracle_sql() -> str | None:
+    from menelaus_spark.streaming.detectors import KdqTreeStreaming
+
+    return _replay_trace_oracle(
+        lambda: KdqTreeStreaming(window_size=200, persistence=0.05,
+                                 bootstrap_samples=100, count_ubound=50, seed=42)
+    )
+
+
 def q_nndvi_lineitem(spark, sf_dir):
     """NN-DVI drift sequence over lineitem year-batches (bounded
     seeded samples; permutation-threshold Gaussian fit)."""
@@ -1326,6 +1854,248 @@ def _example_profile_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# concept-drift / windowed / multivariate streaming detectors (r04:
+# every detector in SURVEY.md §2.11 now has a driver-harness entry)
+
+def _labeled_events(spark, sf_dir):
+    """Deterministic labeled classification stream over events: per
+    user-bucket group ordered by event_id, the error indicator flips
+    from 10% to 35% at each group's midpoint (a real concept drift),
+    derived purely from (event_id, rn, mx) so the DuckDB oracle
+    rebuilds the identical stream. y_pred = y_true XOR err."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.pmod("user_id", F.lit(8)).cast("string")
+    )
+    w = Window.partitionBy("grp").orderBy("event_id")
+    wc = Window.partitionBy("grp")
+    ev = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "mx", F.count(F.lit(1)).over(wc)
+    )
+    err_pct = F.when(F.col("rn") * 2 <= F.col("mx"), F.lit(10)).otherwise(F.lit(35))
+    err = (F.pmod(F.col("event_id") * F.lit(1000003), F.lit(100)) < err_pct).cast("int")
+    y_true = F.pmod("event_id", F.lit(2)).cast("int")
+    return ev.select(
+        "grp", "event_id", "rn", "mx",
+        F.col("value").cast("double").alias("value"),
+        err.alias("err"), y_true.alias("y_true"),
+        F.pmod(y_true + err, F.lit(2)).alias("y_pred"),
+    )
+
+
+def _state_count_trace(trace):
+    """Per-group (n, n_drift, n_warn) from a detector trace."""
+    return trace.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("state") == "drift", 1).otherwise(0)).alias("n_drift"),
+        F.sum(F.when(F.col("state") == "warning", 1).otherwise(0)).alias("n_warn"),
+    ).orderBy("group")
+
+
+def _concept_trace(spark, sf_dir, factory):
+    from menelaus_spark.streaming.detectors import apply_streaming_detector
+
+    lab = _labeled_events(spark, sf_dir)
+    trace = apply_streaming_detector(
+        lab, factory, group_col="grp", order_col="event_id",
+        value_cols=["y_true", "y_pred"],
+    )
+    return _state_count_trace(trace)
+
+
+def q_ddm_events(spark, sf_dir):
+    """DDM per user bucket over the labeled stream — full recursive-CTE
+    DuckDB oracle replays the rate/std recurrence (incl. the
+    reference's sqrt-reused std accumulator, ddm.py:84-117)."""
+    from menelaus_spark.streaming.detectors import DDM
+
+    return _concept_trace(spark, sf_dir, lambda: DDM())
+
+
+def q_eddm_events(spark, sf_dir):
+    """EDDM per user bucket — recursive-CTE oracle replays the
+    distance-between-errors statistic (eddm.py:89-133 semantics:
+    warning state persists across correct rows, max-numerator ratio)."""
+    from menelaus_spark.streaming.detectors import EDDM
+
+    return _concept_trace(spark, sf_dir, lambda: EDDM())
+
+
+def q_stepd_events(spark, sf_dir):
+    """STEPD per user bucket — recursive-CTE oracle recomputes the
+    two-proportion z-test over the reset-segment windows; the p < alpha
+    decisions are encoded as T > z* literals where z* is bisected
+    against the engine's own norm_cdf (exact equivalence off the
+    measure-zero boundary)."""
+    from menelaus_spark.streaming.detectors import STEPD
+
+    return _concept_trace(spark, sf_dir, lambda: STEPD())
+
+
+def _shifted_value_events(spark, sf_dir):
+    """Univariate stream with an injected level shift (+2.5 in each
+    group's second half) — ADWIN fodder, reproducible in the twin."""
+    lab = _labeled_events(spark, sf_dir)
+    # value/50 normalizes the stream's sigma to ~1 so the +2.5 level
+    # shift is a detectable (not variance-swamped) change
+    return lab.withColumn(
+        "x", F.col("value") / F.lit(50.0)
+        + F.when(F.col("rn") * 2 > F.col("mx"), F.lit(2.5)).otherwise(F.lit(0.0))
+    )
+
+
+def q_adwin_events(spark, sf_dir):
+    """ADWIN over the shifted value stream. Oracle: an INDEPENDENT
+    flat-bucket ADWIN twin (deque levels instead of the engine's row
+    lists) replays the same stream at oracle-build time; expected
+    per-group (n, n_drift, final window mean) inlined as constants —
+    the kdq-criticals precedent for non-SQL state machines."""
+    from menelaus_spark.streaming.detectors import ADWIN, apply_streaming_detector
+
+    sv = _shifted_value_events(spark, sf_dir)
+    trace = apply_streaming_detector(
+        sv, lambda: ADWIN(), group_col="grp", order_col="event_id",
+        value_cols=["x"],
+    )
+    r6 = F.round(F.expr("max_by(statistic, ord)") * F.lit(1e6)) / F.lit(1e6)
+    return trace.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("state") == "drift", 1).otherwise(0)).alias("n_drift"),
+        r6.alias("final_mean6"),
+    ).orderBy("group")
+
+
+def q_adwin_accuracy_events(spark, sf_dir):
+    """ADWINAccuracy over the labeled stream (indicator 1[y==yhat]
+    drops 0.90 -> 0.65 at the midpoint) — same independent twin oracle
+    as q_adwin_events."""
+    from menelaus_spark.streaming.detectors import (
+        ADWINAccuracy,
+        apply_streaming_detector,
+    )
+
+    lab = _labeled_events(spark, sf_dir)
+    trace = apply_streaming_detector(
+        lab, lambda: ADWINAccuracy(), group_col="grp", order_col="event_id",
+        value_cols=["y_true", "y_pred"],
+    )
+    r6 = F.round(F.expr("max_by(statistic, ord)") * F.lit(1e6)) / F.lit(1e6)
+    return trace.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("state") == "drift", 1).otherwise(0)).alias("n_drift"),
+        r6.alias("final_mean6"),
+    ).orderBy("group")
+
+
+LFR_PARAMS = dict(burn_in=50, num_mc=1000, subsample=100,
+                  rates_tracked=("tpr", "tnr"), seed=42)
+
+
+def q_lfr_events(spark, sf_dir):
+    """LinearFourRates per user bucket (decayed-rate statistic vs
+    seeded Monte-Carlo bounds, lfr.py:197-242 semantics). Oracle: a
+    compact independent twin re-derives the confusion/rate/bound
+    recurrence with the same seeded draws (the MC bounds are part of
+    the algorithm spec, like the kdq bootstrap criticals) — expected
+    per-group counts inlined as constants."""
+    from menelaus_spark.streaming.detectors import LinearFourRates
+
+    return _concept_trace(spark, sf_dir, lambda: LinearFourRates(**LFR_PARAMS))
+
+
+def _md3_frames(spark, sf_dir):
+    """(reference pandas frame, stream DataFrame) for MD3: 2-feature
+    stream from events with a +1.5 x1 shift in the second half of the
+    stream; labels on the reference rows follow the x1 + x2 > 0 rule."""
+    ev = _t(spark, sf_dir, "events")
+    n_ref = 200
+    mid = int(ev.agg(F.max("event_id")).collect()[0][0]) // 2
+    feat = ev.select(
+        "event_id",
+        ((F.col("value").cast("double") - F.lit(34.0)) / F.lit(30.0)
+         + F.when(F.col("event_id") >= mid, F.lit(1.5)).otherwise(F.lit(0.0))
+         ).alias("x1"),
+        ((F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000)) / F.lit(500.0))
+         - F.lit(1.0)).alias("x2"),
+    )
+    ref = feat.orderBy("event_id").limit(n_ref).toPandas()
+    ref["y"] = (ref["x1"] + ref["x2"] > 0).astype(int)
+    ref_ids = set(ref["event_id"].tolist())
+    stream = feat.filter(~F.col("event_id").isin(list(ref_ids)))
+    return ref[["x1", "x2", "y"]], stream.select("event_id", "x1", "x2")
+
+
+def q_md3_events(spark, sf_dir):
+    """MD3 through the DISTRIBUTED update_batch path (two mapInPandas
+    passes over range-partitioned data, md3.py:188-335). Oracle: the
+    sequential per-sample update() replayed at oracle-build time on the
+    identical stream — the driver hash-check IS the distributed ==
+    sequential parity claim."""
+    from menelaus_spark.checks.md3 import MD3
+
+    ref_pdf, stream = _md3_frames(spark, sf_dir)
+    det = MD3(sensitivity=1.5)
+    det.set_reference(ref_pdf, target_name="y")
+    state, n_proc = det.update_batch(stream, order_col="event_id")
+    return spark.createDataFrame(
+        [(state or "none", int(n_proc))], "state string, n_processed long"
+    )
+
+
+def _multivariate_events(spark, sf_dir):
+    """2-feature per-group stream with a +3.0 x1 shift in each group's
+    second half — PCA-CD / streaming-kdq fodder."""
+    lab = _labeled_events(spark, sf_dir)
+    return lab.select(
+        "grp", "event_id",
+        (F.col("value") / F.lit(50.0)
+         + F.when(F.col("rn") * 2 > F.col("mx"), F.lit(3.0)).otherwise(F.lit(0.0))
+         ).alias("x1"),
+        (F.pmod(F.col("event_id") * F.lit(1000003), F.lit(1000)) / F.lit(1000.0))
+        .alias("x2"),
+    )
+
+
+def q_pcacd_events(spark, sf_dir):
+    """PCA-CD per user bucket (intersection divergence). Oracle:
+    sequential replay of the kernel over the duckdb-read stream at
+    oracle-build time, inlined as constants — validates the
+    distributed group/order/trace machinery end-to-end (kernel math is
+    covered by the pca_cd differential tests)."""
+    from menelaus_spark.streaming.detectors import PCACD, apply_streaming_detector
+
+    mv = _multivariate_events(spark, sf_dir)
+    trace = apply_streaming_detector(
+        mv, lambda: PCACD(window_size=100, divergence_metric="intersection"),
+        group_col="grp", order_col="event_id", value_cols=["x1", "x2"],
+        multivariate=True,
+    )
+    return _state_count_trace(trace).drop("n_warn")
+
+
+def q_kdqstream_events(spark, sf_dir):
+    """Streaming kdq-tree per user bucket. Oracle: sequential replay
+    twin (same precedent as q_pcacd_events; the tree build + bootstrap
+    criticals are seeded driver-side constants exactly as in the
+    hash-green kdq_lineitem oracle)."""
+    from menelaus_spark.streaming.detectors import (
+        KdqTreeStreaming,
+        apply_streaming_detector,
+    )
+
+    mv = _multivariate_events(spark, sf_dir)
+    trace = apply_streaming_detector(
+        mv,
+        lambda: KdqTreeStreaming(window_size=200, persistence=0.05,
+                                 bootstrap_samples=100, count_ubound=50, seed=42),
+        group_col="grp", order_col="event_id", value_cols=["x1", "x2"],
+        multivariate=True,
+    )
+    return _state_count_trace(trace).drop("n_warn")
+
+
 def q_audio_suite(spark, sf_dir):
     """Flagship: full constraint + drift validation of the synthetic
     audio table (deterministic seed 42, injected drift partitions),
@@ -1407,6 +2177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        # streaming / concept-drift detectors (r04: full §2.11 harness)
+        "ddm_events": q_ddm_events,
+        "eddm_events": q_eddm_events,
+        "stepd_events": q_stepd_events,
+        "adwin_events": q_adwin_events,
+        "adwin_accuracy_events": q_adwin_accuracy_events,
+        "lfr_events": q_lfr_events,
+        "md3_events": q_md3_events,
+        "pcacd_events": q_pcacd_events,
+        "kdqstream_events": q_kdqstream_events,
         # rows-only (no SQL equivalent)
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_documents": q_simhash_documents,
@@ -1841,6 +2621,20 @@ def oracle_sql() -> dict[str, str]:
     kdq = _kdq_oracle_sql()
     if kdq is not None:
         out["kdq_lineitem"] = kdq
+    out["ddm_events"] = _ddm_oracle_sql()
+    out["eddm_events"] = _eddm_oracle_sql()
+    out["stepd_events"] = _stepd_oracle_sql()
+    for name, builder in [
+        ("adwin_events", lambda: _adwin_values_oracle("x_shift")),
+        ("adwin_accuracy_events", lambda: _adwin_values_oracle("correct")),
+        ("lfr_events", _lfr_oracle_sql),
+        ("md3_events", _md3_oracle_sql),
+        ("pcacd_events", _pcacd_oracle_sql),
+        ("kdqstream_events", _kdqstream_oracle_sql),
+    ]:
+        sql = builder()
+        if sql is not None:
+            out[name] = sql
     out["streaming_traces"] = _ph_oracle_sql()
     out["streaming_cusum_traces"] = _cusum_oracle_sql()
     out["streaming_ensemble_events"] = _ensemble_oracle_sql()
