@@ -2096,6 +2096,201 @@ def q_kdqstream_events(spark, sf_dir):
     return _state_count_trace(trace).drop("n_warn")
 
 
+AUDIO_SUITE_DRIFT = {
+    3: {"dur_mu_shift": 0.8},
+    4: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]},
+    # audio-depth faults: clipping + overdense transcripts + padded payloads
+    5: {"gain": 8.0, "words_per_s": 40.0, "pad_bytes": 4096},
+    # bandwidth fault: claims sr_hz but the spectrum is empty above 1 kHz
+    6: {"upsample_from": 2000},
+}
+
+
+def q_audio_suite_relational(spark, sf_dir):
+    """The audio suite's RELATIONAL verdict families (constraint
+    counts, KS, PSI, cumulative HDDDM over dur_ms/sr_hz, uniqueness),
+    hash-checked: kdq/quality (PCM-dependent) families are excluded
+    and HDM runs its bootstrap-free detect_batch=3 + stdev config, so
+    EVERY emitted verdict is recomputable in pure SQL over the
+    relational columns of the same deterministic table (inlined by the
+    oracle via the numpy generator twin — the input table is data, the
+    verdict logic is what the oracle independently recomputes)."""
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_rel_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT)
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=None,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_features=False,
+            hdm_params={"detect_batch": 3, "statistic": "stdev"},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _audio_relational_oracle() -> str | None:
+    """Oracle for q_audio_suite_relational: the relational columns of
+    the deterministic audio table are regenerated by the numpy
+    generator twin (tables._gen_rows is counter-based per clip, so the
+    same call reproduces the distributed table bit-exactly) and
+    inlined as a VALUES table; every verdict family — null rate, range,
+    transcript rate, payload size, uniqueness (per-partition +
+    global), KS vs the part-0 reference histograms, PSI on codec
+    frequencies, and the full HDDDM detect_batch=3/stdev recurrence —
+    is then recomputed INDEPENDENTLY in SQL."""
+    import numpy as np
+
+    from menelaus_spark import tables as _tables
+
+    try:
+        pdf = _tables._gen_rows(
+            np.arange(800), 42, 8, 100, AUDIO_SUITE_DRIFT,
+            0.02, 0.0, 6.6, 0.5, (200, 3000), True,
+        )
+    except Exception:
+        return None
+    rows = []
+    for r in pdf.itertuples(index=False):
+        tlen = "NULL" if r.transcript is None else str(len(r.transcript))
+        rows.append(
+            f"('{r.clip_id}', {len(r.bytes)}, {int(r.sr_hz)}, {int(r.dur_ms)}, "
+            f"'{r.codec}', {tlen}, {int(r.part)})"
+        )
+    c_ks = float(np.sqrt(-np.log(0.05 / 2.0) / 2.0))
+    hd_vals = """SELECT part AS i, part::VARCHAR AS lbl, u.f,
+                        CASE u.f WHEN 0 THEN dur_ms::DOUBLE
+                                 ELSE sr_hz::DOUBLE END AS v
+                 FROM t CROSS JOIN (VALUES (0), (1)) u(f)"""
+    hd_sql = _drift_recurrence_sql(hd_vals, 2, _HELLINGER_EXPR)
+    return f"""
+        WITH t(clip_id, byte_len, sr_hz, dur_ms, codec, tlen, part) AS (
+          VALUES {", ".join(rows)}),
+        hd AS ({hd_sql}),
+        parts AS (SELECT DISTINCT part FROM t),
+        nullrate AS (
+          SELECT part,
+                 CASE WHEN avg(CASE WHEN tlen IS NULL THEN 1.0 ELSE 0.0 END) <= 0.2
+                      THEN 'pass' ELSE 'fail' END AS st
+          FROM t GROUP BY part),
+        rngv AS (
+          SELECT part,
+                 CASE WHEN sum(CASE WHEN dur_ms < 200 OR dur_ms > 3000
+                               THEN 1 ELSE 0 END) = 0
+                      THEN 'pass' ELSE 'fail' END AS st
+          FROM t GROUP BY part),
+        cpsv AS (
+          SELECT part,
+                 CASE WHEN sum(CASE WHEN tlen IS NOT NULL AND dur_ms > 0
+                                    AND (tlen::DOUBLE / (dur_ms::DOUBLE / 1000.0) < 1.0
+                                         OR tlen::DOUBLE / (dur_ms::DOUBLE / 1000.0) > 60.0)
+                               THEN 1 ELSE 0 END) = 0
+                      THEN 'pass' ELSE 'fail' END AS st
+          FROM t GROUP BY part),
+        payv AS (
+          SELECT part,
+                 CASE WHEN sum(CASE WHEN
+                        abs(byte_len::DOUBLE
+                            - (44.0 + 2.0 * round(dur_ms::DOUBLE * sr_hz::DOUBLE / 1000.0)))
+                        > greatest(4.0, 0.02 * (44.0 + 2.0 * round(dur_ms::DOUBLE * sr_hz::DOUBLE / 1000.0)))
+                               THEN 1 ELSE 0 END) = 0
+                      THEN 'pass' ELSE 'fail' END AS st
+          FROM t GROUP BY part),
+        uniqv AS (
+          SELECT part, CASE WHEN count(*) = count(DISTINCT clip_id)
+                            THEN 'pass' ELSE 'fail' END AS st
+          FROM t GROUP BY part),
+        guniq AS (
+          SELECT CASE WHEN count(*) = count(DISTINCT clip_id)
+                      THEN 'pass' ELSE 'fail' END AS st
+          FROM t),
+        tv AS (SELECT part, u.f,
+                      CASE u.f WHEN 0 THEN dur_ms::DOUBLE ELSE sr_hz::DOUBLE END AS v
+               FROM t CROSS JOIN (VALUES (0), (1)) u(f)),
+        ksrng AS (SELECT f, min(v) AS lo, max(v) AS hi FROM tv WHERE part = 0 GROUP BY f),
+        ksb AS (
+          SELECT tv.part, tv.f,
+                 CASE WHEN least(greatest(tv.v, r.lo), r.hi) = r.hi THEN 1023
+                      ELSE least(CAST(floor((least(greatest(tv.v, r.lo), r.hi) - r.lo)
+                                           / ((r.hi - r.lo) / 1024)) AS BIGINT),
+                                 1023) END AS bin,
+                 count(*)::DOUBLE AS c
+          FROM tv JOIN ksrng r ON r.f = tv.f
+          GROUP BY 1, 2, 3),
+        ksuni AS (SELECT DISTINCT f, bin FROM ksb),
+        kspairs AS (
+          SELECT p.part, u.f, u.bin,
+                 coalesce(r.c, 0) AS rc, coalesce(x.c, 0) AS tc
+          FROM (SELECT part FROM parts WHERE part <> 0) p
+          CROSS JOIN ksuni u
+          LEFT JOIN ksb r ON r.part = 0 AND r.f = u.f AND r.bin = u.bin
+          LEFT JOIN ksb x ON x.part = p.part AND x.f = u.f AND x.bin = u.bin),
+        kscum AS (
+          SELECT part, f, bin,
+                 sum(rc) OVER (PARTITION BY part, f ORDER BY bin) AS cr,
+                 sum(tc) OVER (PARTITION BY part, f ORDER BY bin) AS ct,
+                 sum(rc) OVER (PARTITION BY part, f) AS rt,
+                 sum(tc) OVER (PARTITION BY part, f) AS tt
+          FROM kspairs),
+        ksstat AS (
+          SELECT part, f, max(abs(cr / rt - ct / tt)) AS stat,
+                 max(rt) AS rt, max(tt) AS tt
+          FROM kscum GROUP BY part, f),
+        ksv AS (
+          SELECT part, f,
+                 CASE WHEN stat > {c_ks!r} * sqrt((rt + tt) / (rt * tt))
+                      THEN 'drift' ELSE 'pass' END AS st
+          FROM ksstat),
+        pf AS (SELECT part, codec, count(*)::DOUBLE AS c FROM t GROUP BY part, codec),
+        ptot AS (SELECT part, sum(c) AS n FROM pf GROUP BY part),
+        cats AS (SELECT DISTINCT codec FROM t),
+        psiterms AS (
+          SELECT p.part,
+                 greatest(coalesce(r.c, 0) / rt.n, 1e-4) AS pp,
+                 greatest(coalesce(x.c, 0) / tt.n, 1e-4) AS qq
+          FROM (SELECT part FROM parts WHERE part <> 0) p
+          CROSS JOIN cats cc
+          LEFT JOIN pf r ON r.part = 0 AND r.codec = cc.codec
+          LEFT JOIN pf x ON x.part = p.part AND x.codec = cc.codec
+          JOIN ptot rt ON rt.part = 0
+          JOIN ptot tt ON tt.part = p.part),
+        psiv AS (
+          SELECT part, CASE WHEN sum((qq - pp) * ln(qq / pp)) > 0.2
+                            THEN 'drift' ELSE 'pass' END AS st
+          FROM psiterms GROUP BY part)
+        SELECT * FROM (
+          SELECT part::VARCHAR AS partition_key,
+                 'null_rate:transcript' AS check_name, st AS state FROM nullrate
+          UNION ALL SELECT part::VARCHAR, 'range:dur_ms', st FROM rngv
+          UNION ALL SELECT part::VARCHAR, 'transcript_rate', st FROM cpsv
+          UNION ALL SELECT part::VARCHAR, 'payload_size', st FROM payv
+          UNION ALL SELECT part::VARCHAR, 'unique:clip_id', st FROM uniqv
+          UNION ALL SELECT '__global__', 'unique:clip_id', st FROM guniq
+          UNION ALL SELECT year, 'hdddm',
+                 CASE WHEN state = 'drift' THEN 'drift' ELSE 'pass' END FROM hd
+          UNION ALL SELECT part::VARCHAR,
+                 CASE f WHEN 0 THEN 'ks:dur_ms' ELSE 'ks:sr_hz' END, st FROM ksv
+          UNION ALL SELECT '0', 'ks:dur_ms', 'pass'
+          UNION ALL SELECT '0', 'ks:sr_hz', 'pass'
+          UNION ALL SELECT part::VARCHAR, 'psi:codec', st FROM psiv
+          UNION ALL SELECT '0', 'psi:codec', 'pass')
+        ORDER BY partition_key, check_name
+    """
+
+
 def q_audio_suite(spark, sf_dir):
     """Flagship: full constraint + drift validation of the synthetic
     audio table (deterministic seed 42, injected drift partitions),
@@ -2106,15 +2301,7 @@ def q_audio_suite(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
     try:
         df = tables.audio_table(spark, n_rows=800, n_parts=8,
-                                drift={3: {"dur_mu_shift": 0.8},
-                                       4: {"codec_probs": [0.1, 0.1, 0.15, 0.35, 0.3]},
-                                       # audio-depth faults: clipping +
-                                       # overdense transcripts + padded payloads
-                                       5: {"gain": 8.0, "words_per_s": 40.0,
-                                           "pad_bytes": 4096},
-                                       # bandwidth fault: claims sr_hz but the
-                                       # spectrum is empty above 1 kHz
-                                       6: {"upsample_from": 2000}})
+                                drift=AUDIO_SUITE_DRIFT)
         path = os.path.join(ckpt, "table")
         tables.write_audio_table(df, path)
         suite = ValidationSuite(
@@ -2199,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdbd_example_confidence": q_cdbd_example_confidence,
         "nndvi_lineitem": q_nndvi_lineitem,
         "example_data_profile": q_example_data_profile,
+        "audio_suite_relational": q_audio_suite_relational,
         "audio_suite": q_audio_suite,
     }
 
@@ -2631,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         ("md3_events", _md3_oracle_sql),
         ("pcacd_events", _pcacd_oracle_sql),
         ("kdqstream_events", _kdqstream_oracle_sql),
+        ("audio_suite_relational", _audio_relational_oracle),
     ]:
         sql = builder()
         if sql is not None:

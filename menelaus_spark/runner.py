@@ -121,11 +121,9 @@ class ValidationSuite:
         # per-update task count O(hdm_input_partitions x batches) instead
         # of O(input_splits x batches). Size to ~rows/10M at real scale.
         self.hdm_input_partitions = hdm_input_partitions
-        self.hdm = (
-            HDDDM(detect_batch=2, order_col=None, seed=seed, **(hdm_params or {}))
-            if self.hdm_cols
-            else None
-        )
+        hdm_kwargs = {"detect_batch": 2, "order_col": None, "seed": seed}
+        hdm_kwargs.update(hdm_params or {})  # callers may override defaults
+        self.hdm = HDDDM(**hdm_kwargs) if self.hdm_cols else None
         self.kdq = (
             KdqTreeBatch(seed=seed, **(kdq_params or {"count_ubound": 50, "bootstrap_samples": 200}))
             if kdq_features
