@@ -1044,7 +1044,11 @@ def _batch_summaries(df, batch_col: str, cols: list[str]) -> dict:
 
 def q_hdddm_lineitem(spark, sf_dir):
     """HDDDM drift sequence over lineitem year-batches (quantity,
-    extendedprice, discount) — the reference flagship state machine."""
+    extendedprice, discount) — the reference flagship state machine,
+    in its detect_batch=2 BOOTSTRAP configuration. Hash-checked since
+    r04: the bootstrap is a driver-side Poissonized histogram resample
+    (partitioning-independent), so an independent numpy twin replays
+    the entire machine bit-exactly (_hdddm_lineitem_oracle)."""
     from menelaus_spark.checks.hdm import HDDDM
 
     proj, years = _lineitem_year_proj(spark, sf_dir)
@@ -1168,7 +1172,9 @@ def q_streaming_ensemble_events(spark, sf_dir):
 def q_cdbd_example_confidence(spark, sf_dir):
     """CDBD over the example dataset's classifier-confidence column,
     batched by year — the reference's canonical CDBD scenario
-    (confidence regime change in 2019 must alarm)."""
+    (confidence regime change in 2019 must alarm). Hash-checked since
+    r04 via the numpy generator twin + the independent HDM state
+    machine replay (_cdbd_example_oracle)."""
     from menelaus_spark.checks.hdm import CDBD
 
     _ensure_workers_can_import(spark)
@@ -1728,6 +1734,221 @@ def _kdqstream_oracle_sql() -> str | None:
     )
 
 
+def _hdm_twin_rows(batches, cols, dfun, detect_batch=2, statistic="tstat",
+                   significance=0.05, subsets=5, seed=42):
+    """Independent numpy re-implementation of the HDM detect_batch=2
+    drift state machine (growing mergeable reference summary, joint
+    ranges, floor(sqrt(n)) bins, per-feature divergences, the
+    Poissonized bootstrap initial epsilon, the epsilon/threshold
+    recurrence incl. the batch-3 bootstrap-epsilon removal and the
+    epsilon[-2] quirk, drift resets). ``batches`` = [(label,
+    {col: (values, counts)})]; returns [(label, state, eps_last,
+    beta)] — the exact q_hdddm_lineitem / q_cdbd_example_confidence
+    row shape. Shares only the leaf kernels (bin_weighted_driver,
+    distance fns, t_ppf) with the engine — the kdq-twin precedent."""
+    import math
+
+    import numpy as np
+
+    from menelaus_spark.functions import stats as S
+    from menelaus_spark.operators import histograms as H
+
+    def mm_n(s):
+        n = 0
+        mm = {}
+        for c in cols:
+            vals, cnts = s[c]
+            n = max(n, int(cnts.sum()))
+            clean = vals[~np.isnan(vals)]
+            mm[c] = ((float(clean.min()), float(clean.max()))
+                     if len(clean) else (None, None))
+        return n, mm
+
+    def merge_ranges(a, b):
+        out = {}
+        for c in cols:
+            lo = min(x for x in (a[c][0], b[c][0]) if x is not None)
+            hi = max(x for x in (a[c][1], b[c][1]) if x is not None)
+            out[c] = (lo, hi)
+        return out
+
+    def merge_sum(a, b):
+        out = {}
+        for c in cols:
+            v = np.concatenate([a[c][0], b[c][0]])
+            n = np.concatenate([a[c][1], b[c][1]])
+            uv, inv = np.unique(v, return_inverse=True)
+            un = np.zeros(len(uv), dtype=np.float64)
+            np.add.at(un, inv, n)
+            out[c] = (uv, un)
+        return out
+
+    def hist(s, ranges, nbins):
+        m = np.zeros((len(cols), nbins), dtype=np.float64)
+        for i, c in enumerate(cols):
+            vals, cnts = s[c]
+            lo, hi = ranges[c]
+            m[i] = H.bin_weighted_driver(vals, cnts, lo, hi, nbins)
+        return m
+
+    def bootstrap_eps(ref_mat, total_batches):
+        fraction = 1.0 - 1.0 / subsets
+        rng = np.random.default_rng([seed, 104729, total_batches])
+        boot = rng.poisson(fraction * ref_mat,
+                           size=(subsets,) + ref_mat.shape).astype(np.float64)
+        dists = []
+        for i in range(len(boot)):
+            for j in range(i + 1, len(boot)):
+                dists.append(sum(float(dfun(boot[i][f], boot[j][f]))
+                                 for f in range(len(cols))))
+        eps = 0.0
+        for i in range(len(dists)):
+            for j in range(i + 1, len(dists)):
+                eps += abs(dists[i] - dists[j])
+        return eps / subsets
+
+    lbl0, s0 = batches[0]
+    ref_sum = {c: s0[c] for c in cols}
+    n0, ref_mm = mm_n(s0)
+    ref_counts = [n0]
+    ref_n = n0
+    bins = int(np.floor(np.sqrt(ref_n)))
+    eps: list[float] = []
+    total_eps = 0.0
+    total_batches = 0
+    bsr = 0
+    lam = 0
+    prev_dist = None
+    beta = None
+    drift = False
+    rows = [(lbl0, "reference", None, None)]
+
+    for lbl, s in batches[1:]:
+        if drift:
+            bsr = 0
+            drift = False
+            ref_n = sum(ref_counts)
+            bins = int(np.floor(np.sqrt(ref_n)))
+            eps = []
+            total_eps = 0.0
+        total_batches += 1
+        bsr += 1
+        test_n, test_mm = mm_n(s)
+        ranges = merge_ranges(ref_mm, test_mm)
+        ref_mat = hist(ref_sum, ranges, bins)
+        test_mat = hist(s, ranges, bins)
+        fdists = [float(dfun(ref_mat[f], test_mat[f])) for f in range(len(cols))]
+        cur = float(np.mean(fdists))
+        if bsr >= 2:
+            if bsr == 2 and detect_batch != 3:
+                eps.append(bootstrap_eps(ref_mat, total_batches))
+            ceps = abs(cur - prev_dist)
+            eps.append(ceps)
+            # adaptive threshold (engine _adaptive_threshold semantics)
+            if bsr == 3 and detect_batch != 3:
+                total_eps -= eps[0]
+                eps = eps[1:]
+            d_scale = (1.0 if (bsr == 2 and detect_batch != 3)
+                       else float(total_batches - lam - 1))
+            total_eps += eps[-2]
+            eps_hat = total_eps / d_scale
+            total_stdev = sum((e - eps_hat) ** 2 for e in eps[:-1])
+            stdev = float(np.sqrt(total_stdev / d_scale))
+            if statistic == "tstat":
+                t = S.t_ppf(1 - significance / 2, ref_n + test_n - 2)
+                beta = float(eps_hat + t * (stdev / math.sqrt(d_scale)))
+            else:
+                beta = float(eps_hat + significance * stdev)
+            if ceps > beta:
+                drift = True
+                ref_sum = {c: s[c] for c in cols}
+                ref_mm = test_mm
+                ref_counts = [test_n]
+                lam = total_batches
+        if not drift:
+            prev_dist = cur
+            ref_sum = merge_sum(ref_sum, s)
+            ref_mm = ranges
+            ref_counts.append(test_n)
+            ref_n += test_n
+            bins = int(np.floor(np.sqrt(ref_n)))
+        rows.append((lbl, "drift" if drift else "pass",
+                     eps[-1] if eps else None, beta))
+    return rows
+
+
+def _hdm_rows_to_values(rows, label_col: str = "year") -> str:
+    def lit(x):
+        return "CAST(NULL AS DOUBLE)" if x is None else f"{x!r}::DOUBLE"
+
+    vals = ", ".join(
+        f"('{lbl}', '{st}', {lit(e)}, {lit(b)})" for lbl, st, e, b in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals
+        + f") t({label_col}, state, epsilon, beta) ORDER BY {label_col}"
+    )
+
+
+def _hdddm_lineitem_oracle() -> str | None:
+    """hdddm_lineitem (detect_batch=2 bootstrap config) twin: per-year
+    (value, count) summaries straight from the parquet, replayed
+    through the independent numpy state machine. Hash-green became
+    possible in r04 because the bootstrap is now a driver-side
+    Poissonized histogram resample (partitioning-independent) instead
+    of Spark's per-partition DataFrame.sample."""
+    import duckdb
+    import numpy as np
+
+    from menelaus_spark.functions import distances as dist
+
+    try:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        pdf = con.execute(
+            f"""SELECT year(l_shipdate) AS yr, l_quantity::DOUBLE AS f0,
+                       l_extendedprice::DOUBLE AS f1, l_discount::DOUBLE AS f2
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetch_df()
+        con.close()
+    except Exception:
+        return None
+    cols = list(_LI_DRIFT_COLS)
+    batches = []
+    for yr in sorted(pdf["yr"].unique()):
+        g = pdf[pdf["yr"] == yr]
+        s = {}
+        for c, src in zip(cols, ("f0", "f1", "f2")):
+            uv, un = np.unique(g[src].to_numpy(np.float64), return_counts=True)
+            s[c] = (uv, un.astype(np.float64))
+        batches.append((str(int(yr)), s))
+    rows = _hdm_twin_rows(batches, cols, dist.hellinger, detect_batch=2, seed=42)
+    return _hdm_rows_to_values(rows)
+
+
+def _cdbd_example_oracle() -> str | None:
+    """cdbd_example_confidence twin: the example table regenerated by
+    the numpy generator twin, per-year confidence summaries replayed
+    through the same independent state machine (CDBD = univariate HDM
+    with the Jensen-Shannon distance)."""
+    import numpy as np
+
+    from menelaus_spark.functions import distances as dist
+
+    try:
+        df = _example_numpy_df()
+    except Exception:
+        return None
+    batches = []
+    for yr in sorted(df["year"].unique()):
+        g = df[df["year"] == yr]
+        uv, un = np.unique(g["confidence"].to_numpy(np.float64), return_counts=True)
+        batches.append((str(int(yr)), {"confidence": (uv, un.astype(np.float64))}))
+    rows = _hdm_twin_rows(batches, ["confidence"], dist.jensen_shannon,
+                          detect_batch=2, seed=42)
+    return _hdm_rows_to_values(rows)
+
+
 def q_nndvi_lineitem(spark, sf_dir):
     """NN-DVI drift sequence over lineitem year-batches (bounded
     seeded samples; permutation-threshold Gaussian fit)."""
@@ -1768,20 +1989,13 @@ def q_example_data_profile(spark, sf_dir):
     )
 
 
-def _example_profile_oracle() -> str:
-    """Constant-table oracle for example_data_profile: re-derive the
-    dataset in pure numpy — the generator is a counter-based RNG over
-    fixed contiguous id ranges (one Arrow batch per range partition at
-    year_size=1500), so the SAME numpy calls reproduce it bit-exactly
-    without Spark — then aggregate and inline the expected rows.
-    Rounding uses Decimal HALF_UP, the same decision Spark's round()
-    applies to the exact double."""
-    from decimal import ROUND_HALF_UP, Decimal
-
+def _example_numpy_df(year_size: int = 1500, seed: int = 123, n_parts: int = 30):
+    """Numpy twin of tables.make_example_batch_data: counter-based RNG
+    over fixed contiguous id ranges reproduces the distributed
+    generator bit-exactly without Spark (established hash-green by
+    example_data_profile)."""
     import numpy as np
     import pandas as pd
-
-    year_size, seed, n_parts = 1500, 123, 30
     n = year_size * 15
     per = n // n_parts
     frames = []
@@ -1828,7 +2042,19 @@ def _example_profile_oracle() -> str:
         if k:
             out.loc[mask, "j"] = rng.gamma(shape=10.0, size=k) * 10
         frames.append(out)
-    df = pd.concat(frames, ignore_index=True)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _example_profile_oracle() -> str:
+    """Constant-table oracle for example_data_profile: re-derive the
+    dataset via the numpy generator twin, aggregate, inline the
+    expected rows. Rounding uses Decimal HALF_UP, the same decision
+    Spark's round() applies to the exact double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    df = _example_numpy_df()
 
     def r(x, nd):
         q = Decimal(1).scaleb(-nd)
@@ -2820,6 +3046,8 @@ def oracle_sql() -> dict[str, str]:
         ("pcacd_events", _pcacd_oracle_sql),
         ("kdqstream_events", _kdqstream_oracle_sql),
         ("audio_suite_relational", _audio_relational_oracle),
+        ("hdddm_lineitem", _hdddm_lineitem_oracle),
+        ("cdbd_example_confidence", _cdbd_example_oracle),
     ]:
         sql = builder()
         if sql is not None:

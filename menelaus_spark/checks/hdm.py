@@ -46,9 +46,13 @@ DataFrame and histograms run as one salted weighted aggregation over
 (distinct values), not rows.  Both paths use the identical
 floor((v-lo)/width) double arithmetic, so results are bit-equal.
 The reference's pandas ``sample(n, replace=True)`` bootstrap becomes
-seeded ``DataFrame.sample(withReplacement=True, fraction, seed)``
-(per-(subset) seeds -> byte-identical on resume; the reference draws
-unseeded, its tests seed numpy globally).
+a seeded driver-side Poissonized resample of the reference HISTOGRAM
+(bin count ~ Poisson(f * c_b) — the exact distribution of
+with-replacement row sampling at fraction f, see
+``_estimate_initial_epsilon``): zero Spark jobs, byte-identical on
+resume, and partitioning-independent so the bootstrap configurations
+are replayable by the driver's oracle twins (the reference draws
+unseeded; its tests seed numpy globally).
 """
 
 from __future__ import annotations
@@ -289,7 +293,7 @@ class HDM:
 
         if self.batches_since_reset >= 2:
             if self.batches_since_reset == 2 and self.detect_batch != 3:
-                self.epsilon.append(self._estimate_initial_epsilon(ranges))
+                self.epsilon.append(self._estimate_initial_epsilon(ref_mat))
             current_epsilon = abs(self.current_distance - self._prev_distance)
             self.epsilon.append(current_epsilon)
             self.epsilon_values[self.total_batches] = current_epsilon
@@ -551,47 +555,28 @@ class HDM:
             mats[int(row["__role"])][fidx[row["feature"]], int(row["bin"])] = float(row["count"])
         return mats[0], mats[1]
 
-    def _estimate_initial_epsilon(self, ranges: dict) -> float:
-        """Bootstrapped initial epsilon (:472-534). Distributed: each
-        of ``subsets`` seeded with-replacement samples of the reference
-        gets one histogram pass; pairwise distance diffs on the driver.
-        (Reference draws exactly (1-1/k)*n rows; fraction-based Spark
-        sampling draws Binomial(n, f) — same expectation, documented
-        deviation for scale.)"""
-        # all ``subsets`` sampled histograms in ONE exploded salted
-        # aggregation: union the seeded samples with a subset tag and
-        # count (subset, feature, bin) — one job instead of one per
-        # subset, identical per-sample RNG streams and bin arithmetic
-        ref = self._ref_df()
+    def _estimate_initial_epsilon(self, ref_mat: np.ndarray) -> float:
+        """Bootstrapped initial epsilon (:472-534) as a Poissonized
+        resample of the REFERENCE HISTOGRAM, driver-side.
+
+        With-replacement row sampling at fraction f = 1 - 1/k gives
+        each row an iid Poisson(f) multiplicity (exactly what Spark's
+        ``sample(withReplacement=True, f)`` draws), so each histogram
+        bin's sampled count is Poisson(f * c_b) — a distribution the
+        driver can draw directly from the already-collected F x B
+        reference histogram. r04: this replaces r03's distributed
+        sampled-histogram job with ZERO Spark jobs, and — unlike
+        ``DataFrame.sample``, whose RNG is per-partition — it is
+        partitioning-independent and exactly replayable by a numpy
+        twin, which is what lets the bootstrap configurations be
+        hash-checked by the driver's oracle harness. (Reference draws
+        exactly (1-1/k)*n rows; Poissonization draws Poisson(f*n) —
+        same expectation, documented deviation for scale.)"""
         fraction = 1.0 - 1.0 / self.subsets
-        cols = list(ranges.keys())
-        tagged = None
-        for i in range(self.subsets):
-            s = ref.sample(
-                withReplacement=True, fraction=fraction, seed=self.seed + i
-            ).withColumn("__subset", F.lit(i))
-            tagged = s if tagged is None else tagged.unionByName(s)
-        structs = [
-            F.struct(
-                F.lit(c).alias("feature"),
-                H.bin_index_col(F.col(c).cast("double"), lo, hi, self._bins).alias("bin"),
-            )
-            for c, (lo, hi) in ranges.items()
-        ]
-        ex = (
-            tagged.select("__subset", F.explode(F.array(*structs)).alias("fb"))
-            .select("__subset", "fb.feature", "fb.bin")
-            .filter(F.col("bin").isNotNull())
-        )
-        counts = H.salted_count(ex, ["__subset", "feature", "bin"], n_salt=self.n_salt)
-        boot_hists = [
-            np.zeros((len(cols), self._bins)) for _ in range(self.subsets)
-        ]
-        fidx = {c: i for i, c in enumerate(cols)}
-        for row in counts.collect():
-            boot_hists[int(row["__subset"])][fidx[row["feature"]], int(row["bin"])] = float(
-                row["count"]
-            )
+        rng = np.random.default_rng([self.seed, 104729, self.total_batches])
+        boot_hists = rng.poisson(
+            fraction * ref_mat, size=(self.subsets,) + ref_mat.shape
+        ).astype(np.float64)
         distances = []
         for i in range(len(boot_hists)):
             for j in range(i + 1, len(boot_hists)):
