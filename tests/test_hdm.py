@@ -317,3 +317,27 @@ def test_owned_reference_frames_released_on_drift(spark):
     # no-drift batches past bootstrap carry no DataFrame handle
     dead = [d for _, d in hdm._reference[2:] if d is None]
     assert hdm.batches_since_reset < 2 or len(hdm._reference) <= 2 or dead
+
+
+def test_bootstrap_partition_independent(spark):
+    """r04: the Poissonized bootstrap draws from the collected
+    reference HISTOGRAM, so the initial epsilon (and the whole drift
+    sequence) must be bit-identical regardless of input partitioning —
+    the property that was false for DataFrame.sample and now lets the
+    bootstrap configurations be replayed by the driver's oracle twins."""
+    rng = np.random.default_rng(17)
+    batches = [rng.normal(i * 0.3, 1.0, (400, 3)) for i in range(4)]
+
+    def run(repart):
+        det = HDDDM(detect_batch=2, seed=42)
+        frames = [_sdf(spark, b).drop("__idx") for b in batches]
+        if repart is not None:
+            frames = [f.repartition(repart) for f in frames]
+        det.set_reference(frames[0])
+        states = [det.update(f) for f in frames[1:]]
+        return states, list(det.epsilon), det.beta
+
+    s1, e1, b1 = run(None)
+    s2, e2, b2 = run(7)
+    assert s1 == s2
+    assert e1 == e2 and b1 == b2
