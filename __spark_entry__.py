@@ -1926,6 +1926,75 @@ def _hdddm_lineitem_oracle() -> str | None:
     return _hdm_rows_to_values(rows)
 
 
+def _nndvi_lineitem_oracle() -> str | None:
+    """nndvi_lineitem twin: the exact path's batch admission is a
+    strided order-statistic sample since r04 (deterministic,
+    partitioning-independent — DataFrame.sample was not), so the whole
+    per-year drift sequence replays driver-side: same strided
+    selection in numpy, same NNSpacePartitioner adjacency, same seeded
+    permutation threshold."""
+    import duckdb
+    import numpy as np
+
+    from menelaus_spark.checks.nndvi import NNSpacePartitioner
+    from menelaus_spark.functions.stats import norm_ppf
+
+    try:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        pdf = con.execute(
+            f"""SELECT year(l_shipdate) AS yr, l_quantity::DOUBLE AS f0,
+                       l_extendedprice::DOUBLE AS f1, l_discount::DOUBLE AS f2
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetch_df()
+        con.close()
+    except Exception:
+        return None
+    k_nn, sampling_times, cap, seed, alpha = 20, 100, 300, 42, 0.01
+
+    def strided(g):
+        X = g[["f0", "f1", "f2"]].to_numpy(np.float64)
+        X = X[np.lexsort(X.T[::-1])]
+        if len(X) > cap:
+            stride = int(np.ceil(len(X) / cap))
+            X = X[::stride]
+        return X
+
+    years = sorted(int(y) for y in pdf["yr"].unique())
+    ref = strided(pdf[pdf["yr"] == years[0]])
+    rows = [(str(years[0]), "reference", None, None)]
+    total_batches = 0
+    for yr in years[1:]:
+        test = strided(pdf[pdf["yr"] == yr])
+        total_batches += 1
+        nnsp = NNSpacePartitioner(k_nn)
+        nnsp.build(ref, test)
+        d_act = NNSpacePartitioner.compute_nnps_distance(
+            nnsp.nnps_matrix, nnsp.v1, nnsp.v2
+        )
+        dists = np.empty(sampling_times)
+        for i in range(sampling_times):
+            rng = np.random.default_rng([seed, total_batches, i])
+            v1 = rng.permutation(nnsp.v1)
+            dists[i] = NNSpacePartitioner.compute_nnps_distance(
+                nnsp.nnps_matrix, v1, 1 - v1
+            )
+        thr = float(np.mean(dists)) + norm_ppf(1 - alpha) * float(np.std(dists))
+        drift = d_act > thr
+        rows.append((str(yr), "drift" if drift else "pass", d_act, thr))
+        if drift:
+            ref = test
+
+    def lit(x):
+        return "CAST(NULL AS DOUBLE)" if x is None else f"{x!r}::DOUBLE"
+
+    vals = ", ".join(
+        f"('{y}', '{st}', {lit(d)}, {lit(t)})" for y, st, d, t in rows
+    )
+    return ("SELECT * FROM (VALUES " + vals
+            + ") t(year, state, d_act, threshold) ORDER BY year")
+
+
 def _cdbd_example_oracle() -> str | None:
     """cdbd_example_confidence twin: the example table regenerated by
     the numpy generator twin, per-year confidence summaries replayed
@@ -1951,7 +2020,10 @@ def _cdbd_example_oracle() -> str | None:
 
 def q_nndvi_lineitem(spark, sf_dir):
     """NN-DVI drift sequence over lineitem year-batches (bounded
-    seeded samples; permutation-threshold Gaussian fit)."""
+    strided order-statistic samples; permutation-threshold Gaussian
+    fit). Hash-checked since r04: the deterministic admission makes
+    the whole sequence replayable driver-side
+    (_nndvi_lineitem_oracle)."""
     from menelaus_spark.checks.nndvi import NNDVI
 
     proj, years = _lineitem_year_proj(spark, sf_dir)
@@ -3048,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         ("audio_suite_relational", _audio_relational_oracle),
         ("hdddm_lineitem", _hdddm_lineitem_oracle),
         ("cdbd_example_confidence", _cdbd_example_oracle),
+        ("nndvi_lineitem", _nndvi_lineitem_oracle),
     ]:
         sql = builder()
         if sql is not None:

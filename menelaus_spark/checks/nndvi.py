@@ -130,6 +130,18 @@ class NNDVI:
         self.threshold: float | None = None
 
     def _collect(self, df: DataFrame) -> np.ndarray:
+        """Bounded batch admission for the exact path: a STRIDED
+        order-statistic sample (sort by the feature columns, keep every
+        ceil(n/cap)-th row). Deterministic and partitioning-independent
+        — unlike `DataFrame.sample`'s per-partition RNG (r03), which is
+        what lets the driver's oracle twin replay the exact path — and
+        a representative quantile-stratified subset rather than a
+        random one. The global window is fine here: this is the
+        small-batch parity path (the `distributed=True` path is the
+        scale path and never collects rows)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         cols = list(df.columns)
         if self._input_cols is None:
             self._input_cols = cols
@@ -137,9 +149,17 @@ class NNDVI:
             raise ValueError("Columns of new data must match with columns of prior data.")
         n = df.count()
         if n > self.batch_sample_cap:
-            df = df.sample(False, min(1.0, 1.05 * self.batch_sample_cap / n),
-                           seed=self.seed).limit(self.batch_sample_cap)
+            stride = int(np.ceil(n / self.batch_sample_cap))
+            rn = F.row_number().over(Window.orderBy(*cols))
+            df = df.withColumn("__rn", rn).filter(
+                F.pmod(F.col("__rn") - 1, F.lit(stride)) == 0
+            ).drop("__rn")
         ary = df.toPandas().to_numpy(dtype=np.float64)
+        if ary.shape[0] > 1:
+            # canonical row order (NNSP maths is row-order independent
+            # — np.unique sorts — but a canonical order keeps the
+            # collected array itself reproducible for twins/debugging)
+            ary = ary[np.lexsort(ary.T[::-1])]
         if ary.shape[0] <= 1:
             raise ValueError("Input for batch detectors should contain more than one observation.")
         return ary
