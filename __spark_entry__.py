@@ -2,13 +2,20 @@
 
 ``queries()`` exposes the engine's operator surface (SURVEY.md §2 +
 the training-data pipeline ops) over the driver testdata tables;
-``oracle_sql()`` provides the equivalent DuckDB SQL for every
-SQL-expressible operator. Column names/rounding are aligned on both
-sides (the driver hash-compares values after sorting columns by name).
+``oracle_sql()`` provides an exact DuckDB oracle for EVERY entry
+(r04: 47/47). Column names/rounding are aligned on both sides (the
+driver hash-compares values after sorting columns by name).
 
-Non-SQL-expressible entries (sequential drift state machines, pandas-
-UDF fingerprints, the audio validation suite) intentionally have no
-oracle — the driver records a rows-only check for those.
+Oracle families: pure SQL; recursive-CTE state-machine replays
+(PH/CUSUM/ensemble/DDM/EDDM/STEPD/HDM-detect_batch-3/kdq tree walk);
+independent twins whose deterministic outputs are inlined as VALUES
+(ADWIN, LFR, the HDM bootstrap machine, NNDVI, MD3
+distributed-vs-sequential, PCA-CD/streaming-kdq sequential replays,
+the numpy-regenerated example/audio tables, the end-to-end audio
+suite decision flow). Every source of randomness/sampling feeding
+these entries is counter-based or histogram-level — deliberately
+partitioning-independent — which is what makes driver-side replay
+sound at any cluster size.
 """
 
 from __future__ import annotations
@@ -2589,10 +2596,197 @@ def _audio_relational_oracle() -> str | None:
     """
 
 
+def _audio_suite_oracle() -> str | None:
+    """Full-suite twin for q_audio_suite: regenerate the table with the
+    numpy generator twin, DECODE the payloads with the same importable
+    numpy kernels the Arrow UDF runs (features_for_batch), and replay
+    the vectorized runner's entire decision flow driver-side —
+    constraints, HDM (detect_batch=2 with the r04 Poissonized
+    bootstrap), kdq tree build/fill/drift-rebuild, decode integrity,
+    the audio-depth quality checks, KS/PSI. Replayability became
+    possible in r04: nothing left in this configuration touches
+    Spark's partition-dependent DataFrame.sample (the kdq build sample
+    is the full under-cap reference, the tree build is
+    multiset-invariant, the HDM bootstrap resamples the collected
+    histogram). Only verdict STATES are emitted/compared — exactly the
+    (partition_key, check_name, state) projection the entry returns."""
+    import numpy as np
+
+    from menelaus_spark import audio as A
+    from menelaus_spark import tables as _tables
+    from menelaus_spark.checks.kdqtree import (
+        KDQTreePartitioner,
+        bootstrap_critical_kld,
+    )
+    from menelaus_spark.functions import distances as dist
+
+    try:
+        pdf = _tables._gen_rows(
+            np.arange(800), 42, 8, 100, AUDIO_SUITE_DRIFT,
+            0.02, 0.0, 6.6, 0.5, (200, 3000), True,
+        )
+    except Exception:
+        return None
+    parts = sorted(pdf["part"].unique())
+    pks = [str(int(p)) for p in parts]
+    # the Arrow UDF computes float32 then casts to float64 — same here
+    feats = A.features_for_batch(
+        pdf["bytes"].tolist(), pdf["codec"].tolist(), quality=True,
+    ).astype(np.float64)
+    F0 = feats[:, 0]
+    clean = ~np.isnan(F0)
+    part_arr = pdf["part"].to_numpy()
+    dur = pdf["dur_ms"].to_numpy(np.float64)
+    sr = pdf["sr_hz"].to_numpy(np.float64)
+    tlen = pdf["transcript"].map(lambda t: None if t is None else len(t))
+    codec = pdf["codec"].to_numpy()
+    clip_ids = pdf["clip_id"].to_numpy()
+
+    verdicts = []  # (pk, check, state)
+
+    def half_away(x):
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    # ---- per-part constraint states
+    for p, pk in zip(parts, pks):
+        m = part_arr == p
+        verdicts.append((pk, "schema", "pass"))  # metadata-only check
+        null_rate = np.mean([t is None for t in tlen[m]])
+        verdicts.append((pk, "null_rate:transcript",
+                         "pass" if null_rate <= 0.2 else "fail"))
+        n_bad = int(((dur[m] < 200) | (dur[m] > 3000)).sum())
+        verdicts.append((pk, "range:dur_ms", "pass" if n_bad == 0 else "fail"))
+        tl = np.array([np.nan if t is None else float(t) for t in tlen[m]])
+        cps = tl / (dur[m] / 1000.0)
+        n_cps = int((~np.isnan(cps) & (dur[m] > 0)
+                     & ((cps < 1.0) | (cps > 60.0))).sum())
+        verdicts.append((pk, "transcript_rate", "pass" if n_cps == 0 else "fail"))
+        n_dup = len(clip_ids[m]) - len(set(clip_ids[m]))
+        verdicts.append((pk, "unique:clip_id", "pass" if n_dup == 0 else "fail"))
+    verdicts.append(("__global__", "unique:clip_id",
+                     "pass" if len(set(clip_ids)) == len(clip_ids) else "fail"))
+
+    # ---- HDM over (dur_ms, sr_hz), detect_batch=2, tstat, seed 42
+    hdm_batches = []
+    for p, pk in zip(parts, pks):
+        m = part_arr == p
+        s = {}
+        for c, arr in (("dur_ms", dur[m]), ("sr_hz", sr[m])):
+            uv, un = np.unique(arr, return_counts=True)
+            s[c] = (uv, un.astype(np.float64))
+        hdm_batches.append((pk, s))
+    for lbl, st, _, _ in _hdm_twin_rows(hdm_batches, ["dur_ms", "sr_hz"],
+                                        dist.hellinger, detect_batch=2, seed=42):
+        verdicts.append((lbl, "hdddm", "drift" if st == "drift" else "pass"))
+
+    # ---- kdq + decode integrity (the vectorized runner's flow)
+    kdq_params = {"count_ubound": 20, "bootstrap_samples": 50}
+    fcols = feats[:, :A.N_FEATURES]
+    counts_by = {}
+    tree = KDQTreePartitioner(kdq_params["count_ubound"], 2e-10)
+    tree.build(fcols[clean & (part_arr == parts[0])])
+    for p, pk in zip(parts, pks):
+        counts_by[pk] = tree.fill_counts(fcols[clean & (part_arr == p)])
+    ref_counts = counts_by[pks[0]]
+    critical = bootstrap_critical_kld(ref_counts, int(ref_counts.sum()),
+                                      0.01, kdq_params["bootstrap_samples"], 42)
+    ref_pk = pks[0]
+    drift_state = None
+    for i, (p, pk) in enumerate(zip(parts, pks)):
+        if i == 0:
+            verdicts.append((pk, "kdq_tree", "pass"))
+        else:
+            if drift_state == "drift":
+                rp = int(ref_pk)
+                tree = KDQTreePartitioner(kdq_params["count_ubound"], 2e-10)
+                tree.build(fcols[clean & (part_arr == rp)])
+                for q, qk in zip(parts, pks):
+                    if qk == ref_pk or int(qk) >= p:
+                        counts_by[qk] = tree.fill_counts(fcols[clean & (part_arr == q)])
+                ref_counts = counts_by[ref_pk]
+                critical = bootstrap_critical_kld(
+                    ref_counts, int(ref_counts.sum()), 0.01,
+                    kdq_params["bootstrap_samples"], 42)
+            kl = dist.kl_divergence(dist.dasu_smooth(ref_counts),
+                                    dist.dasu_smooth(counts_by[pk]))
+            drift_state = "drift" if kl > critical else None
+            if drift_state == "drift":
+                ref_pk = pk
+            verdicts.append((pk, "kdq_tree", "drift" if drift_state else "pass"))
+        n_nan = int((part_arr == p).sum()) - int((clean & (part_arr == p)).sum())
+        verdicts.append((pk, "decode_integrity", "pass" if n_nan == 0 else "fail"))
+
+    # ---- audio-depth quality checks from the decode-pass columns
+    q_clip = feats[:, A.N_FEATURES + 0]
+    q_sil = feats[:, A.N_FEATURES + 1]
+    q_blen = feats[:, A.N_FEATURES + 4]
+    hi_band = np.expm1(feats[:, 8:12]).sum(axis=1)
+    tot_band = np.expm1(feats[:, 4:12]).sum(axis=1)
+    expected = 44.0 + 2.0 * half_away(dur * sr / 1000.0)
+    tol = np.maximum(4.0, 0.02 * expected)
+    conds = [
+        ("audio_clipping", clean & (q_clip > 0.05)),
+        ("audio_silence", clean & (q_sil > 0.9)),
+        ("audio_bandwidth", clean & (tot_band > 0.0)
+         & ((hi_band / np.where(tot_band == 0, 1.0, tot_band)) < 0.01)),
+        ("payload_size", ~np.isnan(q_blen) & (np.abs(q_blen - expected) > tol)),
+    ]
+    for p, pk in zip(parts, pks):
+        m = part_arr == p
+        for name, cond in conds:
+            verdicts.append((pk, name, "pass" if int(cond[m].sum()) == 0 else "fail"))
+
+    # ---- KS (dur_ms, sr_hz) + PSI (codec) vs part 0
+    KSB = 1024
+    ranges = {}
+    m0 = part_arr == parts[0]
+    for c, arr in (("dur_ms", dur), ("sr_hz", sr)):
+        ranges[c] = (float(arr[m0].min()), float(arr[m0].max()))
+    c_ks = float(np.sqrt(-np.log(0.05 / 2.0) / 2.0))
+
+    def ks_hist(arr):
+        lo, hi = ranges_c
+        x = np.minimum(np.maximum(arr, lo), hi)
+        width = (hi - lo) / KSB
+        idx = np.minimum(np.floor((x - lo) / width), KSB - 1).astype(np.int64)
+        idx[x == hi] = KSB - 1
+        return np.bincount(idx, minlength=KSB).astype(np.float64)
+
+    for c, arr in (("dur_ms", dur), ("sr_hz", sr)):
+        ranges_c = ranges[c]
+        ref_h = ks_hist(arr[m0])
+        verdicts.append((pks[0], f"ks:{c}", "pass"))
+        for p, pk in zip(parts[1:], pks[1:]):
+            th = ks_hist(arr[part_arr == p])
+            stat = float(np.max(np.abs(np.cumsum(ref_h) / ref_h.sum()
+                                       - np.cumsum(th) / th.sum())))
+            n, mm = ref_h.sum(), th.sum()
+            thr = c_ks * float(np.sqrt((n + mm) / (n * mm)))
+            verdicts.append((pk, f"ks:{c}", "drift" if stat > thr else "pass"))
+    verdicts.append((pks[0], "psi:codec", "pass"))
+    cats = sorted(set(codec))
+    ref_f = np.array([(codec[m0] == cc).sum() for cc in cats], dtype=np.float64)
+    for p, pk in zip(parts[1:], pks[1:]):
+        mt = part_arr == p
+        tf = np.array([(codec[mt] == cc).sum() for cc in cats], dtype=np.float64)
+        pp = np.maximum(ref_f / ref_f.sum(), 1e-4)
+        qq = np.maximum(tf / tf.sum(), 1e-4)
+        stat = float(np.sum((qq - pp) * np.log(qq / pp)))
+        verdicts.append((pk, "psi:codec", "drift" if stat > 0.2 else "pass"))
+
+    vals = ", ".join(f"('{pk}', '{ck}', '{st}')" for pk, ck, st in verdicts)
+    return ("SELECT * FROM (VALUES " + vals
+            + ") t(partition_key, check_name, state) "
+              "ORDER BY partition_key, check_name")
+
+
 def q_audio_suite(spark, sf_dir):
     """Flagship: full constraint + drift validation of the synthetic
     audio table (deterministic seed 42, injected drift partitions),
-    fresh checkpoint each call."""
+    fresh checkpoint each call. Hash-checked since r04 by
+    _audio_suite_oracle — a driver-side twin that regenerates the
+    table, decodes with the same numpy kernels, and replays the
+    vectorized runner's whole decision flow."""
     from menelaus_spark.runner import ValidationSuite
 
     _ensure_workers_can_import(spark)
@@ -3121,6 +3315,7 @@ def oracle_sql() -> dict[str, str]:
         ("hdddm_lineitem", _hdddm_lineitem_oracle),
         ("cdbd_example_confidence", _cdbd_example_oracle),
         ("nndvi_lineitem", _nndvi_lineitem_oracle),
+        ("audio_suite", _audio_suite_oracle),
     ]:
         sql = builder()
         if sql is not None:
