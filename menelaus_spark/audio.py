@@ -452,3 +452,103 @@ def normalize_loudness(df, target_dbfs: float = -20.0, key_col: str = "clip_id",
                                 "sr_hz": srs, "gain_db": gains})
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Spectral fingerprinting (audio near-duplicate detection)
+#
+# A training corpus at 10^12 clips carries re-encoded / gain-shifted /
+# resampled copies that byte-level exact dedup cannot see. The frame
+# code is a Haitsma-Kalker-style sign quantization (ISMIR 2002, "A
+# Highly Robust Audio Fingerprinting System" — public algorithm): log
+# band energies on a fixed STFT grid at a canonical rate, differenced
+# across adjacent bands, sign -> 32 bits per frame. Constant gain
+# shifts every log energy by the same additive constant, which the
+# band difference cancels EXACTLY; int16 re-quantization leaves the
+# signs untouched in practice. Alongside each code the kernel emits a
+# confidence MASK (bits whose |log-energy difference| clears a margin
+# — sign flips under small perturbations happen only near zero) and
+# the peak rfft BIN (15.6 Hz pitch identity). Downstream matching uses
+# exact 64-bit shingles for bit-exact copy classes and masked
+# bit-error rate + peak agreement for lossier ones (resampling through
+# an interpolator perturbs noise-dominated bands at O(1), so only
+# margin-cleared bits carry evidence there).
+
+FP_SR = 8000       # canonical fingerprint rate (all energy below 4 kHz)
+FP_BANDS = 33      # 32 sign bits per frame
+FP_SHINGLE = 2     # consecutive frame codes packed per 64-bit shingle
+FP_DELTA = 1.0     # confidence margin on |log E_b - log E_b+1| (nats)
+# linear band edges 200-3800 Hz, mapped to rfft bin indices at
+# FRAME=512 / FP_SR (bin width 15.625 Hz)
+_FP_BIN_EDGES = np.unique(
+    np.round(np.linspace(200.0, 3800.0, FP_BANDS + 1) * FRAME / FP_SR)
+).astype(np.int64)
+
+
+def _fp_resample(x: np.ndarray, sr_in: int) -> np.ndarray:
+    """Rate conversion to FP_SR on an ABSOLUTE-time grid (sample k sits
+    at exactly k/FP_SR seconds, independent of clip length). Unlike
+    :func:`resample_pcm`, whose endpoint-pinned grid depends on the
+    total length, this keeps a trimmed prefix on the same frame grid as
+    its source — the property the containment (trim-detection) score
+    relies on."""
+    if sr_in == FP_SR or x.size < 2:
+        return x
+    step = sr_in / FP_SR
+    pos = np.arange(int((x.size - 1) / step) + 1, dtype=np.float64) * step
+    return np.interp(pos, np.arange(x.size, dtype=np.float64), x)
+
+
+def fingerprint_codes(pcm: np.ndarray, sr_hz: int,
+                      delta: float = FP_DELTA):
+    """Float PCM -> (codes, masks, peaks), one entry per STFT frame:
+    codes  uint32 — sign of adjacent-band log-energy differences;
+    masks  uint32 — 1 where the |difference| clears ``delta`` in BOTH
+                    sign stability senses (margin-cleared bits);
+    peaks  int32  — argmax rfft bin inside the band range (pitch id).
+    Vectorized: one resample, one strided frame matrix, one batched
+    rfft, one add.reduceat over the band edges."""
+    x = _fp_resample(np.asarray(pcm, dtype=np.float64), int(sr_hz))
+    if x.size < FRAME:
+        z = np.empty(0, dtype=np.uint32)
+        return z, z.copy(), np.empty(0, dtype=np.int32)
+    n_frames = 1 + (x.size - FRAME) // HOP
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, FRAME), strides=(x.strides[0] * HOP, x.strides[0])
+    )
+    spec = np.abs(np.fft.rfft(frames * _HANN, axis=1)) ** 2
+    # peak search floor is ~60 Hz (bin 4), BELOW the band range floor:
+    # fundamentals under the first band edge must still give a stable
+    # pitch identity, not an arbitrary noise bin
+    lo, hi = 4, int(_FP_BIN_EDGES[-1])
+    peaks = (lo + np.argmax(spec[:, lo:hi], axis=1)).astype(np.int32)
+    e = np.add.reduceat(spec, _FP_BIN_EDGES[:-1], axis=1)
+    logs = np.log(e + 1e-30)
+    d_band = logs[:, :-1] - logs[:, 1:]            # (n_frames, n_bands-1)
+    weights = (1 << np.arange(min(32, d_band.shape[1]), dtype=np.uint64))
+    codes = ((d_band > 0)[:, : weights.size] @ weights).astype(np.uint32)
+    masks = ((np.abs(d_band) > delta)[:, : weights.size] @ weights).astype(np.uint32)
+    return codes, masks, peaks
+
+
+def fingerprint_frames(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
+    """Float PCM -> uint32 sign codes, one per STFT frame."""
+    return fingerprint_codes(pcm, sr_hz)[0]
+
+
+def fingerprint_shingles(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
+    """Float PCM -> sorted distinct int64 shingles: FP_SHINGLE
+    consecutive frame codes packed big-endian into 64 bits (sliding,
+    hop one frame). Clips with fewer codes than FP_SHINGLE yield a
+    single zero-padded shingle; clips too short for one frame yield an
+    empty set."""
+    codes = fingerprint_frames(pcm, sr_hz).astype(np.uint64)
+    if codes.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if codes.size < FP_SHINGLE:
+        codes = np.pad(codes, (0, FP_SHINGLE - codes.size))
+    n = codes.size - FP_SHINGLE + 1
+    packed = np.zeros(n, dtype=np.uint64)
+    for j in range(FP_SHINGLE):
+        packed |= codes[j : j + n] << np.uint64(32 * (FP_SHINGLE - 1 - j))
+    return np.unique(packed).view(np.int64)

@@ -1,0 +1,259 @@
+"""Audio near-duplicate detection: spectral fingerprint shingles ->
+MinHash + LSH banding -> exact Jaccard/containment verification.
+
+A 10^12-clip training corpus carries re-encoded, gain-shifted,
+resampled and silence-trimmed copies that byte-level exact dedup
+cannot see (and that transcript equality alone mis-groups). The
+fingerprint (menelaus_spark.audio.fingerprint_shingles) is a
+Haitsma-Kalker-style sign code over log band energies: constant gain
+cancels exactly, int16 re-quantization is invariant in practice, and
+resampling to the canonical FP_SR puts copies at different container
+rates on the same frame grid. HOP-aligned trims survive as shingle
+subsets (the ``containment`` column is the trim-detection score).
+Perceptually-similar-but-noise-degraded copies are NOT this
+operator's job — that is the embedding near-dup path
+(operators/dedup.py embedding_neardup_pairs).
+
+Scale shape (100 TB): ONE Arrow decode pass emits ~8-byte shingle keys
+(a few hundred per clip, ~1-2% of payload volume); everything after is
+EXACTLY the text near-dup plan — explode -> groupBy with k min-aggs,
+band-bucket equi-join (no unblocked pair join anywhere), and a verify
+join driven only by the candidate pairs. Linear in clip count; the
+reference has no audio operators (this extends its batch data-drift
+scope per the training-data-pipeline mandate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from menelaus_spark.audio import decode_clip, fingerprint_codes, fingerprint_shingles
+from menelaus_spark.operators.dedup import (
+    jaccard_col,
+    lsh_candidate_pairs,
+    minhash_from_shingles,
+)
+
+
+def shingle_hex(shingles: np.ndarray) -> list[str]:
+    """int64 shingle array -> sorted 16-hex-digit strings (the string
+    domain lets the md5 minhash lanes and the DuckDB oracle run the
+    byte-identical expressions they run for text shingles)."""
+    return [f"{v:016x}" for v in np.asarray(shingles, dtype=np.int64).view(np.uint64)]
+
+
+def audio_shingles(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(key, shingles array<string>) in one Arrow-batched pass.
+    Undecodable or too-short clips yield an empty set — they can never
+    pair, and the decode-integrity check owns reporting them."""
+    schema = f"{key_col} string, shingles array<string>"
+
+    def work(batches):
+        for pdf in batches:
+            keys, shl = [], []
+            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+                keys.append(key)
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                    shl.append(shingle_hex(fingerprint_shingles(pcm, sr)))
+                except Exception:
+                    shl.append([])
+            yield pd.DataFrame({key_col: keys, "shingles": shl})
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    threshold: float = 0.35,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+) -> DataFrame:
+    """Near-duplicate clip pairs: (id_a, id_b, jaccard, containment)
+    with fingerprint-shingle Jaccard >= threshold. bands=8 x rows=2
+    catches pairs down to J ~ 0.3 with high probability (1-(1-J^2)^8),
+    which covers every mechanical-copy class the fingerprint
+    preserves; the verify join computes the exact scores on candidate
+    pairs only."""
+    assert bands * rows == k
+    sh = audio_shingles(df, key_col, bytes_col, codec_col)
+    # decoded once, read three ways (signatures + both verify sides)
+    sh = sh.persist()
+    sigs = minhash_from_shingles(sh, key_col, "shingles", k)
+    cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
+    return (
+        cands.join(
+            sh.select(F.col(key_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col(key_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            on="id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "containment")
+    )
+
+
+def audio_fingerprint_codes(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(key, codes array<int>, masks array<int>, peaks array<int>) in
+    one Arrow-batched pass — the per-frame sign codes, confidence
+    masks, and peak bins from audio.fingerprint_codes. Undecodable
+    clips yield empty arrays."""
+    schema = (f"{key_col} string, codes array<int>, masks array<int>, "
+              f"peaks array<int>")
+
+    def work(batches):
+        for pdf in batches:
+            keys, cs, ms, ps = [], [], [], []
+            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+                keys.append(key)
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                    c, m, p = fingerprint_codes(pcm, sr)
+                    cs.append(c.astype(np.int32))
+                    ms.append(m.astype(np.int32))
+                    ps.append(p)
+                except Exception:
+                    cs.append([]); ms.append([]); ps.append([])
+            yield pd.DataFrame({key_col: keys, "codes": cs, "masks": ms, "peaks": ps})
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+def transcript_blocked_neardup(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    transcript_col: str = "transcript",
+    wber_max: float = 0.10,
+    raw_ber_max: float = 0.35,
+    peak_agree_min: float = 0.9,
+    min_mask_bits: int = 16,
+    block_cap: int = 50,
+) -> DataFrame:
+    """Cross-modal near-duplicate detection: block on transcript
+    equality (same text, possibly different encodings of the same
+    recording), verify with masked bit-error rate + peak-bin agreement
+    over the fingerprint code sequences. Catches the LOSSY copy
+    classes the exact-shingle path cannot (interpolation-resampled
+    copies perturb noise-dominated band bits at O(1); only
+    margin-cleared bits carry evidence, which is exactly what the
+    mask keeps).
+
+    Scale shape: one decode pass; the block join is a groupBy on
+    md5(normalized transcript) with singleton and hot-block pruning
+    (blocks past ``block_cap`` are skipped — a transcript shared by
+    thousands of clips is the text-dedup path's job), so candidate
+    volume is bounded by cap x blocks; all verify arithmetic is
+    JVM-side zip_with/bit_count over the candidate pairs only.
+
+    Duplicate criterion (equal frame counts, then all three must hold):
+    - masked wBER <= wber_max: margin-cleared bits agree (the lossy-
+      copy evidence channel);
+    - RAW BER <= raw_ber_max: the Haitsma-Kalker matching criterion
+      (ISMIR 2002 uses BER < 0.35) over ALL bits — distinct
+      recordings' noise-dominated bits disagree at ~0.5, copies stay
+      well under even after interpolation resampling;
+    - peak-bin agreement >= peak_agree_min: 15.6 Hz pitch identity.
+
+    Returns (id_a, id_b, wber, raw_ber, peak_agree, n_overlap).
+    """
+    from menelaus_spark.operators.dedup import normalized_text
+
+    def bc32(v):
+        # our uint32 words live in signed int columns; bit_count would
+        # sign-extend negatives to 64 bits and count 32 phantom ones
+        return F.bit_count(v.cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
+
+    fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
+    blocks = (
+        df.filter(F.col(transcript_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.md5(normalized_text(F.col(transcript_col))).alias("__blk"),
+        )
+        .filter(F.length("__blk") > 0)
+    )
+    sized = blocks.join(
+        blocks.groupBy("__blk").count().filter(
+            (F.col("count") >= 2) & (F.col("count") <= block_cap)
+        ).select("__blk"),
+        on="__blk",
+    )
+    pairs = (
+        sized.select(F.col("__blk"), F.col(key_col).alias("id_a"))
+        .join(sized.select(F.col("__blk"), F.col(key_col).alias("id_b")), on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = fp.select(F.col(key_col).alias("id_a"), F.col("codes").alias("ca"),
+                  F.col("masks").alias("ma"), F.col("peaks").alias("pa"))
+    b = fp.select(F.col(key_col).alias("id_b"), F.col("codes").alias("cb"),
+                  F.col("masks").alias("mb"), F.col("peaks").alias("pb"))
+    n = F.least(F.size("ca"), F.size("cb"))
+    joined = (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        # full-duplicate classes preserve duration exactly: equal frame
+        # counts is the cheapest distinct-recording rejector (trimmed
+        # copies are the exact-shingle path's job, via containment)
+        .filter(F.size("ca") == F.size("cb"))
+        .withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("__mand", F.zip_with(
+            F.slice("ma", 1, F.col("__n")), F.slice("mb", 1, F.col("__n")),
+            lambda x, y: x.bitwiseAND(y)))
+        .withColumn("__xor", F.zip_with(
+            F.slice("ca", 1, F.col("__n")), F.slice("cb", 1, F.col("__n")),
+            lambda x, y: x.bitwiseXOR(y)))
+        .withColumn("__den", F.aggregate(
+            "__mand", F.lit(0), lambda acc, m: acc + bc32(m)))
+        .withColumn("__num", F.aggregate(
+            F.zip_with("__xor", "__mand", lambda x, m: x.bitwiseAND(m)),
+            F.lit(0), lambda acc, v: acc + bc32(v)))
+        .withColumn("__raw", F.aggregate(
+            "__xor", F.lit(0), lambda acc, v: acc + bc32(v)))
+        .withColumn("__pagree", F.aggregate(
+            F.zip_with(F.slice("pa", 1, F.col("__n")), F.slice("pb", 1, F.col("__n")),
+                       lambda x, y: F.when(F.abs(x - y) <= 1, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v))
+    )
+    return (
+        joined.filter(F.col("__den") >= min_mask_bits)
+        .withColumn("wber", F.round(F.col("__num") / F.col("__den"), 6))
+        .withColumn("raw_ber", F.round(F.col("__raw") / (32 * F.col("__n")), 6))
+        .withColumn("peak_agree", F.round(F.col("__pagree") / F.col("__n"), 6))
+        .filter((F.col("wber") <= wber_max)
+                & (F.col("raw_ber") <= raw_ber_max)
+                & (F.col("peak_agree") >= peak_agree_min))
+        .select("id_a", "id_b", "wber", "raw_ber", "peak_agree",
+                F.col("__n").alias("n_overlap"))
+    )

@@ -197,7 +197,17 @@ def minhash_signatures(
     explode + groupBy pass with k min-aggregates. Docs with no
     shingles get an empty signature."""
     sh = with_shingles(df, id_col, text_col, n)
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("__shingle"))
+    return minhash_from_shingles(sh, id_col, "shingles", k)
+
+
+def minhash_from_shingles(
+    sh: DataFrame, id_col: str, shingle_col: str = "shingles", k: int = 32
+) -> DataFrame:
+    """MinHash signatures from a precomputed (id, shingle set) frame —
+    the shared kernel behind text minhash and audio-fingerprint
+    near-dup (the shingle DOMAIN differs, the signature plan does not).
+    """
+    exploded = sh.select(F.col(id_col), F.explode(shingle_col).alias("__shingle"))
     # materialize each md5 ONCE per (shingle, j) in an explicit
     # projection — the two 60-bit lanes are then substring/conv over
     # the shared digest (codegen does not reliably share the md5

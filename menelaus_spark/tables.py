@@ -59,6 +59,63 @@ def default_drift_spec() -> dict[int, dict]:
     }
 
 
+def _synth_clip(rng, d, dur_mu, dur_sigma, dur_clip, test_scale):
+    """One clip's (sr, dur, codec, pcm) from an already-positioned rng.
+    Consumes draws in the EXACT order of the pre-r04 inline code —
+    byte-identity of every existing table configuration depends on it.
+    """
+    sr = int(rng.choice(SR_CHOICES, p=SR_PROBS))
+    if test_scale:
+        sr = min(sr, 16000)  # keep byte volume sane in unit tests
+    mu = dur_mu + float(d.get("dur_mu_shift", 0.0))
+    dur = int(np.clip(np.exp(rng.normal(mu, dur_sigma)), *dur_clip))
+    codec_probs = np.asarray(d.get("codec_probs", CODEC_PROBS), dtype=float)
+    codec = str(rng.choice(CODEC_CHOICES, p=codec_probs / codec_probs.sum()))
+    # audio payload: seeded sine + noise mixture, PCM16 WAV container
+    n = max(1, int(round(dur * sr / 1000.0)))
+    f0 = rng.uniform(80.0, 1000.0)
+    noise_scale = float(d.get("noise_scale", 1.0))
+    if "upsample_from" in d:
+        # bandwidth fault: synthesize at a LOWER rate then stretch
+        # to sr — the clip claims sr_hz but its spectrum is empty
+        # above upsample_from/2 (audio_bandwidth check fodder)
+        sr_low = int(d["upsample_from"])
+        n_low = max(1, int(round(dur * sr_low / 1000.0)))
+        t = np.arange(n_low, dtype=np.float64) / sr_low
+        sig = (0.4 * np.sin(2 * np.pi * f0 * t)
+               + 0.05 * noise_scale * rng.standard_normal(n_low))
+        sig = resample_pcm(sig, sr_low, sr)
+        sig = sig[:n] if sig.size >= n else np.pad(sig, (0, n - sig.size),
+                                                  mode="edge")
+    else:
+        t = np.arange(n, dtype=np.float64) / sr
+        sig = (0.4 * np.sin(2 * np.pi * f0 * t)
+               + 0.05 * noise_scale * rng.standard_normal(n))
+    # quality-fault injection (drift-spec keys; extra rng draws only
+    # happen in partitions that request them, so clean partitions
+    # stay byte-identical across configs):
+    #   gain: amplifies the signal into int16 saturation (clipping)
+    #   silence_frac: fraction of clips replaced by digital silence
+    sig = sig * float(d.get("gain", 1.0))
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+    if "silence_frac" in d and rng.random() < float(d["silence_frac"]):
+        pcm = np.zeros(n, dtype=np.int16)
+    return sr, dur, codec, pcm
+
+
+def _draw_transcript(rng, d, null_frac, dur):
+    """Transcript draws, in the original order: seeded token sequence,
+    length ~ duration; words_per_s overrides the token rate
+    (transcript-rate faults)."""
+    if null_frac > 0 and rng.random() < null_frac:
+        return None
+    if "words_per_s" in d:
+        n_tok = max(1, int(round(dur / 1000.0 * float(d["words_per_s"]))))
+    else:
+        n_tok = max(1, int(dur / 400))
+    return " ".join(rng.choice(_WORDS, size=n_tok))
+
+
 def _gen_rows(
     ids: np.ndarray,
     seed: int,
@@ -71,8 +128,10 @@ def _gen_rows(
     dur_sigma: float,
     dur_clip: tuple[int, int],
     test_scale: bool,
+    neardup_frac: float = 0.0,
 ) -> pd.DataFrame:
     out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part")}
+    neardup_m = max(2, int(round(1.0 / neardup_frac))) if neardup_frac > 0 else 0
     for idx in ids:
         idx = int(idx)
         part = min(idx // rows_per_part, n_parts - 1)
@@ -83,53 +142,45 @@ def _gen_rows(
             clip_id = f"clip_{idx - 1:012d}"
         else:
             clip_id = f"clip_{idx:012d}"
-        # sample rate / duration / codec
-        sr = int(rng.choice(SR_CHOICES, p=SR_PROBS))
-        if test_scale:
-            sr = min(sr, 16000)  # keep byte volume sane in unit tests
-        mu = dur_mu + float(d.get("dur_mu_shift", 0.0))
-        dur = int(np.clip(np.exp(rng.normal(mu, dur_sigma)), *dur_clip))
-        codec_probs = np.asarray(d.get("codec_probs", CODEC_PROBS), dtype=float)
-        codec = str(rng.choice(CODEC_CHOICES, p=codec_probs / codec_probs.sum()))
-        # audio payload: seeded sine + noise mixture, PCM16 WAV container
-        n = max(1, int(round(dur * sr / 1000.0)))
-        f0 = rng.uniform(80.0, 1000.0)
-        noise_scale = float(d.get("noise_scale", 1.0))
-        if "upsample_from" in d:
-            # bandwidth fault: synthesize at a LOWER rate then stretch
-            # to sr — the clip claims sr_hz but its spectrum is empty
-            # above upsample_from/2 (audio_bandwidth check fodder)
-            sr_low = int(d["upsample_from"])
-            n_low = max(1, int(round(dur * sr_low / 1000.0)))
-            t = np.arange(n_low, dtype=np.float64) / sr_low
-            sig = (0.4 * np.sin(2 * np.pi * f0 * t)
-                   + 0.05 * noise_scale * rng.standard_normal(n_low))
-            sig = resample_pcm(sig, sr_low, sr)
-            sig = sig[:n] if sig.size >= n else np.pad(sig, (0, n - sig.size),
-                                                      mode="edge")
-        else:
-            t = np.arange(n, dtype=np.float64) / sr
-            sig = (0.4 * np.sin(2 * np.pi * f0 * t)
-                   + 0.05 * noise_scale * rng.standard_normal(n))
-        # quality-fault injection (drift-spec keys; extra rng draws only
-        # happen in partitions that request them, so clean partitions
-        # stay byte-identical across configs):
-        #   gain: amplifies the signal into int16 saturation (clipping)
-        #   silence_frac: fraction of clips replaced by digital silence
-        sig = sig * float(d.get("gain", 1.0))
-        pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
-        if "silence_frac" in d and rng.random() < float(d["silence_frac"]):
-            pcm = np.zeros(n, dtype=np.int16)
-        # transcript: seeded token sequence, length ~ duration;
-        # words_per_s overrides the token rate (transcript-rate faults)
-        if null_frac > 0 and rng.random() < null_frac:
-            transcript = None
-        elif "words_per_s" in d:
-            n_tok = max(1, int(round(dur / 1000.0 * float(d["words_per_s"]))))
-            transcript = " ".join(rng.choice(_WORDS, size=n_tok))
-        else:
-            n_tok = max(1, int(dur / 400))
-            transcript = " ".join(rng.choice(_WORDS, size=n_tok))
+        if neardup_m and idx > 0 and idx % neardup_m == neardup_m - 1:
+            # near-duplicate injection (opt-in; every clip_id keyed
+            # deterministically, so output stays partition-independent):
+            # regenerate clip idx-1's payload + transcript by replaying
+            # its exact draw sequence, then apply a mechanical-copy
+            # modification keyed by the dup's OWN rng — gain shift
+            # and/or downsample-to-half-rate (re-encoded copy classes
+            # that exact byte dedup cannot see, audio_neardup fodder)
+            src = idx - 1
+            part_s = min(src // rows_per_part, n_parts - 1)
+            d_s = drift.get(part_s, {})
+            rng_s = np.random.default_rng([seed, src])
+            if dup_frac > 0 and src > 0:
+                rng_s.random()  # mirror the source's clip_id draw
+            sr_s, dur_s, codec_s, pcm_s = _synth_clip(
+                rng_s, d_s, dur_mu, dur_sigma, dur_clip, test_scale)
+            transcript = _draw_transcript(rng_s, d_s, null_frac, dur_s)
+            x = pcm_s.astype(np.float64) / 32768.0
+            # resample mode only when sr/2 >= the canonical fingerprint
+            # rate — copies below it genuinely lose high-band content
+            mode = int(rng.integers(0, 3)) if sr_s >= 16000 else 0
+            if mode in (0, 2):
+                x = x * float(rng.choice([0.5, 0.7, 1.2]))
+            sr_out = sr_s
+            if mode in (1, 2):
+                sr_out = sr_s // 2
+                x = resample_pcm(x, sr_s, sr_out)
+            pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+            out["clip_id"].append(clip_id)
+            out["bytes"].append(wav_encode(pcm_d, sr_out))
+            out["sr_hz"].append(sr_out)
+            out["dur_ms"].append(dur_s)
+            out["codec"].append(codec_s)
+            out["transcript"].append(transcript)
+            out["part"].append(part)
+            continue
+        sr, dur, codec, pcm = _synth_clip(rng, d, dur_mu, dur_sigma,
+                                          dur_clip, test_scale)
+        transcript = _draw_transcript(rng, d, null_frac, dur)
         buf = wav_encode(pcm, sr)
         # pad_bytes: trailing junk after the data chunk — still fully
         # decodable (the header's data length wins) but inconsistent
@@ -163,6 +214,7 @@ def audio_table(
     dur_sigma: float = 0.5,
     dur_clip: tuple[int, int] = (200, 3000),
     test_scale: bool = True,
+    neardup_frac: float = 0.0,
 ) -> DataFrame:
     """Build the audio table as a distributed DataFrame."""
     drift = default_drift_spec() if drift is None else drift
@@ -173,6 +225,7 @@ def audio_table(
             yield _gen_rows(
                 pdf["id"].to_numpy(), seed, n_parts, rows_per_part, drift,
                 null_frac, dup_frac, dur_mu, dur_sigma, dur_clip, test_scale,
+                neardup_frac,
             )
 
     return spark.range(n_rows).mapInPandas(gen, schema=AUDIO_SCHEMA)

@@ -1,0 +1,135 @@
+"""Audio-fingerprint near-duplicate detection: kernel invariances,
+trim containment, and the end-to-end Spark pipeline against the
+generator's injected near-dup pairs."""
+
+import numpy as np
+
+from menelaus_spark import tables
+from menelaus_spark.audio import (
+    FP_SHINGLE,
+    FRAME,
+    HOP,
+    fingerprint_frames,
+    fingerprint_shingles,
+)
+from menelaus_spark.operators.audio_dedup import (
+    audio_neardup_pairs,
+    audio_shingles,
+    transcript_blocked_neardup,
+)
+
+
+def _clip(seed=7, sr=16000, dur_s=0.8, f0=440.0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(dur_s * sr)) / sr
+    return 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(t.size), sr
+
+
+def _jacc(a, b):
+    inter = np.intersect1d(a, b).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def test_fingerprint_gain_invariance():
+    x, sr = _clip()
+    base = fingerprint_frames(x, sr)
+    assert base.size > 10
+    for g in (0.25, 0.5, 2.0):
+        assert np.array_equal(base, fingerprint_frames(g * x, sr))
+
+
+def test_fingerprint_quantization_invariance():
+    x, sr = _clip()
+    q = np.clip(np.round(x * 32767.0), -32768, 32767) / 32768.0
+    s1, s2 = fingerprint_shingles(x, sr), fingerprint_shingles(q, sr)
+    assert _jacc(s1, s2) >= 0.95
+
+
+def test_fingerprint_trim_containment():
+    # a HOP-aligned prefix trim (at the canonical 8 kHz grid) keeps a
+    # subset of the full clip's shingles
+    x, sr = _clip(dur_s=1.2)
+    full = fingerprint_shingles(x, sr)
+    trim = fingerprint_shingles(x[: x.size // 2], sr)
+    inter = np.intersect1d(full, trim).size
+    assert inter / trim.size >= 0.9
+    assert _jacc(full, trim) < 0.9  # jaccard alone would miss the trim
+
+
+def test_fingerprint_short_and_empty_clips():
+    assert fingerprint_shingles(np.zeros(0), 8000).size == 0
+    # shorter than two frames at the canonical rate -> empty
+    assert fingerprint_shingles(np.zeros(FRAME // 2), 8000).size == 0
+    # enough for >=2 frames but fewer codes than FP_SHINGLE -> one
+    # zero-padded shingle, no crash
+    x, _ = _clip(dur_s=(FRAME + 2 * HOP + 1) / 8000.0, sr=8000)
+    sh = fingerprint_shingles(x, 8000)
+    assert 1 <= sh.size <= FP_SHINGLE
+
+
+def test_fingerprint_distinct_clips_disjoint():
+    a, sr = _clip(seed=1, f0=330.0)
+    b, _ = _clip(seed=2, f0=770.0)
+    assert _jacc(fingerprint_shingles(a, sr), fingerprint_shingles(b, sr)) < 0.05
+
+
+def test_audio_neardup_e2e_and_partition_independence(spark):
+    df = tables.audio_table(
+        spark, n_rows=160, n_parts=4, drift={}, neardup_frac=0.125, null_frac=0.0
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(160) if i % 8 == 7
+    }
+    srs = {r.clip_id: r.sr_hz for r in df.select("clip_id", "sr_hz").collect()}
+    # gain-mode dups keep the source rate; resample-mode dups halve it
+    gain_mode = {(a, b) for a, b in injected if srs[a] == srs[b]}
+    resample_mode = injected - gain_mode
+    assert resample_mode, "fixture should exercise the resample mode"
+
+    # exact-shingle path: every bit-exact copy class, zero extras
+    got = {(r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()}
+    assert gain_mode <= got
+    assert got <= injected
+
+    # transcript-blocked masked-BER path: ALL injected pairs, including
+    # the interpolation-resampled copies the shingle path cannot see
+    got_t = {(r.id_a, r.id_b) for r in transcript_blocked_neardup(df).collect()}
+    assert got_t == injected
+
+    # same rows, different partitioning -> identical pair set + scores
+    rows1 = sorted(map(tuple, audio_neardup_pairs(df).collect()))
+    rows2 = sorted(map(tuple, audio_neardup_pairs(df.repartition(13)).collect()))
+    assert rows1 == rows2
+    rows3 = sorted(map(tuple, transcript_blocked_neardup(df).collect()))
+    rows4 = sorted(map(tuple, transcript_blocked_neardup(df.repartition(13)).collect()))
+    assert rows3 == rows4
+
+
+def test_transcript_blocked_rejects_distinct_audio_same_text(spark):
+    from pyspark.sql import functions as F
+
+    # distinct recordings, FORCED identical transcript: block pairs
+    # them, the masked-BER verify must reject every pair
+    df = tables.audio_table(
+        spark, n_rows=24, n_parts=2, drift={}, null_frac=0.0
+    ).withColumn("transcript", F.lit("the same text for every clip"))
+    assert transcript_blocked_neardup(df).count() == 0
+
+
+def test_audio_shingles_undecodable_rows_empty(spark):
+    df = tables.audio_table(spark, n_rows=24, n_parts=2, drift={}, null_frac=0.5)
+    out = {r[0]: r[1] for r in audio_shingles(df).collect()}
+    assert len(out) == 24
+    # null transcripts don't matter; but null BYTES must yield empty
+    # sets, not crashes — simulate by running on a frame with nulls
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn(
+        "bytes", F.when(F.col("clip_id").substr(-1, 1) == "1", None).otherwise(F.col("bytes"))
+    )
+    out2 = {r[0]: r[1] for r in audio_shingles(df2).collect()}
+    assert len(out2) == 24
+    for cid, sh in out2.items():
+        if cid.endswith("1"):
+            assert sh == []
