@@ -2815,6 +2815,181 @@ def q_audio_suite(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _audio_neardup_table(spark):
+    """Shared fixture for the audio near-dup entries: deterministic
+    320-clip table, every 8th clip a mechanical copy of its
+    predecessor (gain-shifted, or downsampled-to-half-rate when the
+    source is 16 kHz)."""
+    return tables.audio_table(spark, n_rows=320, n_parts=4, drift={},
+                              neardup_frac=0.125, null_frac=0.0)
+
+
+def _audio_neardup_twin():
+    """Driver-side numpy twin of _audio_neardup_table (same counter-
+    based generator, so bit-exact) decoded with the same importable
+    kernels — the data the near-dup oracles inline. Returns the
+    generator frame plus per-clip fingerprint shingles and code rows."""
+    import numpy as np
+
+    pdf = tables._gen_rows(
+        np.arange(320), 42, 4, 80, {}, 0.0, 0.0, 6.6, 0.5, (200, 3000),
+        True, 0.125,
+    )
+    out = []
+    for r in pdf.itertuples(index=False):
+        try:
+            sr, pcm = audio.decode_clip(bytes(r.bytes), r.codec)
+        except Exception:
+            out.append((r.clip_id, r.transcript, [], None))
+            continue
+        sh = [f"{v:016x}" for v in
+              np.asarray(audio.fingerprint_shingles(pcm, sr),
+                         dtype=np.int64).view(np.uint64)]
+        out.append((r.clip_id, r.transcript, sh,
+                    audio.fingerprint_codes(pcm, sr)))
+    return out
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-duplicate pairs via spectral-fingerprint shingles ->
+    MinHash(16) -> LSH(8x2) -> exact Jaccard+containment verify (the
+    bit-exact copy classes: re-encodes, gain shifts, aligned trims)."""
+    from menelaus_spark.operators.audio_dedup import audio_neardup_pairs
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark)
+    return audio_neardup_pairs(df).orderBy("id_a", "id_b")
+
+
+def q_audio_transcript_neardup(spark, sf_dir):
+    """Cross-modal near-dup: transcript-equality blocking + masked-BER
+    fingerprint verify — catches the interpolation-resampled copies the
+    exact-shingle path cannot."""
+    from menelaus_spark.operators.audio_dedup import transcript_blocked_neardup
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark)
+    return transcript_blocked_neardup(df).orderBy("id_a", "id_b")
+
+
+def _audio_neardup_oracle() -> str | None:
+    """Oracle for q_audio_neardup: shingle SETS come from the numpy
+    twin (the decode step has no SQL analog — same precedent as the
+    audio_suite twin), but the ENTIRE matching pipeline — md5-lane
+    minhash, 8x2 banding, bucket join, Jaccard + containment verify —
+    is recomputed independently in DuckDB SQL."""
+    try:
+        twin = _audio_neardup_twin()
+    except Exception:
+        return None
+    rows = [
+        f"('{cid}', '{s}')"
+        for cid, _tr, sh, _cm in twin
+        for s in sh
+    ]
+    k = 16
+    mins = ", ".join(
+        f"min(('0x' || substring(md5(concat('{i // 2}|', shingle)), "
+        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) as h{i}"
+        for i in range(k)
+    )
+    band_arms = "\n              UNION ALL\n".join(
+        f"              SELECT clip_id, {b} AS band, "
+        f"md5(h{2 * b} || ',' || h{2 * b + 1}) AS bhash FROM sig"
+        for b in range(8)
+    )
+    return f"""
+        WITH shrows(clip_id, shingle) AS (VALUES {", ".join(rows)}),
+        shingles AS (
+          SELECT clip_id, list(DISTINCT shingle) AS sh
+          FROM shrows GROUP BY clip_id),
+        sig AS (
+          SELECT clip_id, {mins} FROM shrows GROUP BY clip_id),
+        banded AS (
+{band_arms}),
+        cands AS (
+          SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.clip_id < b.clip_id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(least(len(sa.sh), len(sb.sh)), 1), 6) AS containment
+          FROM cands c
+          JOIN shingles sa ON sa.clip_id = c.id_a
+          JOIN shingles sb ON sb.clip_id = c.id_b)
+        SELECT id_a, id_b, jaccard, containment
+        FROM scored WHERE jaccard >= 0.35
+        ORDER BY id_a, id_b
+    """
+
+
+def _audio_transcript_neardup_oracle() -> str | None:
+    """Oracle for q_audio_transcript_neardup: fingerprint code/mask/
+    peak rows come from the numpy twin; the blocking (md5-normalized
+    transcript, block size in [2, 50]), the equal-frame-count guard,
+    and the masked-BER / raw-BER / peak-agreement arithmetic are all
+    recomputed independently in DuckDB (bit_count + xor on the raw
+    words)."""
+    try:
+        twin = _audio_neardup_twin()
+    except Exception:
+        return None
+    code_rows, meta_rows = [], []
+    for cid, tr, _sh, cm in twin:
+        tr_lit = "NULL" if tr is None else "'" + tr.replace("'", "''") + "'"
+        n = 0 if cm is None else int(cm[0].size)
+        meta_rows.append(f"('{cid}', {tr_lit}, {n})")
+        if cm is None:
+            continue
+        codes, masks, peaks = cm
+        for i in range(n):
+            code_rows.append(
+                f"('{cid}', {i}, {int(codes[i])}, {int(masks[i])}, {int(peaks[i])})"
+            )
+    return f"""
+        WITH meta(clip_id, transcript, nframes) AS (VALUES {", ".join(meta_rows)}),
+        fp(clip_id, seq, code, mask, peak) AS (VALUES {", ".join(code_rows)}),
+        blocks AS (
+          SELECT clip_id, nframes,
+                 md5(regexp_replace(trim(lower(coalesce(transcript, ''))),
+                                    '\\s+', ' ', 'g')) AS blk
+          FROM meta WHERE transcript IS NOT NULL),
+        sized AS (
+          SELECT b.* FROM blocks b
+          JOIN (SELECT blk FROM blocks GROUP BY blk
+                HAVING count(*) BETWEEN 2 AND 50) ok USING (blk)),
+        pairs AS (
+          SELECT a.clip_id AS id_a, b.clip_id AS id_b, a.nframes AS n
+          FROM sized a JOIN sized b
+            ON a.blk = b.blk AND a.clip_id < b.clip_id
+               AND a.nframes = b.nframes AND a.nframes > 0),
+        scored AS (
+          SELECT p.id_a, p.id_b, p.n,
+                 sum(bit_count(fa.mask & fb.mask)) AS den,
+                 sum(bit_count(xor(fa.code, fb.code) & fa.mask & fb.mask)) AS num,
+                 sum(bit_count(xor(fa.code, fb.code))) AS raw,
+                 sum(CASE WHEN abs(fa.peak - fb.peak) <= 1 THEN 1 ELSE 0 END) AS pag
+          FROM pairs p
+          JOIN fp fa ON fa.clip_id = p.id_a
+          JOIN fp fb ON fb.clip_id = p.id_b AND fb.seq = fa.seq
+          GROUP BY p.id_a, p.id_b, p.n)
+        SELECT id_a, id_b,
+               round(num::DOUBLE / den, 6) AS wber,
+               round(raw::DOUBLE / (32 * n), 6) AS raw_ber,
+               round(pag::DOUBLE / n, 6) AS peak_agree,
+               n AS n_overlap
+        FROM scored
+        WHERE den >= 16
+          AND round(num::DOUBLE / den, 6) <= 0.10
+          AND round(raw::DOUBLE / (32 * n), 6) <= 0.35
+          AND round(pag::DOUBLE / n, 6) >= 0.9
+        ORDER BY id_a, id_b
+    """
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -2880,6 +3055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "example_data_profile": q_example_data_profile,
         "audio_suite_relational": q_audio_suite_relational,
         "audio_suite": q_audio_suite,
+        "audio_neardup": q_audio_neardup,
+        "audio_transcript_neardup": q_audio_transcript_neardup,
     }
 
 
@@ -3316,6 +3493,8 @@ def oracle_sql() -> dict[str, str]:
         ("cdbd_example_confidence", _cdbd_example_oracle),
         ("nndvi_lineitem", _nndvi_lineitem_oracle),
         ("audio_suite", _audio_suite_oracle),
+        ("audio_neardup", _audio_neardup_oracle),
+        ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
     ]:
         sql = builder()
         if sql is not None:

@@ -136,6 +136,19 @@ def main():
     suite.run(df)
     audio_suite_s = round(time.time() - t0, 3)
     timings["audio_suite"] = audio_suite_s
+
+    # audio near-dup: both fingerprint matching paths over the SAME
+    # sf-scaled table (shingle MinHash/LSH + transcript-blocked
+    # masked-BER verify)
+    from menelaus_spark.operators.audio_dedup import (
+        audio_neardup_pairs,
+        transcript_blocked_neardup,
+    )
+
+    t0 = time.time()
+    run_noop(audio_neardup_pairs(df))
+    run_noop(transcript_blocked_neardup(df))
+    timings["audio_neardup"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
