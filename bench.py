@@ -139,15 +139,19 @@ def main():
 
     # audio near-dup: both fingerprint matching paths over the SAME
     # sf-scaled table (shingle MinHash/LSH + transcript-blocked
-    # masked-BER verify)
+    # masked-BER verify), sharing ONE decode pass via the persisted
+    # fingerprint frame
     from menelaus_spark.operators.audio_dedup import (
+        audio_fingerprints,
         audio_neardup_pairs,
         transcript_blocked_neardup,
     )
 
     t0 = time.time()
-    run_noop(audio_neardup_pairs(df))
-    run_noop(transcript_blocked_neardup(df))
+    fp = audio_fingerprints(df).persist()
+    run_noop(audio_neardup_pairs(df, fp=fp))
+    run_noop(transcript_blocked_neardup(df, fp=fp))
+    fp.unpersist()
     timings["audio_neardup"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 

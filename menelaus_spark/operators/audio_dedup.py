@@ -71,6 +71,40 @@ def audio_shingles(
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
 
+def audio_fingerprints(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Everything both matching paths need from ONE Arrow decode pass:
+    (key, shingles array<string>, codes/masks/peaks array<int>). When
+    a corpus runs both near-dup paths — the production configuration —
+    persist this frame and pass it to both; the binary column is then
+    read exactly once for the whole dedup suite."""
+    schema = (f"{key_col} string, shingles array<string>, "
+              f"codes array<int>, masks array<int>, peaks array<int>")
+
+    def work(batches):
+        for pdf in batches:
+            keys, shl, cs, ms, ps = [], [], [], [], []
+            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+                keys.append(key)
+                try:
+                    sr, pcm = decode_clip(bytes(buf), codec)
+                    c, m, p = fingerprint_codes(pcm, sr)
+                    shl.append(shingle_hex(fingerprint_shingles(pcm, sr)))
+                    cs.append(c.astype(np.int32))
+                    ms.append(m.astype(np.int32))
+                    ps.append(p)
+                except Exception:
+                    shl.append([]); cs.append([]); ms.append([]); ps.append([])
+            yield pd.DataFrame({key_col: keys, "shingles": shl,
+                                "codes": cs, "masks": ms, "peaks": ps})
+
+    return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
 def audio_neardup_pairs(
     df: DataFrame,
     key_col: str = "clip_id",
@@ -80,6 +114,7 @@ def audio_neardup_pairs(
     k: int = 16,
     bands: int = 8,
     rows: int = 2,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate clip pairs: (id_a, id_b, jaccard, containment)
     with fingerprint-shingle Jaccard >= threshold. bands=8 x rows=2
@@ -88,9 +123,11 @@ def audio_neardup_pairs(
     preserves; the verify join computes the exact scores on candidate
     pairs only."""
     assert bands * rows == k
-    sh = audio_shingles(df, key_col, bytes_col, codec_col)
-    # decoded once, read three ways (signatures + both verify sides)
-    sh = sh.persist()
+    if fp is not None:
+        sh = fp.select(key_col, "shingles")
+    else:
+        # decoded once, read three ways (signatures + both verify sides)
+        sh = audio_shingles(df, key_col, bytes_col, codec_col).persist()
     sigs = minhash_from_shingles(sh, key_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
     return (
@@ -158,6 +195,7 @@ def transcript_blocked_neardup(
     peak_agree_min: float = 0.9,
     min_mask_bits: int = 16,
     block_cap: int = 50,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-modal near-duplicate detection: block on transcript
     equality (same text, possibly different encodings of the same
@@ -193,7 +231,8 @@ def transcript_blocked_neardup(
         # sign-extend negatives to 64 bits and count 32 phantom ones
         return F.bit_count(v.cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
 
-    fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
+    if fp is None:
+        fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
     blocks = (
         df.filter(F.col(transcript_col).isNotNull())
         .select(

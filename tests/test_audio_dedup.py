@@ -133,3 +133,19 @@ def test_audio_shingles_undecodable_rows_empty(spark):
     for cid, sh in out2.items():
         if cid.endswith("1"):
             assert sh == []
+
+
+def test_shared_fingerprint_frame_equivalence(spark):
+    from menelaus_spark.operators.audio_dedup import audio_fingerprints
+
+    df = tables.audio_table(
+        spark, n_rows=80, n_parts=2, drift={}, neardup_frac=0.125, null_frac=0.0
+    )
+    fp = audio_fingerprints(df).persist()
+    try:
+        assert sorted(map(tuple, audio_neardup_pairs(df, fp=fp).collect())) == \
+            sorted(map(tuple, audio_neardup_pairs(df).collect()))
+        assert sorted(map(tuple, transcript_blocked_neardup(df, fp=fp).collect())) == \
+            sorted(map(tuple, transcript_blocked_neardup(df).collect()))
+    finally:
+        fp.unpersist()
