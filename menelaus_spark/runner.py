@@ -90,6 +90,7 @@ class ValidationSuite:
         hdm_params: dict | None = None,
         hdm_input_partitions: int = 8,
         global_uniqueness: bool = True,
+        neardup_rate_max: float | None = None,
         cps_bounds: tuple | None = None,
         payload_tol: float | None = None,
         payload_codecs: tuple | None = None,
@@ -130,6 +131,13 @@ class ValidationSuite:
             else None
         )
         self.global_uniqueness = global_uniqueness
+        # payload near-duplicate rate (spectral-fingerprint shingle
+        # path, operators/audio_dedup.py): fraction of clips that are a
+        # member of at least one near-dup pair. Global like uniqueness
+        # (pairs cross partitions); the most expensive global family
+        # (one extra decode pass over the table per run) — off by
+        # default, enable for corpus-hygiene validation runs.
+        self.neardup_rate_max = neardup_rate_max
         # audio-depth checks (north_star: audio clip + transcript pairs).
         # cps_bounds / payload_tol are pure-JVM row predicates that ride
         # the fused constraint aggregation; quality_rules are per-clip
@@ -697,6 +705,33 @@ class ValidationSuite:
             statistic=float(n_dup), threshold=0.0, n_rows=int(row["n"]),
         ).as_row()
 
+    def _neardup_verdict(self, df: DataFrame):
+        """Global payload near-dup rate via the fingerprint-shingle
+        MinHash/LSH path. Deterministic (seeded md5 hash family,
+        partition-independent fingerprints), so recomputing per run
+        keeps resumed and one-shot verdict tables identical — the same
+        contract as the global uniqueness check."""
+        from menelaus_spark.operators.audio_dedup import audio_neardup_pairs
+
+        pairs = audio_neardup_pairs(
+            df, key_col=self.key_col, bytes_col=self.bytes_col,
+            codec_col=self.codec_col,
+        )
+        row = (
+            pairs.select(F.explode(F.array("id_a", "id_b")).alias("__k"))
+            .agg(F.countDistinct("__k").alias("m"))
+            .collect()[0]
+        )
+        members = int(row["m"] or 0)
+        n = df.count()
+        rate = members / n if n else 0.0
+        return Verdict(
+            "__global__", "neardup:payload",
+            PASS if rate <= self.neardup_rate_max else FAIL,
+            statistic=float(rate), threshold=float(self.neardup_rate_max),
+            n_rows=int(n),
+        ).as_row()
+
     def run(self, df: DataFrame, vectorized: bool = True) -> tuple[DataFrame, DataFrame]:
         """Validate every partition not yet in the manifest; return
         (verdicts, violations) DataFrames covering ALL partitions
@@ -732,6 +767,8 @@ class ValidationSuite:
         verdict_rows = self.manifest.replayed_verdicts()
         if self.global_uniqueness:
             verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
+        if self.neardup_rate_max is not None:
+            verdict_rows = verdict_rows + [self._neardup_verdict(df)]
         verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
         import os
 

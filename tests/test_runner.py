@@ -322,3 +322,45 @@ def test_payload_codec_gate(spark, tmp_path):
         stats[name] = (r[("1", "payload_size")]["statistic"],
                        viol.filter(F.col("check_name") == "payload_size").count())
     assert stats["gate_fb"] == stats["gate_dec"] == (float(n_pcm_bad), n_pcm_bad)
+
+
+def test_neardup_rate_check(spark, tmp_path):
+    # 80 clips, every 8th a mechanical copy -> 20/80 = 25% of clips are
+    # near-dup members; threshold 0.05 must FAIL with that statistic,
+    # and a clean table must PASS
+    path = str(tmp_path / "ndtab")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=80, n_parts=2, drift={},
+                           neardup_frac=0.125, null_frac=0.0),
+        path,
+    )
+    df = spark.read.parquet(path)
+    suite = _suite(spark, tmp_path, "nd1", kdq_features=False,
+                   neardup_rate_max=0.05)
+    verdicts, _ = suite.run(df)
+    row = verdicts.filter(F.col("check_name") == "neardup:payload").collect()
+    assert len(row) == 1 and row[0]["state"] == "fail"
+    assert row[0]["partition_key"] == "__global__"
+    # the shingle path sees the bit-exact copy classes: gain-mode dups
+    # (equal sr with their source); resample-mode dups are the
+    # transcript-blocked path's job and don't count here
+    srs = {r.clip_id: r.sr_hz for r in df.select("clip_id", "sr_hz").collect()}
+    gain_pairs = [
+        i for i in range(80)
+        if i % 8 == 7 and srs[f"clip_{i:012d}"] == srs[f"clip_{i - 1:012d}"]
+    ]
+    assert gain_pairs
+    assert abs(row[0]["statistic"] - 2 * len(gain_pairs) / 80) < 1e-9
+
+    clean_path = str(tmp_path / "ndclean")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=80, n_parts=2, drift={},
+                           null_frac=0.0),
+        clean_path,
+    )
+    suite2 = _suite(spark, tmp_path, "nd2", kdq_features=False,
+                    neardup_rate_max=0.05)
+    verdicts2, _ = suite2.run(spark.read.parquet(clean_path))
+    row2 = verdicts2.filter(F.col("check_name") == "neardup:payload").collect()
+    assert len(row2) == 1 and row2[0]["state"] == "pass"
+    assert row2[0]["statistic"] == 0.0
