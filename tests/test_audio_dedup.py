@@ -149,3 +149,44 @@ def test_shared_fingerprint_frame_equivalence(spark):
             sorted(map(tuple, transcript_blocked_neardup(df).collect()))
     finally:
         fp.unpersist()
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from menelaus_spark.audio import FP_DELTA, fingerprint_codes
+
+
+@st.composite
+def _signal(draw):
+    seed = draw(st.integers(0, 2**31 - 1))
+    f0 = draw(st.floats(min_value=60.0, max_value=3500.0))
+    dur = draw(st.floats(min_value=0.15, max_value=1.5))
+    sr = draw(st.sampled_from([8000, 16000]))
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(dur * sr)) / sr
+    return 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(t.size), sr
+
+
+@settings(max_examples=25, deadline=None)
+@given(_signal(), st.floats(min_value=0.05, max_value=4.0))
+def test_fingerprint_gain_invariance_property(sig_sr, gain):
+    x, sr = sig_sr
+    c0, m0, p0 = fingerprint_codes(x, sr)
+    c1, m1, p1 = fingerprint_codes(gain * x, sr)
+    assert np.array_equal(c0, c1)
+    assert np.array_equal(m0, m1)
+    assert np.array_equal(p0, p1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_signal())
+def test_fingerprint_mask_monotone_in_delta(sig_sr):
+    # a larger confidence margin can only CLEAR bits from the mask
+    x, sr = sig_sr
+    _, m_loose, _ = fingerprint_codes(x, sr, delta=FP_DELTA / 2)
+    _, m_tight, _ = fingerprint_codes(x, sr, delta=FP_DELTA * 2)
+    for lo, hi in zip(m_tight, m_loose):
+        assert int(lo) & ~int(hi) == 0
