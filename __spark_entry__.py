@@ -2956,7 +2956,9 @@ def _audio_transcript_neardup_oracle() -> str | None:
           SELECT clip_id, nframes,
                  md5(regexp_replace(trim(lower(coalesce(transcript, ''))),
                                     '\\s+', ' ', 'g')) AS blk
-          FROM meta WHERE transcript IS NOT NULL),
+          FROM meta WHERE transcript IS NOT NULL
+            AND len(regexp_replace(trim(lower(coalesce(transcript, ''))),
+                                   '\\s+', ' ', 'g')) > 0),
         sized AS (
           SELECT b.* FROM blocks b
           JOIN (SELECT blk FROM blocks GROUP BY blk

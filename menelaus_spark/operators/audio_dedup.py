@@ -235,11 +235,13 @@ def transcript_blocked_neardup(
         fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
     blocks = (
         df.filter(F.col(transcript_col).isNotNull())
+        # empty/whitespace transcripts carry no blocking evidence and
+        # would otherwise all land in one bucket (md5('') is non-empty)
+        .filter(F.length(normalized_text(F.col(transcript_col))) > 0)
         .select(
             F.col(key_col),
             F.md5(normalized_text(F.col(transcript_col))).alias("__blk"),
         )
-        .filter(F.length("__blk") > 0)
     )
     sized = blocks.join(
         blocks.groupBy("__blk").count().filter(

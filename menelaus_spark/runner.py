@@ -711,17 +711,24 @@ class ValidationSuite:
         partition-independent fingerprints), so recomputing per run
         keeps resumed and one-shot verdict tables identical — the same
         contract as the global uniqueness check."""
-        from menelaus_spark.operators.audio_dedup import audio_neardup_pairs
+        from menelaus_spark.operators.audio_dedup import (
+            audio_neardup_pairs,
+            audio_shingles,
+        )
 
-        pairs = audio_neardup_pairs(
+        sh = audio_shingles(
             df, key_col=self.key_col, bytes_col=self.bytes_col,
             codec_col=self.codec_col,
-        )
-        row = (
-            pairs.select(F.explode(F.array("id_a", "id_b")).alias("__k"))
-            .agg(F.countDistinct("__k").alias("m"))
-            .collect()[0]
-        )
+        ).persist()
+        try:
+            pairs = audio_neardup_pairs(df, key_col=self.key_col, fp=sh)
+            row = (
+                pairs.select(F.explode(F.array("id_a", "id_b")).alias("__k"))
+                .agg(F.countDistinct("__k").alias("m"))
+                .collect()[0]
+            )
+        finally:
+            sh.unpersist()
         members = int(row["m"] or 0)
         n = df.count()
         rate = members / n if n else 0.0

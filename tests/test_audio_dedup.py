@@ -115,6 +115,12 @@ def test_transcript_blocked_rejects_distinct_audio_same_text(spark):
         spark, n_rows=24, n_parts=2, drift={}, null_frac=0.0
     ).withColumn("transcript", F.lit("the same text for every clip"))
     assert transcript_blocked_neardup(df).count() == 0
+    # empty/whitespace transcripts carry no blocking evidence: even
+    # genuine dups must NOT pair through the all-empty pseudo-block
+    df2 = tables.audio_table(
+        spark, n_rows=24, n_parts=2, drift={}, neardup_frac=0.25, null_frac=0.0
+    ).withColumn("transcript", F.lit("   "))
+    assert transcript_blocked_neardup(df2).count() == 0
 
 
 def test_audio_shingles_undecodable_rows_empty(spark):
