@@ -2815,38 +2815,40 @@ def q_audio_suite(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def _audio_neardup_table(spark):
+def _audio_neardup_table(spark, modes=("gain", "resample")):
     """Shared fixture for the audio near-dup entries: deterministic
     320-clip table, every 8th clip a mechanical copy of its
-    predecessor (gain-shifted, or downsampled-to-half-rate when the
-    source is 16 kHz)."""
+    predecessor (gain-shifted / downsampled-to-half-rate, or a
+    frame-aligned truncation when modes=("trim",))."""
     return tables.audio_table(spark, n_rows=320, n_parts=4, drift={},
-                              neardup_frac=0.125, null_frac=0.0)
+                              neardup_frac=0.125, null_frac=0.0,
+                              neardup_modes=modes)
 
 
-def _audio_neardup_twin():
+def _audio_neardup_twin(modes=("gain", "resample")):
     """Driver-side numpy twin of _audio_neardup_table (same counter-
     based generator, so bit-exact) decoded with the same importable
     kernels — the data the near-dup oracles inline. Returns the
     generator frame plus per-clip fingerprint shingles and code rows."""
     import numpy as np
 
+    from menelaus_spark.operators.audio_dedup import FP_HEADS, shingle_hex
+
     pdf = tables._gen_rows(
         np.arange(320), 42, 4, 80, {}, 0.0, 0.0, 6.6, 0.5, (200, 3000),
-        True, 0.125,
+        True, 0.125, modes,
     )
     out = []
     for r in pdf.itertuples(index=False):
         try:
             sr, pcm = audio.decode_clip(bytes(r.bytes), r.codec)
         except Exception:
-            out.append((r.clip_id, r.transcript, [], None))
+            out.append((r.clip_id, r.transcript, [], None, []))
             continue
-        sh = [f"{v:016x}" for v in
-              np.asarray(audio.fingerprint_shingles(pcm, sr),
-                         dtype=np.int64).view(np.uint64)]
-        out.append((r.clip_id, r.transcript, sh,
-                    audio.fingerprint_codes(pcm, sr)))
+        cm = audio.fingerprint_codes(pcm, sr)
+        packed = audio.pack_shingles(cm[0])
+        out.append((r.clip_id, r.transcript, shingle_hex(np.unique(packed)),
+                    cm, shingle_hex(packed[:FP_HEADS])))
     return out
 
 
@@ -2872,6 +2874,18 @@ def q_audio_transcript_neardup(spark, sf_dir):
     return transcript_blocked_neardup(df).orderBy("id_a", "id_b")
 
 
+def q_audio_neardup_trim(spark, sf_dir):
+    """Trim detection: frame-aligned truncated copies found via
+    time-order HEAD-shingle buckets + the containment criterion (half
+    trims of short clips sit below any workable Jaccard threshold)."""
+    from menelaus_spark.operators.audio_dedup import audio_neardup_pairs
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, modes=("trim",))
+    return audio_neardup_pairs(df, containment_threshold=0.9).orderBy(
+        "id_a", "id_b")
+
+
 def _audio_neardup_oracle() -> str | None:
     """Oracle for q_audio_neardup: shingle SETS come from the numpy
     twin (the decode step has no SQL analog — same precedent as the
@@ -2884,7 +2898,7 @@ def _audio_neardup_oracle() -> str | None:
         return None
     rows = [
         f"('{cid}', '{s}')"
-        for cid, _tr, sh, _cm in twin
+        for cid, _tr, sh, _cm, _hd in twin
         for s in sh
     ]
     k = 16
@@ -2926,6 +2940,69 @@ def _audio_neardup_oracle() -> str | None:
     """
 
 
+def _audio_neardup_trim_oracle() -> str | None:
+    """Oracle for q_audio_neardup_trim: same twin-shingle precedent;
+    candidate generation (md5-lane minhash banding UNION capped
+    head-shingle buckets) and the jaccard-OR-containment verify are
+    recomputed independently in DuckDB."""
+    try:
+        twin = _audio_neardup_twin(modes=("trim",))
+    except Exception:
+        return None
+    sh_rows = [
+        f"('{cid}', '{v}')" for cid, _tr, sh, _cm, _hd in twin for v in sh
+    ]
+    hd_rows = [
+        f"('{cid}', '{v}')" for cid, _tr, _sh, _cm, hd in twin for v in hd
+    ]
+    k = 16
+    mins = ", ".join(
+        f"min(('0x' || substring(md5(concat('{i // 2}|', shingle)), "
+        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) as h{i}"
+        for i in range(k)
+    )
+    band_arms = "\n              UNION ALL\n".join(
+        f"              SELECT clip_id, {b} AS band, "
+        f"md5(h{2 * b} || ',' || h{2 * b + 1}) AS bhash FROM sig"
+        for b in range(8)
+    )
+    return f"""
+        WITH shrows(clip_id, shingle) AS (VALUES {", ".join(sh_rows)}),
+        hdrows(clip_id, head) AS (VALUES {", ".join(hd_rows)}),
+        shingles AS (
+          SELECT clip_id, list(DISTINCT shingle) AS sh
+          FROM shrows GROUP BY clip_id),
+        sig AS (
+          SELECT clip_id, {mins} FROM shrows GROUP BY clip_id),
+        banded AS (
+{band_arms}),
+        okheads AS (
+          SELECT head FROM hdrows GROUP BY head HAVING count(*) <= 200),
+        hd AS (SELECT DISTINCT h.clip_id, h.head
+               FROM hdrows h JOIN okheads USING (head)),
+        cands AS (
+          SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.clip_id < b.clip_id
+          UNION
+          SELECT DISTINCT a.clip_id, b.clip_id
+          FROM hd a JOIN hd b
+            ON a.head = b.head AND a.clip_id < b.clip_id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(least(len(sa.sh), len(sb.sh)), 1), 6) AS containment
+          FROM cands c
+          JOIN shingles sa ON sa.clip_id = c.id_a
+          JOIN shingles sb ON sb.clip_id = c.id_b)
+        SELECT id_a, id_b, jaccard, containment
+        FROM scored WHERE jaccard >= 0.35 OR containment >= 0.9
+        ORDER BY id_a, id_b
+    """
+
+
 def _audio_transcript_neardup_oracle() -> str | None:
     """Oracle for q_audio_transcript_neardup: fingerprint code/mask/
     peak rows come from the numpy twin; the blocking (md5-normalized
@@ -2938,7 +3015,7 @@ def _audio_transcript_neardup_oracle() -> str | None:
     except Exception:
         return None
     code_rows, meta_rows = [], []
-    for cid, tr, _sh, cm in twin:
+    for cid, tr, _sh, cm, _hd in twin:
         tr_lit = "NULL" if tr is None else "'" + tr.replace("'", "''") + "'"
         n = 0 if cm is None else int(cm[0].size)
         meta_rows.append(f"('{cid}', {tr_lit}, {n})")
@@ -3058,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_relational": q_audio_suite_relational,
         "audio_suite": q_audio_suite,
         "audio_neardup": q_audio_neardup,
+        "audio_neardup_trim": q_audio_neardup_trim,
         "audio_transcript_neardup": q_audio_transcript_neardup,
     }
 
@@ -3496,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
         ("nndvi_lineitem", _nndvi_lineitem_oracle),
         ("audio_suite", _audio_suite_oracle),
         ("audio_neardup", _audio_neardup_oracle),
+        ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
     ]:
         sql = builder()

@@ -536,13 +536,11 @@ def fingerprint_frames(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     return fingerprint_codes(pcm, sr_hz)[0]
 
 
-def fingerprint_shingles(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
-    """Float PCM -> sorted distinct int64 shingles: FP_SHINGLE
-    consecutive frame codes packed big-endian into 64 bits (sliding,
-    hop one frame). Clips with fewer codes than FP_SHINGLE yield a
-    single zero-padded shingle; clips too short for one frame yield an
-    empty set."""
-    codes = fingerprint_frames(pcm, sr_hz).astype(np.uint64)
+def pack_shingles(codes: np.ndarray) -> np.ndarray:
+    """uint32 frame codes -> TIME-ORDER int64 shingles (FP_SHINGLE
+    consecutive codes packed big-endian, sliding hop one frame; fewer
+    codes than FP_SHINGLE yields one zero-padded shingle)."""
+    codes = np.asarray(codes, dtype=np.uint64)
     if codes.size == 0:
         return np.empty(0, dtype=np.int64)
     if codes.size < FP_SHINGLE:
@@ -551,4 +549,11 @@ def fingerprint_shingles(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     packed = np.zeros(n, dtype=np.uint64)
     for j in range(FP_SHINGLE):
         packed |= codes[j : j + n] << np.uint64(32 * (FP_SHINGLE - 1 - j))
-    return np.unique(packed).view(np.int64)
+    return packed.view(np.int64)
+
+
+def fingerprint_shingles(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
+    """Float PCM -> sorted distinct int64 shingles (the set domain the
+    MinHash/Jaccard pipeline consumes). See :func:`pack_shingles` for
+    the time-order variant prefix-trim bucketing needs."""
+    return np.unique(pack_shingles(fingerprint_frames(pcm, sr_hz)))

@@ -30,12 +30,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from menelaus_spark.audio import decode_clip, fingerprint_codes, fingerprint_shingles
+from menelaus_spark.audio import (
+    decode_clip,
+    fingerprint_codes,
+    fingerprint_shingles,
+    pack_shingles,
+)
 from menelaus_spark.operators.dedup import (
     jaccard_col,
     lsh_candidate_pairs,
     minhash_from_shingles,
 )
+
+
+FP_HEADS = 4  # time-order head shingles emitted for prefix-trim buckets
 
 
 def shingle_hex(shingles: np.ndarray) -> list[str]:
@@ -54,19 +62,21 @@ def audio_shingles(
     """(key, shingles array<string>) in one Arrow-batched pass.
     Undecodable or too-short clips yield an empty set — they can never
     pair, and the decode-integrity check owns reporting them."""
-    schema = f"{key_col} string, shingles array<string>"
+    schema = f"{key_col} string, shingles array<string>, heads array<string>"
 
     def work(batches):
         for pdf in batches:
-            keys, shl = [], []
+            keys, shl, hds = [], [], []
             for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
                 keys.append(key)
                 try:
                     sr, pcm = decode_clip(bytes(buf), codec)
-                    shl.append(shingle_hex(fingerprint_shingles(pcm, sr)))
+                    packed = pack_shingles(fingerprint_codes(pcm, sr)[0])
+                    shl.append(shingle_hex(np.unique(packed)))
+                    hds.append(shingle_hex(packed[:FP_HEADS]))
                 except Exception:
-                    shl.append([])
-            yield pd.DataFrame({key_col: keys, "shingles": shl})
+                    shl.append([]); hds.append([])
+            yield pd.DataFrame({key_col: keys, "shingles": shl, "heads": hds})
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
@@ -82,24 +92,27 @@ def audio_fingerprints(
     a corpus runs both near-dup paths — the production configuration —
     persist this frame and pass it to both; the binary column is then
     read exactly once for the whole dedup suite."""
-    schema = (f"{key_col} string, shingles array<string>, "
+    schema = (f"{key_col} string, shingles array<string>, heads array<string>, "
               f"codes array<int>, masks array<int>, peaks array<int>")
 
     def work(batches):
         for pdf in batches:
-            keys, shl, cs, ms, ps = [], [], [], [], []
+            keys, shl, hds, cs, ms, ps = [], [], [], [], [], []
             for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
                 keys.append(key)
                 try:
                     sr, pcm = decode_clip(bytes(buf), codec)
                     c, m, p = fingerprint_codes(pcm, sr)
-                    shl.append(shingle_hex(fingerprint_shingles(pcm, sr)))
+                    packed = pack_shingles(c)
+                    shl.append(shingle_hex(np.unique(packed)))
+                    hds.append(shingle_hex(packed[:FP_HEADS]))
                     cs.append(c.astype(np.int32))
                     ms.append(m.astype(np.int32))
                     ps.append(p)
                 except Exception:
-                    shl.append([]); cs.append([]); ms.append([]); ps.append([])
-            yield pd.DataFrame({key_col: keys, "shingles": shl,
+                    shl.append([]); hds.append([])
+                    cs.append([]); ms.append([]); ps.append([])
+            yield pd.DataFrame({key_col: keys, "shingles": shl, "heads": hds,
                                 "codes": cs, "masks": ms, "peaks": ps})
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
@@ -115,21 +128,53 @@ def audio_neardup_pairs(
     bands: int = 8,
     rows: int = 2,
     fp: DataFrame | None = None,
+    containment_threshold: float | None = None,
+    prefix_keys: int = 4,
+    prefix_cap: int = 200,
 ) -> DataFrame:
     """Near-duplicate clip pairs: (id_a, id_b, jaccard, containment)
     with fingerprint-shingle Jaccard >= threshold. bands=8 x rows=2
     catches pairs down to J ~ 0.3 with high probability (1-(1-J^2)^8),
     which covers every mechanical-copy class the fingerprint
     preserves; the verify join computes the exact scores on candidate
-    pairs only."""
+    pairs only.
+
+    ``containment_threshold`` turns on trim detection: pairs also
+    qualify when intersection/min-size clears it, and candidate
+    generation is widened with HEAD-shingle buckets — a truncated
+    recording shares its source's first TIME-ORDER shingle exactly
+    (absolute-time fingerprint grid), so bucketing every clip's first
+    ``prefix_keys`` head shingles guarantees a candidate for every
+    prefix trim no matter how low its Jaccard. Buckets hotter than ``prefix_cap`` are
+    skipped (a shingle shared by thousands of clips — digital silence
+    — is not trim evidence), keeping the union linear."""
     assert bands * rows == k
     if fp is not None:
-        sh = fp.select(key_col, "shingles")
+        sh = fp.select(key_col, "shingles", "heads")
     else:
         # decoded once, read three ways (signatures + both verify sides)
         sh = audio_shingles(df, key_col, bytes_col, codec_col).persist()
     sigs = minhash_from_shingles(sh, key_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
+    if containment_threshold is not None:
+        pfx = sh.select(
+            F.col(key_col),
+            F.explode(F.slice("heads", 1, prefix_keys)).alias("__pfx"),
+        )
+        ok = pfx.groupBy("__pfx").count().filter(
+            F.col("count") <= prefix_cap).select("__pfx")
+        pfx = pfx.join(ok, on="__pfx")
+        pcands = (
+            pfx.select(F.col("__pfx"), F.col(key_col).alias("id_a"))
+            .join(pfx.select(F.col("__pfx"), F.col(key_col).alias("id_b")),
+                  on="__pfx")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = cands.unionByName(pcands).distinct()
+    keep = F.col("jaccard") >= threshold
+    if containment_threshold is not None:
+        keep = keep | (F.col("containment") >= containment_threshold)
     return (
         cands.join(
             sh.select(F.col(key_col).alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -148,7 +193,7 @@ def audio_neardup_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(keep)
         .select("id_a", "id_b", "jaccard", "containment")
     )
 

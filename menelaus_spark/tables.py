@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from menelaus_spark.audio import resample_pcm, wav_encode
+from menelaus_spark.audio import FP_SR, HOP, resample_pcm, wav_encode
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -129,6 +129,7 @@ def _gen_rows(
     dur_clip: tuple[int, int],
     test_scale: bool,
     neardup_frac: float = 0.0,
+    neardup_modes: tuple = ("gain", "resample"),
 ) -> pd.DataFrame:
     out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part")}
     neardup_m = max(2, int(round(1.0 / neardup_frac))) if neardup_frac > 0 else 0
@@ -159,17 +160,28 @@ def _gen_rows(
             sr_s, dur_s, codec_s, pcm_s = _synth_clip(
                 rng_s, d_s, dur_mu, dur_sigma, dur_clip, test_scale)
             transcript = _draw_transcript(rng_s, d_s, null_frac, dur_s)
-            x = pcm_s.astype(np.float64) / 32768.0
-            # resample mode only when sr/2 >= the canonical fingerprint
-            # rate — copies below it genuinely lose high-band content
-            mode = int(rng.integers(0, 3)) if sr_s >= 16000 else 0
-            if mode in (0, 2):
-                x = x * float(rng.choice([0.5, 0.7, 1.2]))
             sr_out = sr_s
-            if mode in (1, 2):
-                sr_out = sr_s // 2
-                x = resample_pcm(x, sr_s, sr_out)
-            pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+            if neardup_modes == ("trim",):
+                # truncated-recording copy: keep a prefix aligned to the
+                # canonical fingerprint frame grid (HOP samples at FP_SR),
+                # metadata updated to the true shorter duration — the
+                # shingle path's containment score is the detector
+                step = max(1, int(round(HOP * sr_s / FP_SR)))
+                n_keep = max(step, (pcm_s.size // 2 // step) * step)
+                pcm_d = pcm_s[:n_keep]
+                dur_s = int(round(1000.0 * n_keep / sr_s))
+            else:
+                x = pcm_s.astype(np.float64) / 32768.0
+                # resample mode only when sr/2 >= the canonical
+                # fingerprint rate — copies below it genuinely lose
+                # high-band content
+                mode = int(rng.integers(0, 3)) if sr_s >= 16000 else 0
+                if mode in (0, 2):
+                    x = x * float(rng.choice([0.5, 0.7, 1.2]))
+                if mode in (1, 2):
+                    sr_out = sr_s // 2
+                    x = resample_pcm(x, sr_s, sr_out)
+                pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
             out["clip_id"].append(clip_id)
             out["bytes"].append(wav_encode(pcm_d, sr_out))
             out["sr_hz"].append(sr_out)
@@ -215,6 +227,7 @@ def audio_table(
     dur_clip: tuple[int, int] = (200, 3000),
     test_scale: bool = True,
     neardup_frac: float = 0.0,
+    neardup_modes: tuple = ("gain", "resample"),
 ) -> DataFrame:
     """Build the audio table as a distributed DataFrame."""
     drift = default_drift_spec() if drift is None else drift
@@ -225,7 +238,7 @@ def audio_table(
             yield _gen_rows(
                 pdf["id"].to_numpy(), seed, n_parts, rows_per_part, drift,
                 null_frac, dup_frac, dur_mu, dur_sigma, dur_clip, test_scale,
-                neardup_frac,
+                neardup_frac, neardup_modes,
             )
 
     return spark.range(n_rows).mapInPandas(gen, schema=AUDIO_SCHEMA)

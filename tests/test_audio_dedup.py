@@ -196,3 +196,30 @@ def test_fingerprint_mask_monotone_in_delta(sig_sr):
     _, m_tight, _ = fingerprint_codes(x, sr, delta=FP_DELTA * 2)
     for lo, hi in zip(m_tight, m_loose):
         assert int(lo) & ~int(hi) == 0
+
+
+def test_trim_mode_detected_by_containment(spark):
+    # truncated-recording copies: the shingle path's containment score
+    # is ~1 (trim shingles are a subset of the source's, thanks to the
+    # absolute-time fingerprint grid) and half-trims still clear the
+    # jaccard threshold; the transcript path's equal-frame-count guard
+    # correctly rejects them (trims are the shingle path's job)
+    df = tables.audio_table(
+        spark, n_rows=80, n_parts=2, drift={}, neardup_frac=0.125,
+        null_frac=0.0, neardup_modes=("trim",),
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(80) if i % 8 == 7
+    }
+    rows = audio_neardup_pairs(df, containment_threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert injected <= got
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    for pair in injected:
+        assert by_pair[pair].containment >= 0.9
+    assert got == injected
+    # the time-order HEAD buckets are what guarantee these candidates:
+    # without them, LSH at J~0.4 misses pairs with ~25% probability
+    # per pair (observed before the heads column existed), and short
+    # trims can sit below the jaccard threshold entirely
+    assert transcript_blocked_neardup(df).count() == 0
