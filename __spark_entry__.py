@@ -2886,6 +2886,32 @@ def q_audio_neardup_trim(spark, sf_dir):
         "id_a", "id_b")
 
 
+def q_audio_neardup_pad(spark, sf_dir):
+    """Silence-pad detection: leading-silence copies (frame-grid
+    aligned) — silence frames collapse to O(1) distinct shingles, so
+    the source's shingle set is contained in the copy's and the
+    shingle path's containment criterion fires."""
+    from menelaus_spark.operators.audio_dedup import audio_neardup_pairs
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, modes=("pad",))
+    return audio_neardup_pairs(df, containment_threshold=0.9).orderBy(
+        "id_a", "id_b")
+
+
+def q_audio_neardup_noise(spark, sf_dir):
+    """Noise-contamination detection: additive-noise copies at
+    SNR >= 20 dB — code shingles are scrambled (exact-match Jaccard
+    ~0), but the transcript-blocked masked-BER path holds: margin-
+    cleared bits stay stable under noise (measured wBER 0 at 20 dB vs
+    >= 0.21 for distinct recordings)."""
+    from menelaus_spark.operators.audio_dedup import transcript_blocked_neardup
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, modes=("noise",))
+    return transcript_blocked_neardup(df).orderBy("id_a", "id_b")
+
+
 def _audio_neardup_oracle() -> str | None:
     """Oracle for q_audio_neardup: shingle SETS come from the numpy
     twin (the decode step has no SQL analog — same precedent as the
@@ -2940,13 +2966,14 @@ def _audio_neardup_oracle() -> str | None:
     """
 
 
-def _audio_neardup_trim_oracle() -> str | None:
-    """Oracle for q_audio_neardup_trim: same twin-shingle precedent;
-    candidate generation (md5-lane minhash banding UNION capped
-    head-shingle buckets) and the jaccard-OR-containment verify are
-    recomputed independently in DuckDB."""
+def _audio_neardup_containment_oracle(modes: tuple) -> str | None:
+    """Oracle for the containment-path entries (trim / pad): same
+    twin-shingle precedent; candidate generation (md5-lane minhash
+    banding UNION capped head-shingle buckets) and the
+    jaccard-OR-containment verify are recomputed independently in
+    DuckDB."""
     try:
-        twin = _audio_neardup_twin(modes=("trim",))
+        twin = _audio_neardup_twin(modes=modes)
     except Exception:
         return None
     sh_rows = [
@@ -3003,15 +3030,28 @@ def _audio_neardup_trim_oracle() -> str | None:
     """
 
 
-def _audio_transcript_neardup_oracle() -> str | None:
-    """Oracle for q_audio_transcript_neardup: fingerprint code/mask/
-    peak rows come from the numpy twin; the blocking (md5-normalized
-    transcript, block size in [2, 50]), the equal-frame-count guard,
-    and the masked-BER / raw-BER / peak-agreement arithmetic are all
-    recomputed independently in DuckDB (bit_count + xor on the raw
-    words)."""
+def _audio_neardup_trim_oracle() -> str | None:
+    return _audio_neardup_containment_oracle(("trim",))
+
+
+def _audio_neardup_pad_oracle() -> str | None:
+    return _audio_neardup_containment_oracle(("pad",))
+
+
+def _audio_neardup_noise_oracle() -> str | None:
+    return _audio_transcript_neardup_oracle(("noise",))
+
+
+def _audio_transcript_neardup_oracle(
+        modes: tuple = ("gain", "resample")) -> str | None:
+    """Oracle for q_audio_transcript_neardup (and, via ``modes``, the
+    noise entry): fingerprint code/mask/peak rows come from the numpy
+    twin; the blocking (md5-normalized transcript, block size in
+    [2, 50]), the equal-frame-count guard, and the masked-BER /
+    raw-BER / peak-agreement arithmetic are all recomputed
+    independently in DuckDB (bit_count + xor on the raw words)."""
     try:
-        twin = _audio_neardup_twin()
+        twin = _audio_neardup_twin(modes=modes)
     except Exception:
         return None
     code_rows, meta_rows = [], []
@@ -3136,6 +3176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite": q_audio_suite,
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
+        "audio_neardup_pad": q_audio_neardup_pad,
+        "audio_neardup_noise": q_audio_neardup_noise,
         "audio_transcript_neardup": q_audio_transcript_neardup,
     }
 
@@ -3575,6 +3617,8 @@ def oracle_sql() -> dict[str, str]:
         ("audio_suite", _audio_suite_oracle),
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
+        ("audio_neardup_pad", _audio_neardup_pad_oracle),
+        ("audio_neardup_noise", _audio_neardup_noise_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
     ]:
         sql = builder()

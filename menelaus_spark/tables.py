@@ -170,6 +170,29 @@ def _gen_rows(
                 n_keep = max(step, (pcm_s.size // 2 // step) * step)
                 pcm_d = pcm_s[:n_keep]
                 dur_s = int(round(1000.0 * n_keep / sr_s))
+            elif neardup_modes == ("noise",):
+                # noise-contaminated copy (re-recording / lossy channel):
+                # additive white noise at a drawn SNR — same length, same
+                # transcript; the transcript path's masked-BER is the
+                # detector (margin-cleared bits survive >=20 dB noise,
+                # measured: wBER 0 at 20 dB vs >=0.21 for distinct pairs)
+                x = pcm_s.astype(np.float64) / 32768.0
+                snr_db = float(rng.choice([20.0, 25.0, 30.0]))
+                p_sig = float(np.mean(x * x))
+                sigma = np.sqrt(p_sig / 10.0 ** (snr_db / 10.0)) if p_sig > 0 else 0.0
+                x = x + rng.normal(0.0, sigma, x.size)
+                pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+            elif neardup_modes == ("pad",):
+                # silence-padded copy: leading digital silence aligned to
+                # the canonical fingerprint frame grid, metadata updated
+                # to the true longer duration — silence frames collapse
+                # to O(1) distinct shingles, so the shingle path's
+                # containment (=1.0) and even plain Jaccard stay high
+                step = max(1, int(round(HOP * sr_s / FP_SR)))
+                n_pad = step * int(rng.integers(4, 13))
+                pcm_d = np.concatenate(
+                    [np.zeros(n_pad, dtype=np.int16), pcm_s])
+                dur_s = int(round(1000.0 * pcm_d.size / sr_s))
             else:
                 x = pcm_s.astype(np.float64) / 32768.0
                 # resample mode only when sr/2 >= the canonical

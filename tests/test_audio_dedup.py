@@ -223,3 +223,50 @@ def test_trim_mode_detected_by_containment(spark):
     # per pair (observed before the heads column existed), and short
     # trims can sit below the jaccard threshold entirely
     assert transcript_blocked_neardup(df).count() == 0
+
+
+def test_pad_mode_detected_by_containment(spark):
+    # leading-silence copies (frame-grid aligned): silence frames
+    # collapse to O(1) distinct shingles, so the source's shingle set
+    # is contained in the copy's (containment ~1, jaccard still high);
+    # the transcript path's equal-frame-count guard rejects them
+    df = tables.audio_table(
+        spark, n_rows=80, n_parts=2, drift={}, neardup_frac=0.125,
+        null_frac=0.0, neardup_modes=("pad",),
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(80) if i % 8 == 7
+    }
+    rows = audio_neardup_pairs(df, containment_threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert injected <= got
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    for pair in injected:
+        assert by_pair[pair].containment >= 0.9
+    assert got == injected
+    assert transcript_blocked_neardup(df).count() == 0
+
+
+def test_noise_mode_detected_by_transcript_path(spark):
+    # additive-noise copies at SNR >= 20 dB: exact code shingles are
+    # scrambled (Jaccard ~0 — the LSH path finds nothing), but the
+    # masked-BER transcript path holds: margin-cleared bits agree
+    df = tables.audio_table(
+        spark, n_rows=80, n_parts=2, drift={}, neardup_frac=0.125,
+        null_frac=0.0, neardup_modes=("noise",),
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(80) if i % 8 == 7
+    }
+    rows = transcript_blocked_neardup(df).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == injected
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    for pair in injected:
+        assert by_pair[pair].wber <= 0.10
+        assert by_pair[pair].peak_agree >= 0.9
+    # complementarity: the exact-shingle path misses noise copies
+    shingle_got = {
+        (r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()
+    }
+    assert not (injected & shingle_got)
