@@ -2843,12 +2843,13 @@ def _audio_neardup_twin(modes=("gain", "resample")):
         try:
             sr, pcm = audio.decode_clip(bytes(r.bytes), r.codec)
         except Exception:
-            out.append((r.clip_id, r.transcript, [], None, []))
+            out.append((r.clip_id, r.transcript, [], None, [], 0))
             continue
         cm = audio.fingerprint_codes(pcm, sr)
         packed = audio.pack_shingles(cm[0])
         out.append((r.clip_id, r.transcript, shingle_hex(np.unique(packed)),
-                    cm, shingle_hex(packed[:FP_HEADS])))
+                    cm, shingle_hex(packed[:FP_HEADS]),
+                    audio.fp_sample_count(pcm.size, sr)))
     return out
 
 
@@ -2899,6 +2900,19 @@ def q_audio_neardup_pad(spark, sf_dir):
         "id_a", "id_b")
 
 
+def q_audio_neardup_speed(spark, sf_dir):
+    """Speed-perturbation detection: copies resampled WITHOUT
+    relabeling the rate (f in {0.9, 1.1}) break every frame-grid
+    fingerprint, but time and pitch scale by the SAME factor —
+    observable as the canonical-rate sample-count ratio — so the
+    sub-bin peak tracks verify candidates after rescaling."""
+    from menelaus_spark.operators.audio_dedup import speed_blocked_neardup
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, modes=("speed",))
+    return speed_blocked_neardup(df).orderBy("id_a", "id_b")
+
+
 def q_audio_neardup_noise(spark, sf_dir):
     """Noise-contamination detection: additive-noise copies at
     SNR >= 20 dB — code shingles are scrambled (exact-match Jaccard
@@ -2924,7 +2938,7 @@ def _audio_neardup_oracle() -> str | None:
         return None
     rows = [
         f"('{cid}', '{s}')"
-        for cid, _tr, sh, _cm, _hd in twin
+        for cid, _tr, sh, _cm, _hd, _nf in twin
         for s in sh
     ]
     k = 16
@@ -2977,10 +2991,10 @@ def _audio_neardup_containment_oracle(modes: tuple) -> str | None:
     except Exception:
         return None
     sh_rows = [
-        f"('{cid}', '{v}')" for cid, _tr, sh, _cm, _hd in twin for v in sh
+        f"('{cid}', '{v}')" for cid, _tr, sh, _cm, _hd, _nf in twin for v in sh
     ]
     hd_rows = [
-        f"('{cid}', '{v}')" for cid, _tr, _sh, _cm, hd in twin for v in hd
+        f"('{cid}', '{v}')" for cid, _tr, _sh, _cm, hd, _nf in twin for v in hd
     ]
     k = 16
     mins = ", ".join(
@@ -3055,7 +3069,7 @@ def _audio_transcript_neardup_oracle(
     except Exception:
         return None
     code_rows, meta_rows = [], []
-    for cid, tr, _sh, cm, _hd in twin:
+    for cid, tr, _sh, cm, _hd, _nf in twin:
         tr_lit = "NULL" if tr is None else "'" + tr.replace("'", "''") + "'"
         n = 0 if cm is None else int(cm[0].size)
         meta_rows.append(f"('{cid}', {tr_lit}, {n})")
@@ -3064,7 +3078,8 @@ def _audio_transcript_neardup_oracle(
         codes, masks, peaks = cm
         for i in range(n):
             code_rows.append(
-                f"('{cid}', {i}, {int(codes[i])}, {int(masks[i])}, {int(peaks[i])})"
+                f"('{cid}', {i}, {int(codes[i])}, {int(masks[i])}, "
+                f"{float(peaks[i])!r})"
             )
     return f"""
         WITH meta(clip_id, transcript, nframes) AS (VALUES {", ".join(meta_rows)}),
@@ -3105,6 +3120,73 @@ def _audio_transcript_neardup_oracle(
           AND round(num::DOUBLE / den, 6) <= 0.10
           AND round(raw::DOUBLE / (32 * n), 6) <= 0.35
           AND round(pag::DOUBLE / n, 6) >= 0.9
+        ORDER BY id_a, id_b
+    """
+
+
+def _audio_neardup_speed_oracle() -> str | None:
+    """Oracle for q_audio_neardup_speed: per-clip sub-bin peak tracks
+    and canonical-rate sample counts come from the numpy twin (decode
+    has no SQL analog); the blocking, the sample-count-ratio gate
+    (f in [0.77, 1.30] outside the [0.96, 1.04] dead zone), the
+    floor(f*j+0.5) frame re-indexing, and the |f*peak_a - peak_b| <=
+    0.75 agreement fraction are all recomputed independently in
+    DuckDB."""
+    try:
+        twin = _audio_neardup_twin(modes=("speed",))
+    except Exception:
+        return None
+    peak_rows, meta_rows = [], []
+    for cid, tr, _sh, cm, _hd, nf in twin:
+        tr_lit = "NULL" if tr is None else "'" + tr.replace("'", "''") + "'"
+        n = 0 if cm is None else int(cm[0].size)
+        meta_rows.append(f"('{cid}', {tr_lit}, {n}, {int(nf)})")
+        if cm is None:
+            continue
+        peaks = cm[2]
+        for i in range(n):
+            peak_rows.append(f"('{cid}', {i}, {float(peaks[i])!r})")
+    return f"""
+        WITH meta(clip_id, transcript, nframes, nfp) AS
+          (VALUES {", ".join(meta_rows)}),
+        fp(clip_id, seq, peak) AS (VALUES {", ".join(peak_rows)}),
+        blocks AS (
+          SELECT clip_id, nframes, nfp,
+                 md5(regexp_replace(trim(lower(coalesce(transcript, ''))),
+                                    '\\s+', ' ', 'g')) AS blk
+          FROM meta WHERE transcript IS NOT NULL
+            AND len(regexp_replace(trim(lower(coalesce(transcript, ''))),
+                                   '\\s+', ' ', 'g')) > 0),
+        sized AS (
+          SELECT b.* FROM blocks b
+          JOIN (SELECT blk FROM blocks GROUP BY blk
+                HAVING count(*) BETWEEN 2 AND 50) ok USING (blk)),
+        pairs AS (
+          SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+                 a.nframes AS na, b.nframes AS nb,
+                 a.nfp::DOUBLE / b.nfp AS f
+          FROM sized a JOIN sized b
+            ON a.blk = b.blk AND a.clip_id < b.clip_id
+          WHERE a.nframes >= 8 AND b.nframes >= 8 AND b.nfp > 0),
+        gated AS (
+          SELECT * FROM pairs
+          WHERE f >= 0.77 AND f <= 1.30 AND (f <= 0.96 OR f >= 1.04)),
+        scored AS (
+          SELECT g.id_a, g.id_b, g.f, g.na, g.nb,
+                 sum(CASE WHEN abs(g.f * fa.peak - fb.peak) <= 0.75
+                     THEN 1 ELSE 0 END) AS agree
+          FROM gated g
+          JOIN fp fb ON fb.clip_id = g.id_b
+          JOIN fp fa ON fa.clip_id = g.id_a
+            AND fa.seq = CAST(least(greatest(floor(g.f * fb.seq + 0.5), 0),
+                                    g.na - 1) AS INTEGER)
+          GROUP BY g.id_a, g.id_b, g.f, g.na, g.nb)
+        SELECT id_a, id_b,
+               round(f, 6) AS speed_ratio,
+               round(agree::DOUBLE / nb, 6) AS peak_agree,
+               na AS n_frames_a, nb AS n_frames_b
+        FROM scored
+        WHERE round(agree::DOUBLE / nb, 6) >= 0.8
         ORDER BY id_a, id_b
     """
 
@@ -3177,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
         "audio_neardup_pad": q_audio_neardup_pad,
+        "audio_neardup_speed": q_audio_neardup_speed,
         "audio_neardup_noise": q_audio_neardup_noise,
         "audio_transcript_neardup": q_audio_transcript_neardup,
     }
@@ -3618,6 +3701,7 @@ def oracle_sql() -> dict[str, str]:
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_neardup_pad", _audio_neardup_pad_oracle),
+        ("audio_neardup_speed", _audio_neardup_speed_oracle),
         ("audio_neardup_noise", _audio_neardup_noise_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
     ]:

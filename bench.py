@@ -137,13 +137,14 @@ def main():
     audio_suite_s = round(time.time() - t0, 3)
     timings["audio_suite"] = audio_suite_s
 
-    # audio near-dup: both fingerprint matching paths over the SAME
-    # sf-scaled table (shingle MinHash/LSH + transcript-blocked
-    # masked-BER verify), sharing ONE decode pass via the persisted
-    # fingerprint frame
+    # audio near-dup: all three fingerprint matching paths over the
+    # SAME sf-scaled table (shingle MinHash/LSH + transcript-blocked
+    # masked-BER + speed-ratio peak rescaling), sharing ONE decode
+    # pass via the persisted fingerprint frame
     from menelaus_spark.operators.audio_dedup import (
         audio_fingerprints,
         audio_neardup_pairs,
+        speed_blocked_neardup,
         transcript_blocked_neardup,
     )
 
@@ -151,6 +152,7 @@ def main():
     fp = audio_fingerprints(df).persist()
     run_noop(audio_neardup_pairs(df, fp=fp))
     run_noop(transcript_blocked_neardup(df, fp=fp))
+    run_noop(speed_blocked_neardup(df, fp=fp))
     fp.unpersist()
     timings["audio_neardup"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)

@@ -499,19 +499,35 @@ def _fp_resample(x: np.ndarray, sr_in: int) -> np.ndarray:
     return np.interp(pos, np.arange(x.size, dtype=np.float64), x)
 
 
+def fp_sample_count(n_samples: int, sr_hz: int) -> int:
+    """Length of :func:`_fp_resample`'s output WITHOUT resampling —
+    the canonical-rate sample count. Exactly proportional to clip
+    duration (unlike the STFT frame count, whose FRAME-offset affine
+    relation over-estimates duration ratios on short clips), so it is
+    the right basis for the speed-copy factor f = n_fp_a / n_fp_b."""
+    n_samples = int(n_samples)
+    if sr_hz == FP_SR or n_samples < 2:
+        return n_samples
+    step = sr_hz / FP_SR
+    return int((n_samples - 1) / step) + 1
+
+
 def fingerprint_codes(pcm: np.ndarray, sr_hz: int,
                       delta: float = FP_DELTA):
     """Float PCM -> (codes, masks, peaks), one entry per STFT frame:
-    codes  uint32 — sign of adjacent-band log-energy differences;
-    masks  uint32 — 1 where the |difference| clears ``delta`` in BOTH
-                    sign stability senses (margin-cleared bits);
-    peaks  int32  — argmax rfft bin inside the band range (pitch id).
+    codes  uint32  — sign of adjacent-band log-energy differences;
+    masks  uint32  — 1 where the |difference| clears ``delta`` in BOTH
+                     sign stability senses (margin-cleared bits);
+    peaks  float64 — parabolic-interpolated argmax rfft bin inside the
+                     band range (sub-bin pitch id, ~0.05-bin accuracy
+                     on tones — what lets the speed-copy criterion
+                     discriminate a 4% tempo change at low pitch).
     Vectorized: one resample, one strided frame matrix, one batched
     rfft, one add.reduceat over the band edges."""
     x = _fp_resample(np.asarray(pcm, dtype=np.float64), int(sr_hz))
     if x.size < FRAME:
         z = np.empty(0, dtype=np.uint32)
-        return z, z.copy(), np.empty(0, dtype=np.int32)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
     n_frames = 1 + (x.size - FRAME) // HOP
     frames = np.lib.stride_tricks.as_strided(
         x, shape=(n_frames, FRAME), strides=(x.strides[0] * HOP, x.strides[0])
@@ -521,7 +537,19 @@ def fingerprint_codes(pcm: np.ndarray, sr_hz: int,
     # fundamentals under the first band edge must still give a stable
     # pitch identity, not an arbitrary noise bin
     lo, hi = 4, int(_FP_BIN_EDGES[-1])
-    peaks = (lo + np.argmax(spec[:, lo:hi], axis=1)).astype(np.int32)
+    p_int = lo + np.argmax(spec[:, lo:hi], axis=1)
+    # sub-bin refinement: parabola through the log-magnitudes at
+    # (p-1, p, p+1); vertex offset clipped to the half-bin the argmax
+    # guarantees. Degenerate (flat) neighborhoods keep offset 0.
+    lspec = np.log(spec + 1e-30)
+    rows = np.arange(n_frames)
+    al = lspec[rows, np.maximum(p_int - 1, 0)]
+    be = lspec[rows, p_int]
+    ga = lspec[rows, np.minimum(p_int + 1, spec.shape[1] - 1)]
+    den = al - 2.0 * be + ga
+    off = np.zeros_like(den)
+    np.divide(0.5 * (al - ga), den, out=off, where=np.abs(den) > 1e-12)
+    peaks = p_int + np.clip(off, -0.5, 0.5)
     e = np.add.reduceat(spec, _FP_BIN_EDGES[:-1], axis=1)
     logs = np.log(e + 1e-30)
     d_band = logs[:, :-1] - logs[:, 1:]            # (n_frames, n_bands-1)

@@ -34,6 +34,7 @@ from menelaus_spark.audio import (
     decode_clip,
     fingerprint_codes,
     fingerprint_shingles,
+    fp_sample_count,
     pack_shingles,
 )
 from menelaus_spark.operators.dedup import (
@@ -87,17 +88,19 @@ def audio_fingerprints(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
 ) -> DataFrame:
-    """Everything both matching paths need from ONE Arrow decode pass:
-    (key, shingles array<string>, codes/masks/peaks array<int>). When
-    a corpus runs both near-dup paths — the production configuration —
-    persist this frame and pass it to both; the binary column is then
-    read exactly once for the whole dedup suite."""
+    """Everything every matching path needs from ONE Arrow decode
+    pass: (key, shingles/heads array<string>, codes/masks array<int>,
+    peaks array<double>, n_fp int). When a corpus runs several
+    near-dup paths — the production configuration — persist this frame
+    and pass it to each; the binary column is then read exactly once
+    for the whole dedup suite."""
     schema = (f"{key_col} string, shingles array<string>, heads array<string>, "
-              f"codes array<int>, masks array<int>, peaks array<int>")
+              f"codes array<int>, masks array<int>, peaks array<double>, "
+              f"n_fp int")
 
     def work(batches):
         for pdf in batches:
-            keys, shl, hds, cs, ms, ps = [], [], [], [], [], []
+            keys, shl, hds, cs, ms, ps, nf = [], [], [], [], [], [], []
             for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
                 keys.append(key)
                 try:
@@ -109,11 +112,13 @@ def audio_fingerprints(
                     cs.append(c.astype(np.int32))
                     ms.append(m.astype(np.int32))
                     ps.append(p)
+                    nf.append(fp_sample_count(pcm.size, sr))
                 except Exception:
                     shl.append([]); hds.append([])
-                    cs.append([]); ms.append([]); ps.append([])
+                    cs.append([]); ms.append([]); ps.append([]); nf.append(0)
             yield pd.DataFrame({key_col: keys, "shingles": shl, "heads": hds,
-                                "codes": cs, "masks": ms, "peaks": ps})
+                                "codes": cs, "masks": ms, "peaks": ps,
+                                "n_fp": nf})
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
@@ -204,16 +209,18 @@ def audio_fingerprint_codes(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
 ) -> DataFrame:
-    """(key, codes array<int>, masks array<int>, peaks array<int>) in
-    one Arrow-batched pass — the per-frame sign codes, confidence
-    masks, and peak bins from audio.fingerprint_codes. Undecodable
-    clips yield empty arrays."""
+    """(key, codes array<int>, masks array<int>, peaks array<double>,
+    n_fp int) in one Arrow-batched pass — the per-frame sign codes,
+    confidence masks, and sub-bin peak ids from
+    audio.fingerprint_codes, plus the canonical-rate sample count
+    (the speed-factor basis). Undecodable clips yield empty arrays
+    and n_fp 0."""
     schema = (f"{key_col} string, codes array<int>, masks array<int>, "
-              f"peaks array<int>")
+              f"peaks array<double>, n_fp int")
 
     def work(batches):
         for pdf in batches:
-            keys, cs, ms, ps = [], [], [], []
+            keys, cs, ms, ps, nf = [], [], [], [], []
             for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
                 keys.append(key)
                 try:
@@ -222,11 +229,51 @@ def audio_fingerprint_codes(
                     cs.append(c.astype(np.int32))
                     ms.append(m.astype(np.int32))
                     ps.append(p)
+                    nf.append(fp_sample_count(pcm.size, sr))
                 except Exception:
-                    cs.append([]); ms.append([]); ps.append([])
-            yield pd.DataFrame({key_col: keys, "codes": cs, "masks": ms, "peaks": ps})
+                    cs.append([]); ms.append([]); ps.append([]); nf.append(0)
+            yield pd.DataFrame({key_col: keys, "codes": cs, "masks": ms,
+                                "peaks": ps, "n_fp": nf})
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
+
+
+def transcript_candidate_pairs(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    transcript_col: str = "transcript",
+    block_cap: int = 50,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from transcript-equality blocking:
+    groupBy on md5(normalized transcript) with singleton and hot-block
+    pruning (blocks past ``block_cap`` are skipped — a transcript
+    shared by thousands of clips is the text-dedup path's job), so
+    candidate volume is bounded by cap x blocks."""
+    from menelaus_spark.operators.dedup import normalized_text
+
+    blocks = (
+        df.filter(F.col(transcript_col).isNotNull())
+        # empty/whitespace transcripts carry no blocking evidence and
+        # would otherwise all land in one bucket (md5('') is non-empty)
+        .filter(F.length(normalized_text(F.col(transcript_col))) > 0)
+        .select(
+            F.col(key_col),
+            F.md5(normalized_text(F.col(transcript_col))).alias("__blk"),
+        )
+    )
+    sized = blocks.join(
+        blocks.groupBy("__blk").count().filter(
+            (F.col("count") >= 2) & (F.col("count") <= block_cap)
+        ).select("__blk"),
+        on="__blk",
+    )
+    return (
+        sized.select(F.col("__blk"), F.col(key_col).alias("id_a"))
+        .join(sized.select(F.col("__blk"), F.col(key_col).alias("id_b")), on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def transcript_blocked_neardup(
@@ -269,8 +316,6 @@ def transcript_blocked_neardup(
 
     Returns (id_a, id_b, wber, raw_ber, peak_agree, n_overlap).
     """
-    from menelaus_spark.operators.dedup import normalized_text
-
     def bc32(v):
         # our uint32 words live in signed int columns; bit_count would
         # sign-extend negatives to 64 bits and count 32 phantom ones
@@ -278,29 +323,7 @@ def transcript_blocked_neardup(
 
     if fp is None:
         fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
-    blocks = (
-        df.filter(F.col(transcript_col).isNotNull())
-        # empty/whitespace transcripts carry no blocking evidence and
-        # would otherwise all land in one bucket (md5('') is non-empty)
-        .filter(F.length(normalized_text(F.col(transcript_col))) > 0)
-        .select(
-            F.col(key_col),
-            F.md5(normalized_text(F.col(transcript_col))).alias("__blk"),
-        )
-    )
-    sized = blocks.join(
-        blocks.groupBy("__blk").count().filter(
-            (F.col("count") >= 2) & (F.col("count") <= block_cap)
-        ).select("__blk"),
-        on="__blk",
-    )
-    pairs = (
-        sized.select(F.col("__blk"), F.col(key_col).alias("id_a"))
-        .join(sized.select(F.col("__blk"), F.col(key_col).alias("id_b")), on="__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = transcript_candidate_pairs(df, key_col, transcript_col, block_cap)
     a = fp.select(F.col(key_col).alias("id_a"), F.col("codes").alias("ca"),
                   F.col("masks").alias("ma"), F.col("peaks").alias("pa"))
     b = fp.select(F.col(key_col).alias("id_b"), F.col("codes").alias("cb"),
@@ -342,4 +365,93 @@ def transcript_blocked_neardup(
                 & (F.col("peak_agree") >= peak_agree_min))
         .select("id_a", "id_b", "wber", "raw_ber", "peak_agree",
                 F.col("__n").alias("n_overlap"))
+    )
+
+
+def speed_blocked_neardup(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    transcript_col: str = "transcript",
+    min_ratio: float = 0.77,
+    max_ratio: float = 1.30,
+    dead_zone: tuple[float, float] = (0.96, 1.04),
+    peak_tol: float = 0.75,
+    agree_min: float = 0.8,
+    min_frames: int = 8,
+    block_cap: int = 50,
+    fp: DataFrame | None = None,
+) -> DataFrame:
+    """Speed-perturbed (time-stretched) copy detection: a copy
+    resampled WITHOUT relabeling its rate plays faster/slower and
+    pitch-shifts — every frame-grid fingerprint breaks (codes,
+    shingles, and the equal-frame-count transcript path all miss it).
+    But the perturbation scales the time axis and the frequency axis
+    by the SAME factor f, and f is directly observable as the
+    canonical-rate sample-count ratio n_fp_a / n_fp_b (exactly
+    duration-proportional — the STFT frame count is NOT, its FRAME
+    offset inflates ratios on short clips). The already-computed
+    sub-bin peak tracks then verify candidates with zero extra decode
+    work:
+
+        |f * peak_a(floor(f*j + .5)) - peak_b(j)| <= peak_tol
+
+    for an ``agree_min`` fraction of frames j (floor(x+.5) index
+    rounding — identical semantics in Spark, numpy, and DuckDB,
+    unlike round()'s half-even/half-up split). Parabolic sub-bin
+    peaks (~0.05-bin accuracy on tones) are what make ``peak_tol``
+    0.75 workable; integer argmax bins carry up to ~2 bins of
+    quantization error, which a 10% pitch shift at low pitch cannot
+    clear. Ratios inside ``dead_zone`` are skipped: below ~4% tempo
+    deviation, a constant-pitch distinct take (same transcript,
+    near-equal duration, pitch ratio ~ duration ratio by coincidence)
+    is indistinguishable from a copy at this resolution — the
+    detector's documented floor.
+
+    Scale shape: same transcript-equality blocking as
+    :func:`transcript_blocked_neardup` (bounded candidates), then a
+    sample-count-ratio gate and one JVM transform/aggregate over the
+    candidate pairs' peak arrays. Returns
+    (id_a, id_b, speed_ratio, peak_agree, n_frames_a, n_frames_b).
+    """
+    if fp is None:
+        fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
+    pairs = transcript_candidate_pairs(df, key_col, transcript_col, block_cap)
+    a = fp.select(F.col(key_col).alias("id_a"), F.col("peaks").alias("pa"),
+                  F.col("n_fp").alias("__la"))
+    b = fp.select(F.col(key_col).alias("id_b"), F.col("peaks").alias("pb"),
+                  F.col("n_fp").alias("__lb"))
+
+    def pred_ok(j):
+        idx = F.least(
+            F.greatest(F.floor(F.col("__f") * j + F.lit(0.5)), F.lit(0)),
+            (F.col("__na") - 1).cast("long"),
+        )
+        pred = F.col("__f") * F.element_at("pa", idx.cast("int") + 1)
+        return F.when(
+            F.abs(pred - F.element_at("pb", j.cast("int") + 1)) <= peak_tol, 1
+        ).otherwise(0)
+
+    return (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .withColumn("__na", F.size("pa"))
+        .withColumn("__nb", F.size("pb"))
+        .filter((F.col("__na") >= min_frames) & (F.col("__nb") >= min_frames))
+        .filter(F.col("__lb") > 0)
+        .withColumn("__f", F.col("__la").cast("double") / F.col("__lb").cast("double"))
+        .filter((F.col("__f") >= min_ratio) & (F.col("__f") <= max_ratio))
+        .filter((F.col("__f") <= dead_zone[0]) | (F.col("__f") >= dead_zone[1]))
+        .withColumn("__agree", F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.col("__nb") - 1), pred_ok),
+            F.lit(0), lambda acc, v: acc + v))
+        .withColumn("peak_agree", F.round(F.col("__agree") / F.col("__nb"), 6))
+        .filter(F.col("peak_agree") >= agree_min)
+        .select(
+            "id_a", "id_b",
+            F.round("__f", 6).alias("speed_ratio"),
+            "peak_agree",
+            F.col("__na").alias("n_frames_a"),
+            F.col("__nb").alias("n_frames_b"),
+        )
     )

@@ -182,6 +182,18 @@ def _gen_rows(
                 sigma = np.sqrt(p_sig / 10.0 ** (snr_db / 10.0)) if p_sig > 0 else 0.0
                 x = x + rng.normal(0.0, sigma, x.size)
                 pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+            elif neardup_modes == ("speed",):
+                # speed-perturbed copy: resampled by f WITHOUT
+                # relabeling the rate — plays faster/slower, pitch
+                # shifts by f; duration metadata updated to the true
+                # played length. Detected by speed_blocked_neardup's
+                # rescaled peak-track criterion (frame-grid
+                # fingerprints all break)
+                spd = float(rng.choice([0.9, 1.1]))
+                x = pcm_s.astype(np.float64) / 32768.0
+                x = resample_pcm(x, sr_s, int(round(sr_s / spd)))
+                pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+                dur_s = int(round(1000.0 * pcm_d.size / sr_s))
             elif neardup_modes == ("pad",):
                 # silence-padded copy: leading digital silence aligned to
                 # the canonical fingerprint frame grid, metadata updated

@@ -184,7 +184,11 @@ def test_fingerprint_gain_invariance_property(sig_sr, gain):
     c1, m1, p1 = fingerprint_codes(gain * x, sr)
     assert np.array_equal(c0, c1)
     assert np.array_equal(m0, m1)
-    assert np.array_equal(p0, p1)
+    # sub-bin peak offsets come from a log-magnitude parabola, which is
+    # gain-invariant only up to IEEE rounding (log(g*s) vs log(s) in the
+    # last ulp) — matching tolerances are 0.75-1.0 bins, so assert far
+    # below them rather than bit equality
+    assert np.allclose(p0, p1, atol=1e-6, rtol=0.0)
 
 
 @settings(max_examples=25, deadline=None)
@@ -266,6 +270,39 @@ def test_noise_mode_detected_by_transcript_path(spark):
         assert by_pair[pair].wber <= 0.10
         assert by_pair[pair].peak_agree >= 0.9
     # complementarity: the exact-shingle path misses noise copies
+    shingle_got = {
+        (r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()
+    }
+    assert not (injected & shingle_got)
+
+
+def test_speed_mode_detected_by_peak_rescaling(spark):
+    # speed-perturbed copies (resampled without relabeling the rate):
+    # every frame-grid fingerprint breaks — shingle path AND the
+    # equal-frame-count transcript path miss them — but the rescaled
+    # peak-track criterion recovers every pair: time and frequency
+    # scale by the same factor, observable as the frame-count ratio
+    from menelaus_spark.operators.audio_dedup import speed_blocked_neardup
+
+    df = tables.audio_table(
+        spark, n_rows=80, n_parts=2, drift={}, neardup_frac=0.125,
+        null_frac=0.0, neardup_modes=("speed",),
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(80) if i % 8 == 7
+    }
+    rows = speed_blocked_neardup(df).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert injected <= got
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    for pair in injected:
+        r = by_pair[pair]
+        assert r.peak_agree >= 0.8
+        assert 0.77 <= r.speed_ratio <= 1.30
+        assert r.n_frames_a != r.n_frames_b
+    assert got == injected
+    # complementarity: both frame-grid paths miss speed copies
+    assert transcript_blocked_neardup(df).count() == 0
     shingle_got = {
         (r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()
     }
