@@ -348,6 +348,31 @@ def q_dedup_exact_documents(spark, sf_dir):
     ).orderBy("text_hash")
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Duplicate-cluster RESOLUTION — the step after pair detection:
+    union the exact-dup star pairs with the MinHash+LSH near-dup
+    pairs, run alternating large-star/small-star connected components
+    (O(log^2 n) rounds, diameter-independent), and emit the audit
+    frame (id, cluster_id = component-min doc_id, cluster_size,
+    is_representative)."""
+    from menelaus_spark.operators.clusters import (
+        cluster_members,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    ex = dedup.exact_duplicates(docs, "doc_id")
+    exact_pairs = (
+        ex.select(F.col("keep_id").alias("id_a"), F.explode("dup_ids").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    lsh_pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=MINHASH_K, bands=4, rows=2, threshold=0.1
+    ).select("id_a", "id_b")
+    cc = connected_components(exact_pairs.union(lsh_pairs))
+    return cluster_members(cc).orderBy("id")
+
+
 def q_ngram_jaccard_documents(spark, sf_dir):
     """Blocked n-gram Jaccard near-dup pairs. Block = (lang, length
     bucket): near-duplicates have near-equal lengths, so the classic
@@ -3222,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_documents": q_minhash_documents,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_kmeans": q_embedding_neardup_kmeans,
@@ -3521,6 +3547,71 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
         """,
+        # cluster resolution: same exact + LSH pair inputs as their own
+        # oracles, then the connected-components semantics recomputed
+        # independently as a recursive-CTE transitive closure (the
+        # Spark side iterates large-star/small-star; the oracle walks
+        # reachability and takes the component min — totally different
+        # machinery, same fixed point)
+        "dedup_clusters_documents": f'''
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
+            shingles AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM toks WHERE len(toks) >= 3),
+            exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+            sig AS (
+              SELECT doc_id, {minhash_mins}
+              FROM exploded GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(h0 || ',' || h1) AS bhash FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h2 || ',' || h3) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, md5(h4 || ',' || h5) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, md5(h6 || ',' || h7) FROM sig),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+            lsh AS (
+              SELECT c.id_a, c.id_b
+              FROM cands c
+              JOIN shingles sa ON sa.doc_id = c.id_a
+              JOIN shingles sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                          / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.1),
+            exg AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(lower(coalesce(text,''))),
+                                        '\\s+', ' ', 'g')) AS h
+              FROM documents),
+            exk AS (SELECT h, min(doc_id) AS keep FROM exg
+                    GROUP BY h HAVING count(*) > 1),
+            expairs AS (
+              SELECT k.keep AS id_a, g.doc_id AS id_b
+              FROM exk k JOIN exg g USING (h) WHERE g.doc_id <> k.keep),
+            allp AS (SELECT id_a, id_b FROM expairs
+                     UNION SELECT id_a, id_b FROM lsh),
+            edges AS (SELECT id_a AS u, id_b AS v FROM allp WHERE id_a <> id_b
+                      UNION SELECT id_b, id_a FROM allp WHERE id_a <> id_b),
+            nodes AS (SELECT DISTINCT u FROM edges),
+            walk AS (
+              SELECT u, u AS x FROM nodes
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x),
+            cl AS (SELECT u AS id, min(x) AS cluster_id FROM walk GROUP BY u),
+            sz AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM cl GROUP BY cluster_id)
+            SELECT cl.id, cl.cluster_id, sz.cluster_size,
+                   (cl.id = cl.cluster_id) AS is_representative
+            FROM cl JOIN sz USING (cluster_id)
+            ORDER BY cl.id
+        ''',
         "ngram_jaccard_documents": f"""
             WITH sh AS (
               SELECT doc_id, lang, blk,

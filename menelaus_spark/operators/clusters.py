@@ -1,0 +1,170 @@
+"""Distributed connected components + duplicate-cluster resolution.
+
+The step a corpus-scale dedup pipeline needs AFTER pair detection:
+near-dup pairs (from any of the exact / MinHash-LSH / SimHash /
+n-gram / embedding / audio-fingerprint paths) form a graph whose
+connected components are the duplicate clusters; one representative
+per cluster survives. No reference counterpart — mitre/menelaus has
+no graph stage — this is a north-star training-data-pipeline op.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each half-
+round is ONE aggregation plus ONE co-partitioned join on the node id
+(Catalyst reuses the hash partitioning between the groupBy and the
+join, so a round costs ~one shuffle of the edge list); the edge set
+converges in O(log^2 n) rounds — independent of component DIAMETER,
+which is what kills naive min-label propagation on chain-shaped
+components (a length-d trim-copy chain would need d propagation
+rounds). At the fixed point every component is a star centered at its
+minimum id, so cluster ids fall out of the edge list directly.
+
+Scale notes: per round the edge list only shrinks or stays put
+(both stars re-point edges at component minima and drop self-loops);
+`localCheckpoint` truncates the iterative lineage each round (on a
+real cluster swap for reliable `checkpoint` if executor loss matters
+— noted rather than defaulted because localCheckpoint avoids the
+HDFS round-trip); convergence is detected by an exact
+`exceptAll`-empty test only after a cheap (count, hash-sum)
+signature matches, so steady-state rounds cost one signature job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """(row count, bit_xor of xxhash64(u, v)) — an order-insensitive
+    edge-set fingerprint used to gate the exact convergence check
+    (xor, not sum: ANSI mode would overflow a long sum; a collision
+    here only triggers the exact exceptAll test, never a wrong
+    answer)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every node that appears in ``pairs``, where
+    ``cluster_id`` is the minimum id in the node's connected component
+    (a deterministic, data-derived canonical name). Singleton rows that
+    never paired are absent — callers keep them as their own
+    representatives (see :func:`resolve_representatives`).
+
+    ``max_rounds`` is a diverged-loop guard far above the O(log^2 n)
+    bound; hitting it raises rather than returning a half-merged
+    clustering.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _signature(edges)
+    if sig[0] == 0:
+        return edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+
+    prev_frame = None
+    for _ in range(max_rounds):
+        # large-star: for each node u, point every LARGER neighbor at
+        # m(u) = min(neighborhood(u) + {u}). Emitting only (v > u, m)
+        # pairs keeps the op a contraction (no edge duplication
+        # blowup). The neighborhood minimum comes from TWO aggregates
+        # over the stored orientation (out-min and in-min, full-outer
+        # joined) rather than a union-with-swapped-columns self-join —
+        # the union formulation trips a Catalyst attribute-dedup bug
+        # over checkpointed plans ("key not found: v#N" at analysis).
+        m_out = edges.groupBy("u").agg(F.min("v").alias("mo"))
+        m_in = edges.groupBy("v").agg(F.min("u").alias("mi")).select(
+            F.col("v").alias("u"), "mi"
+        )
+        mins = (
+            m_out.join(m_in, on="u", how="full")
+            .select(
+                "u",
+                F.least(
+                    F.coalesce("mo", "u"), F.coalesce("mi", "u"), "u"
+                ).alias("m"),
+            )
+        )
+        # every undirected edge {lo, hi} is exactly one large-star
+        # emission (hi, m(lo)) — the hi side's smaller neighbors emit
+        # nothing by definition
+        e2 = edges.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        large = (
+            e2.join(mins.select(F.col("u").alias("lo"), "m"), on="lo")
+            .select(F.col("hi").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges (hi, lo); each hi points its smaller
+        # neighbors AND itself at m = min of the smaller neighborhood.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # (lo, m) rows from the join; (hi, m) rows straight from the
+        # per-hi minima — two selects instead of explode(array(...)),
+        # which trips Catalyst attribute dedup over self-referential
+        # union plans (key-not-found at checkpoint time)
+        small = (
+            oriented.join(mins2, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(small)
+        converged = new_sig == sig and small.exceptAll(edges).isEmpty()
+        if prev_frame is not None:
+            prev_frame.unpersist()
+        prev_frame, edges, sig = edges, small, new_sig
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixed point = stars (member, center): add each center's self row
+    return edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).union(
+        edges.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")).distinct()
+    )
+
+
+def cluster_members(clusters: DataFrame) -> DataFrame:
+    """(id, cluster_id, cluster_size, is_representative) — the
+    resolution frame a dedup pipeline keeps as its audit artifact."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, on="cluster_id").select(
+        "id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+def resolve_representatives(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """The deduplicated table: one representative row (the cluster-min
+    id) per cluster, plus every singleton row that never paired. One
+    anti-join against the (small) non-representative member list."""
+    drop = (
+        clusters.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, on=id_col, how="left_anti")
