@@ -2951,6 +2951,20 @@ def q_audio_neardup_noise(spark, sf_dir):
     return transcript_blocked_neardup(df).orderBy("id_a", "id_b")
 
 
+def q_audio_dedup_resolution(spark, sf_dir):
+    """The audio-axis flagship pipeline end-to-end: a mixed-taxonomy
+    table (every dup's copy class drawn from gain/resample, trim,
+    pad, noise, speed), ALL THREE matching paths off one decode pass,
+    pair union, alternating-star connected components, and the
+    resolution audit frame (id, cluster_id, cluster_size,
+    is_representative)."""
+    from menelaus_spark.operators.audio_dedup import audio_dedup_resolution
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, modes=("mixed",))
+    return audio_dedup_resolution(df).orderBy("id")
+
+
 def _audio_neardup_oracle() -> str | None:
     """Oracle for q_audio_neardup: shingle SETS come from the numpy
     twin (the decode step has no SQL analog — same precedent as the
@@ -3155,7 +3169,7 @@ def _audio_neardup_speed_oracle() -> str | None:
     has no SQL analog); the blocking, the sample-count-ratio gate
     (f in [0.77, 1.30] outside the [0.96, 1.04] dead zone), the
     floor(f*j+0.5) frame re-indexing, and the |f*peak_a - peak_b| <=
-    0.75 agreement fraction are all recomputed independently in
+    0.35 agreement fraction are all recomputed independently in
     DuckDB."""
     try:
         twin = _audio_neardup_twin(modes=("speed",))
@@ -3198,7 +3212,7 @@ def _audio_neardup_speed_oracle() -> str | None:
           WHERE f >= 0.77 AND f <= 1.30 AND (f <= 0.96 OR f >= 1.04)),
         scored AS (
           SELECT g.id_a, g.id_b, g.f, g.na, g.nb,
-                 sum(CASE WHEN abs(g.f * fa.peak - fb.peak) <= 0.75
+                 sum(CASE WHEN abs(g.f * fa.peak - fb.peak) <= 0.35
                      THEN 1 ELSE 0 END) AS agree
           FROM gated g
           JOIN fp fb ON fb.clip_id = g.id_b
@@ -3213,6 +3227,158 @@ def _audio_neardup_speed_oracle() -> str | None:
         FROM scored
         WHERE round(agree::DOUBLE / nb, 6) >= 0.8
         ORDER BY id_a, id_b
+    """
+
+
+def _audio_dedup_resolution_oracle() -> str | None:
+    """Oracle for q_audio_dedup_resolution: ONE set of twin-decoded
+    CTEs (shingles, heads, code/mask/peak rows, sample counts) feeds
+    independent SQL recomputations of ALL THREE matching paths, and
+    the connected-components resolution is a recursive-CTE transitive
+    closure over their unioned pairs — the Spark side iterates
+    large-star/small-star; the oracle walks reachability. Same fixed
+    point, disjoint machinery."""
+    try:
+        twin = _audio_neardup_twin(modes=("mixed",))
+    except Exception:
+        return None
+    sh_rows, hd_rows, meta_rows, code_rows = [], [], [], []
+    for cid, tr, sh, cm, hd, nf in twin:
+        tr_lit = "NULL" if tr is None else "'" + tr.replace("'", "''") + "'"
+        n = 0 if cm is None else int(cm[0].size)
+        meta_rows.append(f"('{cid}', {tr_lit}, {n}, {int(nf)})")
+        sh_rows.extend(f"('{cid}', '{v}')" for v in sh)
+        hd_rows.extend(f"('{cid}', '{v}')" for v in hd)
+        if cm is None:
+            continue
+        codes, masks, peaks = cm
+        code_rows.extend(
+            f"('{cid}', {i}, {int(codes[i])}, {int(masks[i])}, "
+            f"{float(peaks[i])!r})"
+            for i in range(n)
+        )
+    k = 16
+    mins = ", ".join(
+        f"min(('0x' || substring(md5(concat('{i // 2}|', shingle)), "
+        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) as h{i}"
+        for i in range(k)
+    )
+    band_arms = "\n              UNION ALL\n".join(
+        f"              SELECT clip_id, {b} AS band, "
+        f"md5(h{2 * b} || ',' || h{2 * b + 1}) AS bhash FROM sig"
+        for b in range(8)
+    )
+    return f"""
+        WITH RECURSIVE
+        shrows(clip_id, shingle) AS (VALUES {", ".join(sh_rows)}),
+        hdrows(clip_id, head) AS (VALUES {", ".join(hd_rows)}),
+        meta(clip_id, transcript, nframes, nfp) AS
+          (VALUES {", ".join(meta_rows)}),
+        fp(clip_id, seq, code, mask, peak) AS (VALUES {", ".join(code_rows)}),
+        -- path 1: fingerprint-shingle MinHash/LSH + head buckets,
+        -- jaccard-OR-containment verify
+        shingles AS (
+          SELECT clip_id, list(DISTINCT shingle) AS sh
+          FROM shrows GROUP BY clip_id),
+        sig AS (
+          SELECT clip_id, {mins} FROM shrows GROUP BY clip_id),
+        banded AS (
+{band_arms}),
+        okheads AS (
+          SELECT head FROM hdrows GROUP BY head HAVING count(*) <= 200),
+        hdok AS (SELECT DISTINCT h.clip_id, h.head
+                 FROM hdrows h JOIN okheads USING (head)),
+        cands AS (
+          SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.clip_id < b.clip_id
+          UNION
+          SELECT DISTINCT a.clip_id, b.clip_id
+          FROM hdok a JOIN hdok b
+            ON a.head = b.head AND a.clip_id < b.clip_id),
+        p_shingle AS (
+          SELECT c.id_a, c.id_b
+          FROM cands c
+          JOIN shingles sa ON sa.clip_id = c.id_a
+          JOIN shingles sb ON sb.clip_id = c.id_b
+          WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.35
+             OR round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / greatest(least(len(sa.sh), len(sb.sh)), 1), 6) >= 0.9),
+        -- shared transcript-equality blocking (paths 2 and 3)
+        blocks AS (
+          SELECT clip_id, nframes, nfp,
+                 md5(regexp_replace(trim(lower(coalesce(transcript, ''))),
+                                    '\\s+', ' ', 'g')) AS blk
+          FROM meta WHERE transcript IS NOT NULL
+            AND len(regexp_replace(trim(lower(coalesce(transcript, ''))),
+                                   '\\s+', ' ', 'g')) > 0),
+        sized AS (
+          SELECT b.* FROM blocks b
+          JOIN (SELECT blk FROM blocks GROUP BY blk
+                HAVING count(*) BETWEEN 2 AND 50) ok USING (blk)),
+        -- path 2: masked-BER + raw-BER + integer-peak agreement on
+        -- equal-frame-count pairs
+        tscored AS (
+          SELECT p.id_a, p.id_b, p.n,
+                 sum(bit_count(fa.mask & fb.mask)) AS den,
+                 sum(bit_count(xor(fa.code, fb.code) & fa.mask & fb.mask)) AS num,
+                 sum(bit_count(xor(fa.code, fb.code))) AS raw,
+                 sum(CASE WHEN abs(fa.peak - fb.peak) <= 1 THEN 1 ELSE 0 END) AS pag
+          FROM (SELECT a.clip_id AS id_a, b.clip_id AS id_b, a.nframes AS n
+                FROM sized a JOIN sized b
+                  ON a.blk = b.blk AND a.clip_id < b.clip_id
+                     AND a.nframes = b.nframes AND a.nframes > 0) p
+          JOIN fp fa ON fa.clip_id = p.id_a
+          JOIN fp fb ON fb.clip_id = p.id_b AND fb.seq = fa.seq
+          GROUP BY p.id_a, p.id_b, p.n),
+        p_ber AS (
+          SELECT id_a, id_b FROM tscored
+          WHERE den >= 16
+            AND round(num::DOUBLE / den, 6) <= 0.10
+            AND round(raw::DOUBLE / (32 * n), 6) <= 0.35
+            AND round(pag::DOUBLE / n, 6) >= 0.9),
+        -- path 3: speed-ratio gate + rescaled sub-bin peak agreement
+        sgated AS (
+          SELECT * FROM (
+            SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+                   a.nframes AS na, b.nframes AS nb,
+                   a.nfp::DOUBLE / b.nfp AS f
+            FROM sized a JOIN sized b
+              ON a.blk = b.blk AND a.clip_id < b.clip_id
+            WHERE a.nframes >= 8 AND b.nframes >= 8 AND b.nfp > 0)
+          WHERE f >= 0.77 AND f <= 1.30 AND (f <= 0.96 OR f >= 1.04)),
+        sscored AS (
+          SELECT g.id_a, g.id_b, g.nb,
+                 sum(CASE WHEN abs(g.f * fa.peak - fb.peak) <= 0.35
+                     THEN 1 ELSE 0 END) AS agree
+          FROM sgated g
+          JOIN fp fb ON fb.clip_id = g.id_b
+          JOIN fp fa ON fa.clip_id = g.id_a
+            AND fa.seq = CAST(least(greatest(floor(g.f * fb.seq + 0.5), 0),
+                                    g.na - 1) AS INTEGER)
+          GROUP BY g.id_a, g.id_b, g.nb),
+        p_speed AS (
+          SELECT id_a, id_b FROM sscored
+          WHERE round(agree::DOUBLE / nb, 6) >= 0.8),
+        -- resolution: recursive transitive closure, component min
+        allp AS (SELECT id_a, id_b FROM p_shingle
+                 UNION SELECT id_a, id_b FROM p_ber
+                 UNION SELECT id_a, id_b FROM p_speed),
+        edges AS (SELECT id_a AS u, id_b AS v FROM allp WHERE id_a <> id_b
+                  UNION SELECT id_b, id_a FROM allp WHERE id_a <> id_b),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        walk AS (
+          SELECT u, u AS x FROM nodes
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.x),
+        cl AS (SELECT u AS id, min(x) AS cluster_id FROM walk GROUP BY u),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size
+               FROM cl GROUP BY cluster_id)
+        SELECT cl.id, cl.cluster_id, sz.cluster_size,
+               (cl.id = cl.cluster_id) AS is_representative
+        FROM cl JOIN sz USING (cluster_id)
+        ORDER BY cl.id
     """
 
 
@@ -3288,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_speed": q_audio_neardup_speed,
         "audio_neardup_noise": q_audio_neardup_noise,
         "audio_transcript_neardup": q_audio_transcript_neardup,
+        "audio_dedup_resolution": q_audio_dedup_resolution,
     }
 
 
@@ -3795,6 +3962,7 @@ def oracle_sql() -> dict[str, str]:
         ("audio_neardup_speed", _audio_neardup_speed_oracle),
         ("audio_neardup_noise", _audio_neardup_noise_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
+        ("audio_dedup_resolution", _audio_dedup_resolution_oracle),
     ]:
         sql = builder()
         if sql is not None:

@@ -142,6 +142,7 @@ def main():
     # masked-BER + speed-ratio peak rescaling), sharing ONE decode
     # pass via the persisted fingerprint frame
     from menelaus_spark.operators.audio_dedup import (
+        audio_dedup_resolution,
         audio_fingerprints,
         audio_neardup_pairs,
         speed_blocked_neardup,
@@ -153,8 +154,14 @@ def main():
     run_noop(audio_neardup_pairs(df, fp=fp))
     run_noop(transcript_blocked_neardup(df, fp=fp))
     run_noop(speed_blocked_neardup(df, fp=fp))
-    fp.unpersist()
     timings["audio_neardup"] = round(time.time() - t0, 3)
+
+    # end-to-end resolution over the same persisted fingerprint frame:
+    # pair union + alternating-star connected components + audit frame
+    t0 = time.time()
+    run_noop(audio_dedup_resolution(df, fp=fp))
+    fp.unpersist()
+    timings["audio_dedup_resolution"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

@@ -377,7 +377,7 @@ def speed_blocked_neardup(
     min_ratio: float = 0.77,
     max_ratio: float = 1.30,
     dead_zone: tuple[float, float] = (0.96, 1.04),
-    peak_tol: float = 0.75,
+    peak_tol: float = 0.35,
     agree_min: float = 0.8,
     min_frames: int = 8,
     block_cap: int = 50,
@@ -400,8 +400,12 @@ def speed_blocked_neardup(
     for an ``agree_min`` fraction of frames j (floor(x+.5) index
     rounding — identical semantics in Spark, numpy, and DuckDB,
     unlike round()'s half-even/half-up split). Parabolic sub-bin
-    peaks (~0.05-bin accuracy on tones) are what make ``peak_tol``
-    0.75 workable; integer argmax bins carry up to ~2 bins of
+    peaks (~0.03-bin measured error on true pairs) are what make
+    ``peak_tol`` 0.35 workable — it sits 10x above the true-pair
+    error and ~2x below the ~0.6-bin error of coincidental
+    same-transcript distinct takes whose pitch ratio happens to
+    mirror their duration ratio (the measured false-positive class
+    on constant-pitch content); integer argmax bins carry up to ~2 bins of
     quantization error, which a 10% pitch shift at low pitch cannot
     clear. Ratios inside ``dead_zone`` are skipped: below ~4% tempo
     deviation, a constant-pitch distinct take (same transcript,
@@ -455,3 +459,56 @@ def speed_blocked_neardup(
             F.col("__nb").alias("n_frames_b"),
         )
     )
+
+
+def audio_dedup_resolution(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    transcript_col: str = "transcript",
+    containment_threshold: float = 0.9,
+    fp: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end audio dedup RESOLUTION: all three matching paths —
+    fingerprint-shingle MinHash/LSH with containment (bit-exact,
+    trimmed, padded copies), transcript-blocked masked-BER (lossy /
+    resampled / noisy copies), and speed-ratio peak rescaling
+    (tempo-perturbed copies) — share ONE Arrow decode pass; their
+    pair sets union into a graph whose connected components are the
+    duplicate clusters. Returns the audit frame
+    (id, cluster_id = component-min clip_id, cluster_size,
+    is_representative). Feed it with the source table and
+    :func:`resolve_representatives` to materialize the deduplicated
+    corpus.
+
+    Scale shape: each path is independently bounded (LSH bands + capped
+    head buckets / capped transcript blocks / ratio-gated candidates);
+    the component resolution is alternating large-star/small-star —
+    O(log^2 n) rounds regardless of how long trim-of-trim chains get.
+    """
+    from menelaus_spark.operators.clusters import (
+        cluster_members,
+        connected_components,
+    )
+
+    own_fp = fp is None
+    if own_fp:
+        fp = audio_fingerprints(df, key_col, bytes_col, codec_col).persist()
+    p1 = audio_neardup_pairs(
+        df, key_col, bytes_col, codec_col, fp=fp,
+        containment_threshold=containment_threshold,
+    ).select("id_a", "id_b")
+    p2 = transcript_blocked_neardup(
+        df, key_col, bytes_col, codec_col, transcript_col, fp=fp
+    ).select("id_a", "id_b")
+    p3 = speed_blocked_neardup(
+        df, key_col, bytes_col, codec_col, transcript_col, fp=fp
+    ).select("id_a", "id_b")
+    out = cluster_members(connected_components(p1.union(p2).union(p3)))
+    if own_fp:
+        # connected_components already materialized the pair graph (its
+        # loop runs jobs against checkpointed edges), so the decode
+        # frame can be released before the caller's action
+        fp.unpersist()
+    return out

@@ -31,6 +31,20 @@ def numpy_range(lo: float, hi: float) -> tuple[float, float]:
     return lo, hi
 
 
+def _range_and_width(lo: float, hi: float, nbins: int) -> tuple[float, float, float]:
+    """(lo, hi, bin width) with degenerate spans expanded. Beyond the
+    lo == hi constant-column case, a span of a few denormals can make
+    (hi - lo) / nbins underflow to EXACTLY 0.0 — Spark ANSI mode then
+    raises DIVIDE_BY_ZERO where numpy silently emits inf indices — so
+    any zero width gets the same ±0.5 expansion."""
+    lo, hi = numpy_range(float(lo), float(hi))
+    width = (hi - lo) / nbins
+    if width <= 0.0:
+        lo, hi = lo - 0.5, hi + 0.5
+        width = (hi - lo) / nbins
+    return lo, hi, width
+
+
 def joint_minmax(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """Per-column (min, max) in one distributed pass.
 
@@ -48,8 +62,7 @@ def joint_minmax(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float
 def bin_index_col(col, lo: float, hi: float, nbins: int):
     """np.histogram-compatible bin index expression: values outside
     [lo, hi] -> NULL (excluded); x == hi falls in the last bin."""
-    lo, hi = numpy_range(float(lo), float(hi))
-    width = (hi - lo) / nbins
+    lo, hi, width = _range_and_width(lo, hi, nbins)
     idx = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
     return (
         F.when(col.isNull() | F.isnan(col.cast("double")), F.lit(None))
@@ -68,8 +81,7 @@ def bin_weighted_driver(
     dropped), so a histogram computed from a collected summary is
     bit-identical to the distributed one. Counts are integers held in
     float64 (< 2^53), so accumulation order cannot change the result."""
-    lo, hi = numpy_range(float(lo), float(hi))
-    width = (hi - lo) / nbins
+    lo, hi, width = _range_and_width(lo, hi, nbins)
     v = np.asarray(values, dtype=np.float64)
     c = np.asarray(counts, dtype=np.float64)
     keep = ~np.isnan(v) & (v >= lo) & (v <= hi)

@@ -161,7 +161,19 @@ def _gen_rows(
                 rng_s, d_s, dur_mu, dur_sigma, dur_clip, test_scale)
             transcript = _draw_transcript(rng_s, d_s, null_frac, dur_s)
             sr_out = sr_s
-            if neardup_modes == ("trim",):
+            if neardup_modes == ("mixed",):
+                # full-taxonomy fixture: each dup draws its copy class
+                # from its OWN rng (deterministic per idx) — fodder for
+                # the end-to-end dedup RESOLUTION pipeline, which must
+                # union all matching paths to cover every class
+                cls = str(rng.choice(["default", "trim", "noise", "speed", "pad"]))
+            elif len(neardup_modes) == 1 and neardup_modes[0] in (
+                "trim", "noise", "speed", "pad"
+            ):
+                cls = neardup_modes[0]
+            else:
+                cls = "default"
+            if cls == "trim":
                 # truncated-recording copy: keep a prefix aligned to the
                 # canonical fingerprint frame grid (HOP samples at FP_SR),
                 # metadata updated to the true shorter duration — the
@@ -170,7 +182,7 @@ def _gen_rows(
                 n_keep = max(step, (pcm_s.size // 2 // step) * step)
                 pcm_d = pcm_s[:n_keep]
                 dur_s = int(round(1000.0 * n_keep / sr_s))
-            elif neardup_modes == ("noise",):
+            elif cls == "noise":
                 # noise-contaminated copy (re-recording / lossy channel):
                 # additive white noise at a drawn SNR — same length, same
                 # transcript; the transcript path's masked-BER is the
@@ -182,7 +194,7 @@ def _gen_rows(
                 sigma = np.sqrt(p_sig / 10.0 ** (snr_db / 10.0)) if p_sig > 0 else 0.0
                 x = x + rng.normal(0.0, sigma, x.size)
                 pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
-            elif neardup_modes == ("speed",):
+            elif cls == "speed":
                 # speed-perturbed copy: resampled by f WITHOUT
                 # relabeling the rate — plays faster/slower, pitch
                 # shifts by f; duration metadata updated to the true
@@ -194,7 +206,7 @@ def _gen_rows(
                 x = resample_pcm(x, sr_s, int(round(sr_s / spd)))
                 pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
                 dur_s = int(round(1000.0 * pcm_d.size / sr_s))
-            elif neardup_modes == ("pad",):
+            elif cls == "pad":
                 # silence-padded copy: leading digital silence aligned to
                 # the canonical fingerprint frame grid, metadata updated
                 # to the true longer duration — silence frames collapse

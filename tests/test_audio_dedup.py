@@ -186,7 +186,7 @@ def test_fingerprint_gain_invariance_property(sig_sr, gain):
     assert np.array_equal(m0, m1)
     # sub-bin peak offsets come from a log-magnitude parabola, which is
     # gain-invariant only up to IEEE rounding (log(g*s) vs log(s) in the
-    # last ulp) — matching tolerances are 0.75-1.0 bins, so assert far
+    # last ulp) — matching tolerances are 0.35-1.0 bins, so assert far
     # below them rather than bit equality
     assert np.allclose(p0, p1, atol=1e-6, rtol=0.0)
 
@@ -307,3 +307,36 @@ def test_speed_mode_detected_by_peak_rescaling(spark):
         (r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()
     }
     assert not (injected & shingle_got)
+
+
+def test_mixed_mode_resolution_end_to_end(spark):
+    # the flagship pipeline: a mixed-taxonomy table (each dup's copy
+    # class drawn from gain/resample, trim, pad, noise, speed), all
+    # three matching paths unioned, connected components resolved —
+    # every injected (source, copy) pair must land in one cluster with
+    # the source as representative, regardless of which class it drew
+    from menelaus_spark.operators.audio_dedup import audio_dedup_resolution
+
+    df = tables.audio_table(
+        spark, n_rows=160, n_parts=2, drift={}, neardup_frac=0.125,
+        null_frac=0.0, neardup_modes=("mixed",),
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(160) if i % 8 == 7
+    }
+    rows = {r.id: r for r in audio_dedup_resolution(df).collect()}
+    # no false merges: every emitted node belongs to an injected pair,
+    # and its cluster is exactly that pair
+    members = set(rows)
+    assert members <= {c for pair in injected for c in pair}
+    recovered = {(s, c) for s, c in injected if s in rows and c in rows}
+    for src, cpy in recovered:
+        assert rows[cpy].cluster_id == src
+        assert rows[src].cluster_id == src
+        assert rows[src].is_representative and not rows[cpy].is_representative
+        assert rows[src].cluster_size == 2
+    # near-total recall; the one tolerated miss in this fixture is a
+    # resampled default-class copy whose raw BER lands a hair past the
+    # 0.35 threshold (clip 127) — a detector-floor edge, not a
+    # pipeline gap (the DuckDB oracle reproduces the same miss)
+    assert len(recovered) >= len(injected) - 1
