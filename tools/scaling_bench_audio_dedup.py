@@ -1,15 +1,16 @@
 """N-vs-4N scaling-efficiency benchmark for the AUDIO NEAR-DUP
 pipeline (third scaling witness, alongside the validation suite and
 the dedup/text half): one shared fingerprint decode pass feeding the
-fingerprint-shingle MinHash/LSH path AND the transcript-blocked
-masked-BER path.
+fingerprint-shingle MinHash/LSH path, the transcript-blocked
+masked-BER path, the speed-ratio peak-rescaling path, and the
+connected-components RESOLUTION step (late-r04: the full pipeline).
 
 Generates a deterministic audio table once (counter-based per-clip RNG,
-12.5% injected mechanical near-duplicates so both matching paths do
-real work), then runs the full dedup suite in a fresh subprocess per
-core count.
+12.5% injected mechanical near-duplicates in the MIXED taxonomy —
+every copy class — so every matching path does real work), then runs
+the full dedup suite in a fresh subprocess per core count.
 
-Usage: python tools/scaling_bench_audio_dedup.py [n_clips] [n_parts] [lo] [hi]
+Usage: python tools/scaling_bench_audio_dedup.py [n_clips] [n_parts] [lo] [hi] [mode]
 Appends a manual section to BENCH/BASELINE.md with throughput at both
 levels + efficiency.
 """
@@ -32,7 +33,8 @@ from menelaus_spark.session import get_spark
 spark = get_spark(cores=32, shuffle_partitions=32, app_name="audiodedupgen")
 t0 = time.time()
 df = tables.audio_table(spark, n_rows={n_clips}, n_parts={n_parts},
-                        drift={{}}, neardup_frac=0.125, null_frac=0.0)
+                        drift={{}}, neardup_frac=0.125, null_frac=0.0,
+                        neardup_modes={modes!r})
 tables.write_audio_table(df, {path!r})
 print("GEN_SECONDS", round(time.time() - t0, 1))
 spark.stop()
@@ -40,8 +42,7 @@ spark.stop()
 
 RUN_SNIPPET = """
 import sys, time, json; sys.path.insert(0, {repo!r})
-from menelaus_spark.operators.audio_dedup import (
-    audio_fingerprints, audio_neardup_pairs, transcript_blocked_neardup)
+from menelaus_spark.operators.audio_dedup import audio_dedup_resolution
 from menelaus_spark.session import get_spark
 
 spark = get_spark(cores={cores}, shuffle_partitions={cores},
@@ -51,10 +52,9 @@ def noop(df):
 
 t0 = time.time()
 df = spark.read.parquet({path!r})
-fp = audio_fingerprints(df).persist()
-noop(audio_neardup_pairs(df, fp=fp))
-noop(transcript_blocked_neardup(df, fp=fp))
-fp.unpersist()
+# the resolution op runs all three matching paths off one persisted
+# decode pass, then the alternating-star component loop
+noop(audio_dedup_resolution(df))
 dt = time.time() - t0
 n = df.count()
 print(json.dumps({{"RESULT": True, "cores": {cores}, "seconds": round(dt, 2),
@@ -77,11 +77,14 @@ def main():
     n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    work = f"/tmp/menelaus_audiodedupscale_{n_clips}_{n_parts}"
+    mode = sys.argv[5] if len(sys.argv) > 5 else "mixed"
+    modes = (mode,) if mode != "default" else ("gain", "resample")
+    work = f"/tmp/menelaus_audiodedupscale_{n_clips}_{n_parts}_{mode}"
     if not os.path.exists(os.path.join(work, "_SUCCESS")):
         print(f"generating {n_clips} clips ...", flush=True)
         print(run_py(GEN_SNIPPET.format(repo=REPO, n_clips=n_clips,
-                                        n_parts=n_parts, path=work)
+                                        n_parts=n_parts, path=work,
+                                        modes=modes)
                      ).strip().splitlines()[-1])
     n_trials = int(os.environ.get("SCALE_TRIALS", "2"))
     results = {}
@@ -104,12 +107,13 @@ def main():
     md = f"""
 ## Audio near-dup pipeline scaling (measured {stamp})
 
-Third scaling witness, covering the audio near-duplicate suite: ONE
-shared fingerprint decode pass (shingles + codes/masks/peaks) feeding
-the fingerprint-shingle MinHash/LSH path and the transcript-blocked
-masked-BER path, over a deterministic {n_clips:,}-clip table with
-12.5% injected mechanical copies (gain-shifted and
-downsampled-to-half-rate), generated once and shared by both levels.
+Third scaling witness, covering the FULL audio near-duplicate
+pipeline: ONE shared fingerprint decode pass feeding all three
+matching paths (shingle MinHash/LSH + containment, transcript-blocked
+masked-BER, speed-ratio peak rescaling) plus the alternating-star
+connected-components resolution, over a deterministic
+{n_clips:,}-clip table with 12.5% injected mechanical copies
+(mode={mode}), generated once and shared by both levels.
 
 | config | wall s | clips/sec |
 |---|---|---|
@@ -119,7 +123,7 @@ downsampled-to-half-rate), generated once and shared by both levels.
 **Throughput scaling efficiency N -> 4N = T(N) / (4 x T(4N)) =
 {eff:.3f}** (target >= 0.8); min of SCALE_TRIALS={n_trials} fresh-JVM
 trials per level (same host-noise protocol as the other witnesses).
-Reproduce: `python tools/scaling_bench_audio_dedup.py {n_clips} {n_parts} {lo} {hi}`
+Reproduce: `python tools/scaling_bench_audio_dedup.py {n_clips} {n_parts} {lo} {hi} {mode}`
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "a") as f:
