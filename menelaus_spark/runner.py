@@ -705,16 +705,25 @@ class ValidationSuite:
             statistic=float(n_dup), threshold=0.0, n_rows=int(row["n"]),
         ).as_row()
 
-    def _neardup_verdict(self, df: DataFrame):
-        """Global payload near-dup rate via the fingerprint-shingle
+    def _neardup_verdicts(self, df: DataFrame) -> list[dict]:
+        """Global payload near-dup verdicts via the fingerprint-shingle
         MinHash/LSH path. Deterministic (seeded md5 hash family,
-        partition-independent fingerprints), so recomputing per run
-        keeps resumed and one-shot verdict tables identical — the same
-        contract as the global uniqueness check."""
+        partition-independent fingerprints, deterministic star
+        contraction), so recomputing per run keeps resumed and one-shot
+        verdict tables identical — the same contract as the global
+        uniqueness check. Two rows:
+
+        neardup:payload  — fraction of clips in >= 1 near-dup pair
+        neardup:clusters — fraction REMOVABLE by keep-one-per-cluster
+                           resolution (members - components) / n, the
+                           actionable dedup number; its details carry
+                           n_clusters and max_cluster_size
+        """
         from menelaus_spark.operators.audio_dedup import (
             audio_neardup_pairs,
             audio_shingles,
         )
+        from menelaus_spark.operators.clusters import connected_components
 
         sh = audio_shingles(
             df, key_col=self.key_col, bytes_col=self.bytes_col,
@@ -722,22 +731,36 @@ class ValidationSuite:
         ).persist()
         try:
             pairs = audio_neardup_pairs(df, key_col=self.key_col, fp=sh)
-            row = (
-                pairs.select(F.explode(F.array("id_a", "id_b")).alias("__k"))
-                .agg(F.countDistinct("__k").alias("m"))
-                .collect()[0]
+            cc = connected_components(pairs.select("id_a", "id_b"))
+            row = cc.agg(
+                F.count(F.lit(1)).alias("m"),
+                F.countDistinct("cluster_id").alias("k"),
+            ).collect()[0]
+            top = (
+                cc.groupBy("cluster_id").count().agg(F.max("count")).collect()[0][0]
             )
         finally:
             sh.unpersist()
-        members = int(row["m"] or 0)
+        members, k = int(row["m"] or 0), int(row["k"] or 0)
         n = df.count()
         rate = members / n if n else 0.0
-        return Verdict(
-            "__global__", "neardup:payload",
-            PASS if rate <= self.neardup_rate_max else FAIL,
-            statistic=float(rate), threshold=float(self.neardup_rate_max),
-            n_rows=int(n),
-        ).as_row()
+        removable = (members - k) / n if n else 0.0
+        return [
+            Verdict(
+                "__global__", "neardup:payload",
+                PASS if rate <= self.neardup_rate_max else FAIL,
+                statistic=float(rate), threshold=float(self.neardup_rate_max),
+                n_rows=int(n),
+            ).as_row(),
+            Verdict(
+                "__global__", "neardup:clusters",
+                PASS if removable <= self.neardup_rate_max else FAIL,
+                statistic=float(removable),
+                threshold=float(self.neardup_rate_max),
+                n_rows=int(n),
+                details={"n_clusters": k, "max_cluster_size": int(top or 0)},
+            ).as_row(),
+        ]
 
     def run(self, df: DataFrame, vectorized: bool = True) -> tuple[DataFrame, DataFrame]:
         """Validate every partition not yet in the manifest; return
@@ -775,7 +798,7 @@ class ValidationSuite:
         if self.global_uniqueness:
             verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
         if self.neardup_rate_max is not None:
-            verdict_rows = verdict_rows + [self._neardup_verdict(df)]
+            verdict_rows = verdict_rows + self._neardup_verdicts(df)
         verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
         import os
 

@@ -351,6 +351,13 @@ def test_neardup_rate_check(spark, tmp_path):
     ]
     assert gain_pairs
     assert abs(row[0]["statistic"] - 2 * len(gain_pairs) / 80) < 1e-9
+    # cluster-resolution verdict: every detected pair is its own
+    # 2-clique, so removable = members/2 and max cluster size = 2
+    crow = verdicts.filter(F.col("check_name") == "neardup:clusters").collect()
+    assert len(crow) == 1 and crow[0]["state"] == "fail"
+    assert abs(crow[0]["statistic"] - len(gain_pairs) / 80) < 1e-9
+    assert crow[0]["details"]["n_clusters"] == str(len(gain_pairs))
+    assert crow[0]["details"]["max_cluster_size"] == "2"
 
     clean_path = str(tmp_path / "ndclean")
     tables.write_audio_table(
@@ -364,3 +371,6 @@ def test_neardup_rate_check(spark, tmp_path):
     row2 = verdicts2.filter(F.col("check_name") == "neardup:payload").collect()
     assert len(row2) == 1 and row2[0]["state"] == "pass"
     assert row2[0]["statistic"] == 0.0
+    crow2 = verdicts2.filter(F.col("check_name") == "neardup:clusters").collect()
+    assert len(crow2) == 1 and crow2[0]["state"] == "pass"
+    assert crow2[0]["statistic"] == 0.0
