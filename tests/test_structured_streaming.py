@@ -316,3 +316,111 @@ def test_stateful_streaming_ensemble(spark, tmp_path):
     # snapshot's statistic counts members CURRENTLY alarming — members
     # reset right after the election, so it reads 0.0 at batch end
     assert per_batch[180]["statistic"] == 0.0
+
+
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    # dedup-at-ingest: the stateful LSH-bucket stream must emit exactly
+    # the batch pipeline's verified pair set (same md5-lane minhash,
+    # same banding, same exact-Jaccard verify) — with every injected
+    # pair arriving CROSS-micro-batch (sources in batch 1, copies in
+    # batch 2), so pairing genuinely goes through persisted GroupState
+    from menelaus_spark import tables
+    from menelaus_spark.operators.audio_dedup import audio_neardup_pairs
+    from menelaus_spark.streaming.dedup import stateful_neardup_stream
+
+    df = tables.audio_table(
+        spark, n_rows=80, n_parts=2, drift={}, neardup_frac=0.125, null_frac=0.0
+    )
+    batch = {
+        (r.id_a, r.id_b): r.jaccard for r in audio_neardup_pairs(df).collect()
+    }
+    assert batch  # fixture must produce work
+
+    src = str(tmp_path / "ndstream_src")
+    evens = df.filter(F.col("clip_id").substr(-1, 1).isin(*"02468"))
+    odds = df.filter(~F.col("clip_id").substr(-1, 1).isin(*"02468"))
+    evens.coalesce(1).write.mode("append").parquet(src)
+    odds.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stateful_neardup_stream(stream)
+        .writeStream.format("memory").queryName("ndpairs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    rows = spark.sql(
+        "SELECT DISTINCT id_a, id_b, jaccard FROM ndpairs"
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert got == batch
+
+
+def test_streaming_minhash_family_bit_equal_to_batch(spark):
+    # the stream computes signatures/band keys in Python (no streaming
+    # aggregation); they must be BIT-equal to the JVM exprs the batch
+    # pipeline uses, or bucket membership silently diverges
+    from menelaus_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_from_shingles,
+    )
+    from menelaus_spark.streaming.dedup import band_hashes, minhash_signature
+
+    sets = {
+        "a": ["00deadbeef00cafe", "0123456789abcdef", "ffffffffffffffff"],
+        "b": ["0123456789abcdef"],
+        "c": [f"{i:016x}" for i in range(40)],
+        "d": [],
+    }
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "id string, shingles array<string>"
+    )
+    jvm_sigs = {
+        r.id: list(r.sig)
+        for r in minhash_from_shingles(sdf, "id", "shingles", k=16).collect()
+    }
+    for k, sh in sets.items():
+        assert minhash_signature(sh, 16) == jvm_sigs[k], k
+
+    sig_df = minhash_from_shingles(sdf, "id", "shingles", k=16)
+    banded = lsh_candidate_pairs(sig_df, "id", bands=8, rows=2)
+    # band keys: recompute the JVM banding the way lsh_candidate_pairs
+    # does and compare bucket keys per id
+    from pyspark.sql import functions as SF
+
+    jvm_banded = (
+        sig_df.filter(SF.size("sig") > 0)
+        .select(
+            "id",
+            SF.explode(
+                SF.transform(
+                    SF.sequence(SF.lit(0), SF.lit(7)),
+                    lambda bnd: SF.struct(
+                        bnd.alias("band"),
+                        SF.md5(SF.concat_ws(",", SF.transform(
+                            SF.slice(SF.col("sig"), bnd * 2 + 1, 2),
+                            lambda x: x.cast("string"),
+                        ))).alias("bhash"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.bhash")
+        .collect()
+    )
+    jvm_keys = {}
+    for r in jvm_banded:
+        jvm_keys.setdefault(r.id, {})[r.band] = r.bhash
+    for k, sh in sets.items():
+        if not sh:
+            continue
+        py = band_hashes(minhash_signature(sh, 16), bands=8, rows=2)
+        assert {b: h for b, h in enumerate(py)} == jvm_keys[k], k
+    assert banded.count() >= 0  # plan sanity
