@@ -2965,6 +2965,69 @@ def q_audio_dedup_resolution(spark, sf_dir):
     return audio_dedup_resolution(df).orderBy("id")
 
 
+def q_streaming_neardup(spark, sf_dir):
+    """Streaming dedup-at-ingest under the driver harness: the
+    320-clip near-dup fixture arrives as TWO micro-batches through a
+    file-source stream (even-suffixed clip_ids first, so every
+    injected pair crosses a micro-batch boundary and pairing goes
+    through persisted GroupState); `stateful_neardup_stream` verifies
+    arrivals against LSH-bucket state. The oracle is the BATCH
+    pipeline's SQL — the stream uses a bit-equal minhash/banding
+    family and the identical exact-Jaccard verify, so the distinct
+    pair set must hash-match it."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from menelaus_spark.streaming.dedup import stateful_neardup_stream
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark)
+    work = tempfile.mkdtemp(prefix="menelaus_ndstream_")
+    src = os.path.join(work, "src")
+    try:
+        evens = df.filter(F.col("clip_id").substr(-1, 1).isin(*"02468"))
+        odds = df.filter(~F.col("clip_id").substr(-1, 1).isin(*"02468"))
+        evens.coalesce(1).write.mode("append").parquet(src)
+        odds.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        qname = f"ndpairs_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_neardup_stream(stream)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        rows = spark.sql(
+            f"SELECT DISTINCT id_a, id_b, jaccard FROM {qname}"
+        ).collect()
+        return spark.createDataFrame(
+            rows, "id_a string, id_b string, jaccard double"
+        ).orderBy("id_a", "id_b")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_neardup_oracle() -> str | None:
+    """The streaming entry must reproduce the batch pipeline's pair
+    set exactly (bit-equal hash family + identical verify), so its
+    oracle IS the batch oracle minus the containment column the
+    stream does not emit."""
+    sql = _audio_neardup_oracle()
+    if sql is None:
+        return None
+    return sql.replace(
+        "SELECT id_a, id_b, jaccard, containment",
+        "SELECT id_a, id_b, jaccard",
+    )
+
+
 def _audio_neardup_oracle() -> str | None:
     """Oracle for q_audio_neardup: shingle SETS come from the numpy
     twin (the decode step has no SQL analog — same precedent as the
@@ -3455,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_noise": q_audio_neardup_noise,
         "audio_transcript_neardup": q_audio_transcript_neardup,
         "audio_dedup_resolution": q_audio_dedup_resolution,
+        "streaming_neardup": q_streaming_neardup,
     }
 
 
@@ -3963,6 +4027,7 @@ def oracle_sql() -> dict[str, str]:
         ("audio_neardup_noise", _audio_neardup_noise_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
         ("audio_dedup_resolution", _audio_dedup_resolution_oracle),
+        ("streaming_neardup", _streaming_neardup_oracle),
     ]:
         sql = builder()
         if sql is not None:
