@@ -2965,6 +2965,53 @@ def q_audio_dedup_resolution(spark, sf_dir):
     return audio_dedup_resolution(df).orderBy("id")
 
 
+def q_audio_dedup_resolved(spark, sf_dir):
+    """The deduplicated corpus itself: mixed-taxonomy table minus
+    every non-representative cluster member (keep-one-per-cluster via
+    `resolve_representatives`), singletons preserved — what a training
+    pipeline actually writes out after resolution."""
+    from menelaus_spark.operators.audio_dedup import (
+        audio_fingerprints,
+        audio_neardup_pairs,
+        speed_blocked_neardup,
+        transcript_blocked_neardup,
+    )
+    from menelaus_spark.operators.clusters import (
+        connected_components,
+        resolve_representatives,
+    )
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, modes=("mixed",))
+    fp = audio_fingerprints(df).persist()
+    pairs = (
+        audio_neardup_pairs(df, fp=fp, containment_threshold=0.9)
+        .select("id_a", "id_b")
+        .union(transcript_blocked_neardup(df, fp=fp).select("id_a", "id_b"))
+        .union(speed_blocked_neardup(df, fp=fp).select("id_a", "id_b"))
+    )
+    cc = connected_components(pairs)
+    out = resolve_representatives(df, cc, "clip_id").select("clip_id").orderBy(
+        "clip_id"
+    )
+    fp.unpersist()
+    return out
+
+
+def _audio_dedup_resolved_oracle() -> str | None:
+    """Same SQL program as the resolution oracle, final projection
+    swapped: every clip id except the non-representative members."""
+    sql = _audio_dedup_resolution_oracle()
+    if sql is None:
+        return None
+    head, _, _tail = sql.rpartition("SELECT cl.id, cl.cluster_id, sz.cluster_size,")
+    assert head
+    return head + """SELECT m.clip_id FROM meta m
+        WHERE m.clip_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)
+        ORDER BY m.clip_id
+    """
+
+
 def q_streaming_neardup(spark, sf_dir):
     """Streaming dedup-at-ingest under the driver harness: the
     320-clip near-dup fixture arrives as TWO micro-batches through a
@@ -3518,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_noise": q_audio_neardup_noise,
         "audio_transcript_neardup": q_audio_transcript_neardup,
         "audio_dedup_resolution": q_audio_dedup_resolution,
+        "audio_dedup_resolved": q_audio_dedup_resolved,
         "streaming_neardup": q_streaming_neardup,
     }
 
@@ -4027,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         ("audio_neardup_noise", _audio_neardup_noise_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
         ("audio_dedup_resolution", _audio_dedup_resolution_oracle),
+        ("audio_dedup_resolved", _audio_dedup_resolved_oracle),
         ("streaming_neardup", _streaming_neardup_oracle),
     ]:
         sql = builder()
