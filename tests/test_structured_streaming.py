@@ -424,3 +424,43 @@ def test_streaming_minhash_family_bit_equal_to_batch(spark):
         py = band_hashes(minhash_signature(sh, 16), bands=8, rows=2)
         assert {b: h for b, h in enumerate(py)} == jvm_keys[k], k
     assert banded.count() >= 0  # plan sanity
+
+
+def test_streaming_neardup_bucket_cap_bounds_state(spark, tmp_path):
+    # 12 byte-identical clips all land in the same LSH buckets; with
+    # bucket_cap=5 the state stops ADMITTING after 5 members but every
+    # arrival still verifies against the retained ones — so pair count
+    # is exactly 0+1+2+3+4 + 7*5 = 45 per-pair-distinct (every pair
+    # involves at least one of the first 5 admitted clips), not C(12,2)
+    from menelaus_spark import tables
+    from menelaus_spark.streaming.dedup import stateful_neardup_stream
+
+    base = tables.audio_table(spark, n_rows=1, n_parts=1, drift={}, null_frac=0.0)
+    b = base.select("bytes", "sr_hz", "dur_ms", "codec", "transcript").collect()[0]
+    rows = [
+        (f"clip_{i:012d}", bytes(b.bytes), b.sr_hz, b.dur_ms, b.codec,
+         b.transcript, 0)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, tables.AUDIO_SCHEMA)
+    src = str(tmp_path / "cap_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stateful_neardup_stream(stream, bucket_cap=5)
+        .writeStream.format("memory").queryName("cappairs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM cappairs").collect()
+    }
+    admitted = {f"clip_{i:012d}" for i in range(5)}
+    assert len(got) == 45
+    for a, bb in got:
+        assert a in admitted  # pairs always reach back to an admitted member
