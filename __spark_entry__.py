@@ -966,6 +966,92 @@ def q_ann_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN top-5: seeded k-means coarse quantizer (8 inverted
+    lists), nprobe=2 probed lists per query, exact cosine rerank of
+    probed members only — the cluster-pruned scale path alongside the
+    hyperplane-LSH one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    queries = [(str(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    out = similarity.ivf_ann_topk(
+        emb, "vec_id", "embedding", queries, k=5, n_lists=8, nprobe=2
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_ann_oracle() -> str | None:
+    """DuckDB twin of q_ivf_ann_topk: centroids regenerated from the
+    same id-sorted sample with the same seeded Lloyd kernel and
+    inlined as DOUBLE[] literals (the k-means block oracle precedent);
+    list assignment, query probing, and the probed-only rerank all
+    recomputed in SQL with the shared 1e-6-rounded-dot tie rule."""
+    import numpy as np
+
+    try:
+        import duckdb
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT 100000"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    C = dedup._lloyd(X, 8, 20, 42)
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(C)
+    )
+    return f"""
+        WITH C(ci, cv) AS (VALUES {vals}),
+        dots AS (
+          SELECT e.vec_id, c.ci,
+                 round(list_inner_product(e.embedding::DOUBLE[], c.cv)
+                       * 1000000.0) AS d6
+          FROM embeddings e CROSS JOIN C c),
+        blk AS (
+          SELECT vec_id, ci AS list_id FROM (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d6 DESC, ci) AS rn
+            FROM dots) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id IN (0, 1, 2)),
+        qdots AS (
+          SELECT q.qid, c.ci,
+                 round(list_inner_product(q.qvec::DOUBLE[], c.cv)
+                       * 1000000.0) AS d6
+          FROM q CROSS JOIN C c),
+        probes AS (
+          SELECT qid, ci AS list_id FROM (
+            SELECT qid, ci,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d6 DESC, ci) AS rn
+            FROM qdots) WHERE rn <= 2),
+        scored AS (
+          SELECT q.qid::VARCHAR AS query_id, b.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.qvec::DOUBLE[]), 6) AS cosine
+          FROM probes p
+          JOIN q ON q.qid = p.qid
+          JOIN blk b ON b.list_id = p.list_id
+          JOIN embeddings e ON e.vec_id = b.vec_id),
+        ranked AS (
+          SELECT query_id, vec_id, round(cosine, 4) AS cos4,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -3530,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdddm_lineitem_cumulative": q_hdddm_lineitem_cumulative,
         "cdbd_events_value": q_cdbd_events_value,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
@@ -4050,6 +4137,9 @@ def oracle_sql() -> dict[str, str]:
     km = _kmeans_neardup_oracle()
     if km is not None:
         out["embedding_neardup_kmeans"] = km
+    ivf = _ivf_ann_oracle()
+    if ivf is not None:
+        out["ivf_ann_topk"] = ivf
     kdq = _kdq_oracle_sql()
     if kdq is not None:
         out["kdq_lineitem"] = kdq

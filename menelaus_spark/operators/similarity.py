@@ -112,3 +112,88 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col), "cosine", "rank")
     )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    sample_cap: int = 100_000,
+    n_iters: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cluster-pruned
+    counterpart of :func:`lsh_ann_topk`: a seeded spherical k-means
+    coarse quantizer (the same Lloyd kernel as
+    ``dedup.kmeans_blocks``) assigns every corpus vector to one of
+    ``n_lists`` inverted lists in ONE broadcast-centroid JVM pass;
+    each query exact-reranks ONLY its ``nprobe`` nearest lists'
+    members. Assignment argmax compares dots rounded at 1e-6 (the
+    tie-stable cross-engine recipe the k-means block oracle uses).
+
+    Scale shape: training reads a bounded id-sorted sample; list
+    assignment is a pure JVM expression over broadcast centroids (no
+    shuffle); the probe join shuffles only the probed lists' members
+    (~nprobe/n_lists of the corpus per query batch). At 10^9+ vectors
+    the corpus-side frame is write-once (list id is a stable derived
+    column — persist or bucket it by list).
+    """
+    from menelaus_spark.operators.dedup import _lloyd
+
+    sample = np.asarray(
+        [
+            list(r["__v"])
+            for r in df.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .orderBy("__id")
+            .limit(sample_cap)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    centroids = _lloyd(sample, n_lists, n_iters, seed)
+
+    def dot6(vec, c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(1000000.0)
+        )
+
+    dots = F.array(*[dot6(F.col("__v"), c) for c in centroids])
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn(
+        # argmax over rounded dots; first occurrence wins ties (same
+        # ORDER BY d6 DESC, ci semantics as the SQL twin)
+        "list_id", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+    probe_rows = []
+    for qid, v in queries:
+        qd = np.round(centroids @ np.asarray(v, dtype=np.float64) * 1e6)
+        order = sorted(range(n_lists), key=lambda i: (-qd[i], i))[:nprobe]
+        for li in order:
+            probe_rows.append((qid, [float(x) for x in v], int(li)))
+    qdf = df.sparkSession.createDataFrame(
+        probe_rows, schema="query_id string, qvec array<double>, list_id int"
+    )
+    scored = corpus.join(F.broadcast(qdf), on="list_id").withColumn(
+        "cosine", F.round(cosine_cols(F.col("__v"), F.col("qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine", "rank")
+    )

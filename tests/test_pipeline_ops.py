@@ -266,3 +266,30 @@ def test_repetition_stats(spark):
     assert abs(rows[2]["dup_trigram_frac"] - (1 - 1 / 3)) < 1e-12
     assert rows[3]["n_trigrams"] == 0 and rows[3]["dup_trigram_frac"] == 0.0
     assert rows[4]["n_tokens"] == 0 and rows[4]["dup_token_frac"] == 0.0
+
+
+def test_ivf_ann_recall_and_determinism(spark, emb):
+    rows = emb.limit(3).collect()
+    queries = [(f"q{i}", list(r["embedding"])) for i, r in enumerate(rows)]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=10).toPandas()
+    ivf = similarity.ivf_ann_topk(
+        emb, "vec_id", "embedding", queries, k=10, n_lists=4, nprobe=2
+    ).toPandas()
+    recalls = []
+    for qid in ("q0", "q1", "q2"):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # probing half the lists must recover most of the exact top-10
+    assert np.mean(recalls) >= 0.5
+    # the query vector itself lands in its own nearest list
+    assert (ivf[ivf["rank"] == 1]["cosine"] > 0.999).all()
+    # seeded quantizer + rounded-dot argmax -> bit-identical reruns,
+    # partitioning-independent
+    again = similarity.ivf_ann_topk(
+        emb.repartition(7), "vec_id", "embedding", queries, k=10,
+        n_lists=4, nprobe=2,
+    ).toPandas()
+    a1 = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    a2 = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a1.equals(a2)
