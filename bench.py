@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_documents",
     "embedding_neardup",
     "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
     "token_stats",
     "text_quality",
     "lang_id",
