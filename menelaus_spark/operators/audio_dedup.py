@@ -123,6 +123,25 @@ def audio_fingerprints(
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
 
+_OWNED_CACHE: list[DataFrame] = []
+
+
+def _persist_owned(frame: DataFrame) -> DataFrame:
+    """Persist ``frame`` after releasing the previously owned cache —
+    repeated fp=None validation runs hold at most one pinned shingle
+    frame instead of leaking one per call. Unpersisting an earlier
+    frame only drops its cache; any still-unmaterialized plan over it
+    recomputes correctly."""
+    while _OWNED_CACHE:
+        try:
+            _OWNED_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    frame = frame.persist()
+    _OWNED_CACHE.append(frame)
+    return frame
+
+
 def audio_neardup_pairs(
     df: DataFrame,
     key_col: str = "clip_id",
@@ -157,8 +176,15 @@ def audio_neardup_pairs(
     if fp is not None:
         sh = fp.select(key_col, "shingles", "heads")
     else:
-        # decoded once, read three ways (signatures + both verify sides)
-        sh = audio_shingles(df, key_col, bytes_col, codec_col).persist()
+        # decoded once, read three ways (signatures + both verify
+        # sides). The cache is OWNED by this module: persisting without
+        # release would pin blocks on every fp=None call, so the
+        # previous internally-owned frame is unpersisted first — at
+        # most ONE pinned shingle frame ever accumulates. Callers that
+        # interleave several fp=None plans before materializing them
+        # should pass a managed fp (audio_fingerprints(df).persist())
+        # and unpersist it themselves, as audio_dedup_resolution does.
+        sh = _persist_owned(audio_shingles(df, key_col, bytes_col, codec_col))
     sigs = minhash_from_shingles(sh, key_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
     if containment_threshold is not None:

@@ -179,10 +179,14 @@ def ivf_ann_topk(
         "list_id", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     )
 
+    # _lloyd clamps k to the number of distinct non-zero sampled
+    # vectors, so probe over the centroids that actually exist (a
+    # degenerate sample would otherwise IndexError on qd[i])
+    n_eff = len(centroids)
     probe_rows = []
     for qid, v in queries:
         qd = np.round(centroids @ np.asarray(v, dtype=np.float64) * 1e6)
-        order = sorted(range(n_lists), key=lambda i: (-qd[i], i))[:nprobe]
+        order = sorted(range(n_eff), key=lambda i: (-qd[i], i))[: min(nprobe, n_eff)]
         for li in order:
             probe_rows.append((qid, [float(x) for x in v], int(li)))
     qdf = df.sparkSession.createDataFrame(

@@ -29,6 +29,7 @@ order, so output is deterministic for a given micro-batch split.
 from __future__ import annotations
 
 import hashlib
+import math
 import pickle
 
 import pandas as pd
@@ -153,7 +154,10 @@ def stateful_neardup_stream(
                 for mid, msh in members:
                     inter = len(sset & msh)
                     union = len(sset) + len(msh) - inter
-                    j = round(inter / union, 6) if union else 0.0
+                    # HALF_UP at 1e-6 to stay bit-equal with the batch
+                    # path's F.round (Python round() is half-EVEN and
+                    # diverges on exact ties like 45/128 = 0.3515625)
+                    j = math.floor(inter / union * 1e6 + 0.5) / 1e6 if union else 0.0
                     if j >= threshold:
                         a, b = (cid, mid) if cid < mid else (mid, cid)
                         out_a.append(a)
