@@ -52,9 +52,23 @@ BENCH_QUERIES = [
 
 CLIPS_PER_SF = 160_000  # sf0.1 -> 16k clips
 
+# Pure-JVM whole-stage-codegen range sum: zero I/O, zero Python, fixed
+# work. Its wall time moves ONLY with host CPU contention, so it turns
+# "the host was noisy" from a narrative into a number — divide any
+# query's round-over-round delta by the calibration delta before
+# attributing it to code (VERDICT r04 task 3).
+CALIBRATION_ROWS = 20_000_000_000
+
 
 def run_noop(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def calibration_sec(spark, cpus: int) -> float:
+    t0 = time.time()
+    # bit_xor, not sum: ANSI mode overflows a long sum at 2e10 ids
+    spark.range(0, CALIBRATION_ROWS, 1, cpus).selectExpr("bit_xor(id)").collect()
+    return round(time.time() - t0, 3)
 
 
 def _min_of_trials() -> None:
@@ -86,6 +100,14 @@ def _min_of_trials() -> None:
         best["audio_clips"] / best["queries"]["audio_suite"], 1
     )
     best["trials"] = trials
+    # per-trial host-noise evidence: the fixed-work JVM calibration row
+    # and each trial's total, so a reader can separate host drift from
+    # code drift mechanically
+    best["calibration_sec"] = min(r["calibration_sec"] for r in results)
+    best["calibration_per_trial"] = [r["calibration_sec"] for r in results]
+    best["value_per_trial"] = [
+        round(sum(r["queries"].values()), 3) for r in results
+    ]
     print(json.dumps(best))
 
 
@@ -101,6 +123,7 @@ def main():
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     spark = get_spark(cores=cpus, shuffle_partitions=cpus, app_name=f"bench_c{cpus}")
+    calib = calibration_sec(spark, cpus)
 
     timings: dict[str, float] = {}
     qs = entrymod.queries()
@@ -178,6 +201,7 @@ def main():
                 "cpus": cpus,
                 "audio_clips": n_clips,
                 "clips_per_sec": round(n_clips / audio_suite_s, 1),
+                "calibration_sec": calib,
             }
         )
     )
