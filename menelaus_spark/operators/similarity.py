@@ -11,6 +11,7 @@ bucketing adds zero Python overhead.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -125,22 +126,34 @@ def ivf_ann_topk(
     sample_cap: int = 100_000,
     n_iters: int = 20,
     seed: int = 42,
+    literal_cutoff: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cluster-pruned
     counterpart of :func:`lsh_ann_topk`: a seeded spherical k-means
     coarse quantizer (the same Lloyd kernel as
     ``dedup.kmeans_blocks``) assigns every corpus vector to one of
-    ``n_lists`` inverted lists in ONE broadcast-centroid JVM pass;
-    each query exact-reranks ONLY its ``nprobe`` nearest lists'
-    members. Assignment argmax compares dots rounded at 1e-6 (the
-    tie-stable cross-engine recipe the k-means block oracle uses).
+    ``n_lists`` inverted lists in ONE pass; each query exact-reranks
+    ONLY its ``nprobe`` nearest lists' members. Assignment argmax
+    compares dots rounded at 1e-6 with HALF-AWAY ties (the
+    tie-stable cross-engine recipe the k-means block oracle uses);
+    first occurrence (lowest list id) wins equal dots.
+
+    Assignment has two physically different, semantically identical
+    paths, switched on ``n_lists × dim`` vs ``literal_cutoff``:
+    small quantizers inline the centroids as JVM array literals
+    (whole-stage codegen, zero Python — and the config the DuckDB
+    oracle replays); production fan-outs (n_lists ≥ 256, dim ≥ 64
+    would put ~10^5-10^6 literals in the Catalyst tree and blow up
+    plan compile) broadcast the (k, d) centroid matrix in an Arrow
+    ``pandas_udf`` closure and compute the argmax as ONE BLAS GEMM
+    per batch — the `kmeans_blocks` kernel (dedup.py).
 
     Scale shape: training reads a bounded id-sorted sample; list
-    assignment is a pure JVM expression over broadcast centroids (no
-    shuffle); the probe join shuffles only the probed lists' members
-    (~nprobe/n_lists of the corpus per query batch). At 10^9+ vectors
-    the corpus-side frame is write-once (list id is a stable derived
-    column — persist or bucket it by list).
+    assignment is shuffle-free on either path; the probe join
+    shuffles only the probed lists' members (~nprobe/n_lists of the
+    corpus per query batch). At 10^9+ vectors the corpus-side frame
+    is write-once (list id is a stable derived column — persist or
+    bucket it by list).
     """
     from menelaus_spark.operators.dedup import _lloyd
 
@@ -159,25 +172,43 @@ def ivf_ann_topk(
     )
     centroids = _lloyd(sample, n_lists, n_iters, seed)
 
-    def dot6(vec, c):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.round(
-            F.aggregate(
-                F.zip_with(vec, arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            * F.lit(1000000.0)
-        )
-
-    dots = F.array(*[dot6(F.col("__v"), c) for c in centroids])
     corpus = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn(
+    )
+    if centroids.size <= literal_cutoff:
+
+        def dot6(vec, c):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            return F.round(
+                F.aggregate(
+                    F.zip_with(vec, arr, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                * F.lit(1000000.0)
+            )
+
+        dots = F.array(*[dot6(F.col("__v"), c) for c in centroids])
         # argmax over rounded dots; first occurrence wins ties (same
         # ORDER BY d6 DESC, ci semantics as the SQL twin)
-        "list_id", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    )
+        list_col = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        C = centroids
+
+        @pandas_udf("int")
+        def assign_udf(v: pd.Series) -> pd.Series:
+            M = np.asarray(v.tolist(), dtype=np.float64)
+            D = M @ C.T
+            # 1e-6 quantization with HALF-AWAY rounding = the literal
+            # path's F.round(dot*1e6); np.argmax first-wins = lowest
+            # list id on ties, matching array_position semantics
+            D6 = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D)
+            return pd.Series(np.argmax(D6, axis=1).astype(np.int32))
+
+        list_col = assign_udf(F.col("__v"))
+    corpus = corpus.withColumn("list_id", list_col)
 
     # _lloyd clamps k to the number of distinct non-zero sampled
     # vectors, so probe over the centroids that actually exist (a
