@@ -2926,17 +2926,19 @@ def q_audio_suite(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def _audio_neardup_table(spark, modes=("gain", "resample")):
+def _audio_neardup_table(spark, modes=("gain", "resample"), real_codecs=False):
     """Shared fixture for the audio near-dup entries: deterministic
     320-clip table, every 8th clip a mechanical copy of its
     predecessor (gain-shifted / downsampled-to-half-rate, or a
-    frame-aligned truncation when modes=("trim",))."""
+    frame-aligned truncation when modes=("trim",)). With
+    ``real_codecs`` the copies are additionally G.711 mu-law
+    TRANSCODES (codec label and byte format change)."""
     return tables.audio_table(spark, n_rows=320, n_parts=4, drift={},
                               neardup_frac=0.125, null_frac=0.0,
-                              neardup_modes=modes)
+                              neardup_modes=modes, real_codecs=real_codecs)
 
 
-def _audio_neardup_twin(modes=("gain", "resample")):
+def _audio_neardup_twin(modes=("gain", "resample"), real_codecs=False):
     """Driver-side numpy twin of _audio_neardup_table (same counter-
     based generator, so bit-exact) decoded with the same importable
     kernels — the data the near-dup oracles inline. Returns the
@@ -2947,7 +2949,7 @@ def _audio_neardup_twin(modes=("gain", "resample")):
 
     pdf = tables._gen_rows(
         np.arange(320), 42, 4, 80, {}, 0.0, 0.0, 6.6, 0.5, (200, 3000),
-        True, 0.125, modes,
+        True, 0.125, modes, real_codecs,
     )
     out = []
     for r in pdf.itertuples(index=False):
@@ -2983,6 +2985,21 @@ def q_audio_transcript_neardup(spark, sf_dir):
 
     _ensure_workers_can_import(spark)
     df = _audio_neardup_table(spark)
+    return transcript_blocked_neardup(df).orderBy("id_a", "id_b")
+
+
+def q_audio_transcode_neardup(spark, sf_dir):
+    """Lossy re-encode detection on a codec-MIXED table: every injected
+    copy is a G.711 mu-law TRANSCODE (WAV format tag 7, 1 byte/sample —
+    the byte format genuinely differs from PCM16) of its gain/resample-
+    modified source. The transcript-blocked masked-BER path detects
+    them through ~38 dB companding noise; the oracle twin decodes the
+    same mu-law payloads in numpy and recomputes the full matching
+    arithmetic in DuckDB."""
+    from menelaus_spark.operators.audio_dedup import transcript_blocked_neardup
+
+    _ensure_workers_can_import(spark)
+    df = _audio_neardup_table(spark, real_codecs=True)
     return transcript_blocked_neardup(df).orderBy("id_a", "id_b")
 
 
@@ -3292,7 +3309,8 @@ def _audio_neardup_noise_oracle() -> str | None:
 
 
 def _audio_transcript_neardup_oracle(
-        modes: tuple = ("gain", "resample")) -> str | None:
+        modes: tuple = ("gain", "resample"),
+        real_codecs: bool = False) -> str | None:
     """Oracle for q_audio_transcript_neardup (and, via ``modes``, the
     noise entry): fingerprint code/mask/peak rows come from the numpy
     twin; the blocking (md5-normalized transcript, block size in
@@ -3300,7 +3318,7 @@ def _audio_transcript_neardup_oracle(
     raw-BER / peak-agreement arithmetic are all recomputed
     independently in DuckDB (bit_count + xor on the raw words)."""
     try:
-        twin = _audio_neardup_twin(modes=modes)
+        twin = _audio_neardup_twin(modes=modes, real_codecs=real_codecs)
     except Exception:
         return None
     code_rows, meta_rows = [], []
@@ -3651,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_speed": q_audio_neardup_speed,
         "audio_neardup_noise": q_audio_neardup_noise,
         "audio_transcript_neardup": q_audio_transcript_neardup,
+        "audio_transcode_neardup": q_audio_transcode_neardup,
         "audio_dedup_resolution": q_audio_dedup_resolution,
         "audio_dedup_resolved": q_audio_dedup_resolved,
         "streaming_neardup": q_streaming_neardup,
@@ -4164,6 +4183,8 @@ def oracle_sql() -> dict[str, str]:
         ("audio_neardup_speed", _audio_neardup_speed_oracle),
         ("audio_neardup_noise", _audio_neardup_noise_oracle),
         ("audio_transcript_neardup", _audio_transcript_neardup_oracle),
+        ("audio_transcode_neardup",
+         lambda: _audio_transcript_neardup_oracle(real_codecs=True)),
         ("audio_dedup_resolution", _audio_dedup_resolution_oracle),
         ("audio_dedup_resolved", _audio_dedup_resolved_oracle),
         ("streaming_neardup", _streaming_neardup_oracle),

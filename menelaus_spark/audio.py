@@ -48,22 +48,100 @@ def wav_encode(samples: np.ndarray, sr_hz: int) -> bytes:
     return header + data
 
 
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+_WAVE_FMT_PCM = 1
+_WAVE_FMT_MULAW = 7  # WAVE_FORMAT_MULAW (public RIFF registry tag)
+
+
+def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 samples -> G.711 mu-law bytes (uint8), fully vectorized.
+
+    The ITU-T G.711 mu-law compander (public spec; same math as the
+    classic Sun/CCITT reference implementation): clamp to 32635, add
+    the 132 bias, segment = MSB position of the biased magnitude - 7,
+    4-bit mantissa from the segment's window, ones-complement the
+    packed byte. ~38 dB SQNR across levels — comfortably above the
+    input_hint's 30 dB per-row fidelity bar.
+    """
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # MSB index - 7; mag in [132, 32767] so exponent lands in 0..7.
+    # (values < 2^15 are exact in float64, so log2 is exact at segment
+    # boundaries — power-of-two inputs — and monotone in between)
+    exp = (np.floor(np.log2(mag)).astype(np.int32)) - 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(u8: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16 samples (exact inverse of the
+    companding table: mulaw_encode(mulaw_decode(b)) == b for all code
+    points except 0x7F, mu-law's "negative zero" — it decodes to 0,
+    which canonically re-encodes as positive zero 0xFF; asserted in
+    tests)."""
+    u = (~np.asarray(u8, dtype=np.uint8)).astype(np.int32)
+    exp = (u >> 4) & 0x07
+    mag = (((u & 0x0F) << 3) + _ULAW_BIAS) << exp
+    mag = mag - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def wav_encode_mulaw(samples: np.ndarray, sr_hz: int) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header WAV bytes with
+    format tag 7 (WAVE_FORMAT_MULAW) and G.711 mu-law data — a REAL
+    compressed container (1 byte/sample): the bytes are not PCM16 and
+    a PCM16-only reader cannot misparse them as such."""
+    data = mulaw_encode(samples).tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        _WAVE_FMT_MULAW,
+        1,  # mono
+        sr_hz,
+        sr_hz,  # byte rate = 1 byte/sample
+        1,  # block align
+        8,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return header + data
+
+
 def wav_decode(buf: bytes) -> tuple[int, np.ndarray]:
-    """WAV bytes -> (sr_hz, int16 sample array). Canonical header only."""
+    """WAV bytes -> (sr_hz, int16 sample array). Canonical 44-byte
+    header only; dispatches on the fmt chunk's format tag — PCM16
+    (tag 1) or G.711 mu-law (tag 7, expanded to int16)."""
     if len(buf) < _RIFF_HEADER_LEN or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise ValueError("not a canonical PCM16 WAV buffer")
+        raise ValueError("not a canonical WAV buffer")
+    fmt_tag = struct.unpack_from("<H", buf, 20)[0]
     sr_hz = struct.unpack_from("<I", buf, 24)[0]
+    bits = struct.unpack_from("<H", buf, 34)[0]
     n_data = struct.unpack_from("<I", buf, 40)[0]
-    pcm = np.frombuffer(buf, dtype="<i2", offset=_RIFF_HEADER_LEN, count=n_data // 2)
-    return sr_hz, pcm
+    if fmt_tag == _WAVE_FMT_PCM and bits == 16:
+        pcm = np.frombuffer(buf, dtype="<i2", offset=_RIFF_HEADER_LEN,
+                            count=n_data // 2)
+        return sr_hz, pcm
+    if fmt_tag == _WAVE_FMT_MULAW and bits == 8:
+        u8 = np.frombuffer(buf, dtype=np.uint8, offset=_RIFF_HEADER_LEN,
+                           count=n_data)
+        return sr_hz, mulaw_decode(u8)
+    raise ValueError(f"unsupported WAV format tag {fmt_tag} / {bits} bits")
 
 
 def decode_clip(buf: bytes, codec: str) -> tuple[int, np.ndarray]:
     """Decode one clip to (sr_hz, float32 PCM in [-1, 1]).
 
-    Only the PCM16-WAV container is decodable in this environment. A
-    real deployment would dispatch opus/mp3/aac/flac to native decoder
-    libraries here; those are STUBBED — any non-WAV payload raises.
+    Decodable containers in this environment: PCM16 WAV and G.711
+    mu-law WAV (format tag 7 — a real 1-byte/sample compressed codec,
+    implemented in pure numpy). A real deployment would dispatch
+    opus/mp3/aac/flac to native decoder libraries here; those are
+    STUBBED — any non-WAV payload raises.
     """
     if len(buf) >= 4 and buf[:4] == b"RIFF":
         sr, pcm = wav_decode(buf)

@@ -123,26 +123,38 @@ def transcript_rate_violations(df: DataFrame, transcript_col: str, dur_col: str,
     )
 
 
-def payload_expected_and_tol(sr_col: str, dur_col: str, tol_frac: float):
-    """(expected byte length, tolerance) for a PCM16-WAV payload:
-    expected = 44-byte header + 2 bytes x round(dur_ms * sr_hz / 1000)
+def payload_expected_and_tol(sr_col: str, dur_col: str, tol_frac: float,
+                             codec_col: str | None = None,
+                             bps_map: dict | None = None):
+    """(expected byte length, tolerance) for a WAV payload: expected =
+    44-byte header + bytes/sample x round(dur_ms * sr_hz / 1000)
     samples; tolerance absorbs rounding-mode differences (floor 4
-    bytes). ONE definition shared by the fused-aggregation fallback
-    (length(bytes)) and the decode-pass path (q_byte_len) — the
-    statistic-parity contract between the two paths depends on it."""
-    expected = 44.0 + 2.0 * F.round(
+    bytes). Bytes/sample defaults to 2 (PCM16); ``bps_map`` makes the
+    model codec-aware for genuinely compressed containers (e.g.
+    {"ulaw": 1.0} for G.711 mu-law WAVs — codecs absent from the map
+    keep the PCM16 default). ONE definition shared by the
+    fused-aggregation fallback (length(bytes)) and the decode-pass
+    path (q_byte_len) — the statistic-parity contract between the two
+    paths depends on it."""
+    bps = F.lit(2.0)
+    if bps_map and codec_col is not None:
+        for c, b in sorted(bps_map.items()):
+            bps = F.when(F.col(codec_col) == c, F.lit(float(b))).otherwise(bps)
+    expected = 44.0 + bps * F.round(
         F.col(dur_col).cast("double") * F.col(sr_col).cast("double") / 1000.0
     )
     return expected, F.greatest(F.lit(4.0), F.lit(tol_frac) * expected)
 
 
-def payload_size_cond(bytes_col: str, sr_col: str, dur_col: str, tol_frac: float):
+def payload_size_cond(bytes_col: str, sr_col: str, dur_col: str, tol_frac: float,
+                      codec_col: str | None = None, bps_map: dict | None = None):
     """True when the binary payload's length is inconsistent with the
     (sr_hz, dur_ms) metadata. Catches truncated/padded/corrupt
     payloads WITHOUT decoding — length(binary) is a JVM-side O(1)
     metadata read per row, so this also rides the fused constraint
     aggregation."""
-    expected, tol = payload_expected_and_tol(sr_col, dur_col, tol_frac)
+    expected, tol = payload_expected_and_tol(sr_col, dur_col, tol_frac,
+                                             codec_col, bps_map)
     return (
         F.col(bytes_col).isNotNull()
         & (F.abs(F.length(F.col(bytes_col)).cast("double") - expected) > tol)

@@ -94,6 +94,7 @@ class ValidationSuite:
         cps_bounds: tuple | None = None,
         payload_tol: float | None = None,
         payload_codecs: tuple | None = None,
+        payload_bps: dict | None = None,
         codec_col: str = "codec",
         quality_rules: dict | None = None,
         transcript_col: str = "transcript",
@@ -152,6 +153,10 @@ class ValidationSuite:
         # flagged. None (default) checks all rows — correct whenever
         # the physical container is WAV regardless of the codec label.
         self.payload_codecs = tuple(payload_codecs) if payload_codecs else None
+        # codec -> bytes/sample for codec-aware payload modeling (e.g.
+        # {"ulaw": 1.0} for G.711 mu-law WAVs); unmapped codecs keep the
+        # PCM16 default of 2 bytes/sample
+        self.payload_bps = dict(payload_bps) if payload_bps else None
         self.codec_col = codec_col
         self.quality_rules = quality_rules or None
         self.transcript_col = transcript_col
@@ -183,7 +188,7 @@ class ValidationSuite:
         carry = (self.partition_col,) if with_part else ()
         if self._payload_in_decode():
             carry += (self.sr_col, self.dur_col)
-            if self.payload_codecs is not None:
+            if self.payload_codecs is not None or self.payload_bps is not None:
                 carry += (self.codec_col,)
         return carry
 
@@ -225,7 +230,8 @@ class ValidationSuite:
                         F.round(hi / tot, 6).cast("string")))
         if self._payload_in_decode():
             expected, tol = C.payload_expected_and_tol(
-                self.sr_col, self.dur_col, self.payload_tol
+                self.sr_col, self.dur_col, self.payload_tol,
+                self.codec_col, self.payload_bps,
             )
             # explicit NULL/NaN guard: q_byte_len is missing for NULL
             # payloads (mirroring the fallback path's isNotNull), and
@@ -312,7 +318,8 @@ class ValidationSuite:
         if self.payload_tol is not None and not self._payload_in_decode():
             aggs.append(F.sum(
                 (C.payload_size_cond(self.bytes_col, self.sr_col, self.dur_col,
-                                     self.payload_tol)
+                                     self.payload_tol, self.codec_col,
+                                     self.payload_bps)
                  & self._payload_codec_gate())
                 .cast("long")).alias("__paysize_bad"))
         # test-side min/max for the HDM + KS drift checks ride along in

@@ -25,7 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from menelaus_spark.audio import FP_SR, HOP, resample_pcm, wav_encode
+from menelaus_spark.audio import (
+    FP_SR,
+    HOP,
+    resample_pcm,
+    wav_encode,
+    wav_encode_mulaw,
+)
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -130,6 +136,7 @@ def _gen_rows(
     test_scale: bool,
     neardup_frac: float = 0.0,
     neardup_modes: tuple = ("gain", "resample"),
+    real_codecs: bool = False,
 ) -> pd.DataFrame:
     out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part")}
     neardup_m = max(2, int(round(1.0 / neardup_frac))) if neardup_frac > 0 else 0
@@ -229,18 +236,36 @@ def _gen_rows(
                     sr_out = sr_s // 2
                     x = resample_pcm(x, sr_s, sr_out)
                 pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+            if real_codecs:
+                # the dup is additionally a G.711 mu-law TRANSCODE of
+                # its class-modified payload — the classic lossy
+                # re-encode copy (codec label AND byte format change;
+                # ~38 dB companding SNR keeps every fingerprint path
+                # working on the decoded PCM)
+                codec_d, buf_d = "ulaw", wav_encode_mulaw(pcm_d, sr_out)
+            else:
+                codec_d, buf_d = codec_s, wav_encode(pcm_d, sr_out)
             out["clip_id"].append(clip_id)
-            out["bytes"].append(wav_encode(pcm_d, sr_out))
+            out["bytes"].append(buf_d)
             out["sr_hz"].append(sr_out)
             out["dur_ms"].append(dur_s)
-            out["codec"].append(codec_s)
+            out["codec"].append(codec_d)
             out["transcript"].append(transcript)
             out["part"].append(part)
             continue
         sr, dur, codec, pcm = _synth_clip(rng, d, dur_mu, dur_sigma,
                                           dur_clip, test_scale)
         transcript = _draw_transcript(rng, d, null_frac, dur)
-        buf = wav_encode(pcm, sr)
+        if real_codecs and codec == "opus":
+            # codec-mixed realism: the "opus" draw becomes an honest
+            # G.711 mu-law clip — a label whose BYTE FORMAT actually
+            # differs from PCM16 (1 byte/sample, WAV format tag 7) and
+            # that decode_clip genuinely decodes. Consumes no rng
+            # draws, so real_codecs=False tables stay byte-identical.
+            codec = "ulaw"
+            buf = wav_encode_mulaw(pcm, sr)
+        else:
+            buf = wav_encode(pcm, sr)
         # pad_bytes: trailing junk after the data chunk — still fully
         # decodable (the header's data length wins) but inconsistent
         # with (sr_hz, dur_ms), so ONLY the payload-size check fires
@@ -275,8 +300,16 @@ def audio_table(
     test_scale: bool = True,
     neardup_frac: float = 0.0,
     neardup_modes: tuple = ("gain", "resample"),
+    real_codecs: bool = False,
 ) -> DataFrame:
-    """Build the audio table as a distributed DataFrame."""
+    """Build the audio table as a distributed DataFrame.
+
+    ``real_codecs=True`` makes the codec column physical: "opus" draws
+    become "ulaw" clips whose payload is genuinely G.711 mu-law (WAV
+    format tag 7, 1 byte/sample), and injected near-dups are mu-law
+    TRANSCODES of their source — fodder for validating the suite and
+    the dedup paths on a table where codec != "pcm" actually changes
+    the byte format."""
     drift = default_drift_spec() if drift is None else drift
     rows_per_part = max(1, n_rows // n_parts)
 
@@ -285,7 +318,7 @@ def audio_table(
             yield _gen_rows(
                 pdf["id"].to_numpy(), seed, n_parts, rows_per_part, drift,
                 null_frac, dup_frac, dur_mu, dur_sigma, dur_clip, test_scale,
-                neardup_frac, neardup_modes,
+                neardup_frac, neardup_modes, real_codecs,
             )
 
     return spark.range(n_rows).mapInPandas(gen, schema=AUDIO_SCHEMA)

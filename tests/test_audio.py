@@ -223,3 +223,35 @@ def test_quality_metrics_properties(pcm, gain):
     qg = audio.quality_metrics(xg, sr)
     assert qg[1] <= q[1] + 1e-12
     assert qg[0] >= q[0] - 1e-12
+
+
+def test_mulaw_companding_exact_and_snr():
+    # decode->encode is exact on every code point except 0x7F (mu-law
+    # negative zero, canonically re-encoded as positive zero 0xFF)
+    codes = np.arange(256, dtype=np.uint8)
+    re = audio.mulaw_encode(audio.mulaw_decode(codes))
+    assert np.array_equal(re[codes != 0x7F], codes[codes != 0x7F])
+    assert re[0x7F] == 0xFF
+    # companding SNR on a speech-like mixture clears the input_hint's
+    # 30 dB per-row fidelity bar (G.711 sits near 38 dB)
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    sig = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(16000)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+    dec = audio.mulaw_decode(audio.mulaw_encode(pcm))
+    assert audio.snr_db(pcm.astype(np.float64) / 32768.0,
+                        dec.astype(np.float64) / 32768.0) >= 30.0
+
+
+def test_mulaw_wav_container_roundtrip():
+    rng = np.random.default_rng(5)
+    pcm = (rng.standard_normal(1600) * 12000).astype(np.int16)
+    buf = audio.wav_encode_mulaw(pcm, 8000)
+    # genuinely compressed: 1 byte/sample after the 44-byte header
+    assert len(buf) == 44 + 1600
+    sr, out = audio.wav_decode(buf)
+    assert sr == 8000 and out.dtype == np.int16 and out.size == 1600
+    # decode_clip dispatches on the format tag, not the codec label
+    sr2, f = audio.decode_clip(buf, "ulaw")
+    assert sr2 == 8000
+    assert audio.snr_db(pcm.astype(np.float64) / 32768.0, f.astype(np.float64)) >= 30.0

@@ -340,3 +340,33 @@ def test_mixed_mode_resolution_end_to_end(spark):
     # 0.35 threshold (clip 127) — a detector-floor edge, not a
     # pipeline gap (the DuckDB oracle reproduces the same miss)
     assert len(recovered) >= len(injected) - 1
+
+
+def test_mulaw_transcode_neardup_detected(spark):
+    # real_codecs=True injects dups that are G.711 mu-law TRANSCODES of
+    # their (gain/resample-modified) source — codec label and byte
+    # format both change. All matching paths work on the decoded PCM,
+    # so the cross-container pairs must still be found.
+    df = tables.audio_table(
+        spark, n_rows=160, n_parts=4, drift={}, neardup_frac=0.125,
+        null_frac=0.0, real_codecs=True,
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(160) if i % 8 == 7
+    }
+    codecs = {r.clip_id: r.codec for r in df.select("clip_id", "codec").collect()}
+    # every injected dup is mu-law; sources keep their drawn container
+    assert all(codecs[b] == "ulaw" for _a, b in injected)
+    assert any(codecs[a] != "ulaw" for a, _b in injected)
+
+    # transcript-blocked masked-BER catches ALL pairs (mu-law's ~38 dB
+    # companding noise is inside the path's measured >=20 dB tolerance)
+    got_t = {(r.id_a, r.id_b) for r in transcript_blocked_neardup(df).collect()}
+    assert got_t == injected
+
+    # the exact-shingle path does NOT claim lossy re-encodes (mu-law
+    # companding noise flips low-margin fingerprint bits, breaking
+    # bit-exact shingle equality) — that class belongs to the masked-BER
+    # path above. It must stay silent rather than emit false pairs.
+    got = {(r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()}
+    assert got <= injected

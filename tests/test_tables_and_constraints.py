@@ -131,3 +131,67 @@ def test_asof_join_tied_right_rows_deterministic(spark):
         assert len(out) == 1 and out[0]["asof_rts"] == 50
         picks.add(out[0]["asof_v"])
     assert len(picks) == 1  # same winner under every partitioning
+
+
+def test_real_codecs_table_mulaw_payloads(spark):
+    # real_codecs=True: "opus" draws become honest G.711 mu-law clips —
+    # the byte format actually changes (1 byte/sample, WAV tag 7)
+    df = tables.audio_table(spark, n_rows=200, n_parts=4, drift={},
+                            null_frac=0.0, real_codecs=True).persist()
+    rows = df.collect()
+    ulaw = [r for r in rows if r["codec"] == "ulaw"]
+    assert len(ulaw) > 10
+    for r in ulaw[:5]:
+        buf = bytes(r["bytes"])
+        n_samples = round(r["dur_ms"] * r["sr_hz"] / 1000.0)
+        assert len(buf) == 44 + n_samples  # 1 byte/sample
+        sr, pcm = audio.wav_decode(buf)   # decodable via the tag-7 path
+        assert sr == r["sr_hz"] and pcm.size == n_samples
+    # metadata draws are real_codecs-independent: same clips, same
+    # sr/dur, only the opus-labeled payloads changed container
+    base = {r["clip_id"]: r for r in
+            tables.audio_table(spark, n_rows=200, n_parts=4, drift={},
+                               null_frac=0.0).collect()}
+    for r in rows:
+        b = base[r["clip_id"]]
+        assert (r["sr_hz"], r["dur_ms"]) == (b["sr_hz"], b["dur_ms"])
+        assert r["codec"] == ("ulaw" if b["codec"] == "opus" else b["codec"])
+
+    # codec-aware payload model: zero violations with bps {"ulaw": 1};
+    # the PCM16-only model flags every mu-law row (i.e. the check
+    # genuinely sees the compressed format)
+    aware = constraints.payload_size_cond(
+        "bytes", "sr_hz", "dur_ms", 0.02, "codec", {"ulaw": 1.0})
+    naive = constraints.payload_size_cond("bytes", "sr_hz", "dur_ms", 0.02)
+    assert df.filter(aware).count() == 0
+    assert df.filter(naive).count() == len(ulaw)
+    df.unpersist()
+
+
+def test_real_codecs_suite_decode_integrity(spark, tmp_path):
+    # the full validation suite over a codec-mixed table: mu-law clips
+    # decode through the same feature path (no NaN rows), and the
+    # payload check models them via payload_bps
+    from menelaus_spark.runner import ValidationSuite
+
+    df = tables.audio_table(spark, n_rows=160, n_parts=4, drift={},
+                            null_frac=0.0, real_codecs=True)
+    path = str(tmp_path / "table")
+    tables.write_audio_table(df, path)
+    suite = ValidationSuite(
+        spark, str(tmp_path / "state"),
+        expected_schema=tables.AUDIO_SCHEMA,
+        ranges={"dur_ms": (200, 3000)},
+        accepted_values={"codec": ["pcm", "ulaw", "mp3", "aac", "flac"]},
+        kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+        payload_tol=0.02,
+        payload_bps={"ulaw": 1.0},
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+    )
+    verdicts, violations = suite.run(spark.read.parquet(path))
+    v = {(r["partition_key"], r["check_name"]): r["state"]
+         for r in verdicts.collect()}
+    bad = [(k, s) for k, s in v.items()
+           if k[1] in ("decode_integrity", "payload_size", "accepted_values:codec")
+           and s != "pass"]
+    assert bad == []
