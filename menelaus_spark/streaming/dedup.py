@@ -135,7 +135,21 @@ def stateful_neardup_stream(
     rows, id_a < id_b, emitted the moment the LATER clip of a pair
     arrives. Bucket state persists across micro-batches in GroupState;
     restart-safe through the stream's checkpoint like any stateful
-    query."""
+    query.
+
+    RECALL CONTRACT under the state bound: once a bucket holds
+    ``bucket_cap`` members, later arrivals in that bucket are verified
+    against the RETAINED members but are never admitted — so two
+    post-cap arrivals whose ONLY shared LSH bucket is the saturated one
+    will not be reported as a pair (each is still reported against any
+    retained member it matches, and the pair is still found if it
+    shares ANY unsaturated band bucket). This is the deliberate
+    trade: per-bucket state is hard-bounded at cap x ~1 KB regardless
+    of stream length — at 10^12 clips an unbounded hot bucket
+    (near-constant content: silence, test tones) would otherwise grow
+    state without limit while contributing O(cap^2) true pairs at
+    most. The exact missed-pair set on an over-cap fixture is asserted
+    in test_streaming_neardup_bucket_cap_recall_contract."""
     banded = fingerprint_banded_stream(
         stream_df, key_col, bytes_col, codec_col, k, bands, rows
     )

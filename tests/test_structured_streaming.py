@@ -464,3 +464,45 @@ def test_streaming_neardup_bucket_cap_bounds_state(spark, tmp_path):
     assert len(got) == 45
     for a, bb in got:
         assert a in admitted  # pairs always reach back to an admitted member
+
+
+def test_streaming_neardup_bucket_cap_recall_contract(spark, tmp_path):
+    # The complement of the state-bound test: the docstring's recall
+    # contract says post-cap arrivals pair only against RETAINED
+    # members, so the EXACT missed-pair set on an over-cap fixture is
+    # every pair whose BOTH ends arrived after saturation — C(7,2)=21
+    # of the C(12,2)=66 true pairs here, no more, no fewer.
+    from menelaus_spark import tables
+    from menelaus_spark.streaming.dedup import stateful_neardup_stream
+
+    base = tables.audio_table(spark, n_rows=1, n_parts=1, drift={}, null_frac=0.0)
+    b = base.select("bytes", "sr_hz", "dur_ms", "codec", "transcript").collect()[0]
+    rows = [
+        (f"clip_{i:012d}", bytes(b.bytes), b.sr_hz, b.dur_ms, b.codec,
+         b.transcript, 0)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, tables.AUDIO_SCHEMA)
+    src = str(tmp_path / "recall_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stateful_neardup_stream(stream, bucket_cap=5)
+        .writeStream.format("memory").queryName("recallpairs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "recall_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM recallpairs").collect()
+    }
+    ids = [f"clip_{i:012d}" for i in range(12)]
+    all_pairs = {(a, bb) for i, a in enumerate(ids) for bb in ids[i + 1:]}
+    unadmitted = set(ids[5:])
+    missed = all_pairs - got
+    assert missed == {(a, bb) for a, bb in all_pairs
+                      if a in unadmitted and bb in unadmitted}
