@@ -88,13 +88,16 @@ def main():
                      ).strip().splitlines()[-1])
     n_trials = int(os.environ.get("SCALE_TRIALS", "2"))
     results = {}
+    trials_log: dict[int, list] = {}
     for cores in (lo, hi):
         best = None
+        trials_log[cores] = []
         for trial in range(n_trials):
             out = run_py(RUN_SNIPPET.format(repo=REPO, cores=cores, path=work))
             line = [ln for ln in out.splitlines() if '"RESULT"' in ln][-1]
             r = json.loads(line)
             print(f"trial {trial}:", r, flush=True)
+            trials_log[cores].append(r["seconds"])
             if best is None or r["seconds"] < best["seconds"]:
                 best = r
         results[cores] = best
@@ -115,14 +118,15 @@ connected-components resolution, over a deterministic
 {n_clips:,}-clip table with 12.5% injected mechanical copies
 (mode={mode}), generated once and shared by both levels.
 
-| config | wall s | clips/sec |
-|---|---|---|
-| local[{lo}] (N) | {t_lo} | {results[lo]['clips_per_sec']} |
-| local[{hi}] (4N) | {t_hi} | {results[hi]['clips_per_sec']} |
+| config | wall s (min) | all trials (s) | clips/sec |
+|---|---|---|---|
+| local[{lo}] (N) | {t_lo} | {trials_log[lo]} | {results[lo]['clips_per_sec']} |
+| local[{hi}] (4N) | {t_hi} | {trials_log[hi]} | {results[hi]['clips_per_sec']} |
 
 **Throughput scaling efficiency N -> 4N = T(N) / (4 x T(4N)) =
 {eff:.3f}** (target >= 0.8); min of SCALE_TRIALS={n_trials} fresh-JVM
-trials per level (same host-noise protocol as the other witnesses).
+trials per level (same host-noise protocol as the other witnesses),
+per-trial walls listed for spread audit.
 Reproduce: `python tools/scaling_bench_audio_dedup.py {n_clips} {n_parts} {lo} {hi} {mode}`
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
