@@ -38,6 +38,7 @@ from menelaus_spark.audio import (
     pack_shingles,
 )
 from menelaus_spark.operators.dedup import (
+    OwnedCache,
     jaccard_col,
     lsh_candidate_pairs,
     minhash_from_shingles,
@@ -123,23 +124,9 @@ def audio_fingerprints(
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
 
-_OWNED_CACHE: list[DataFrame] = []
-
-
-def _persist_owned(frame: DataFrame) -> DataFrame:
-    """Persist ``frame`` after releasing the previously owned cache —
-    repeated fp=None validation runs hold at most one pinned shingle
-    frame instead of leaking one per call. Unpersisting an earlier
-    frame only drops its cache; any still-unmaterialized plan over it
-    recomputes correctly."""
-    while _OWNED_CACHE:
-        try:
-            _OWNED_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    frame = frame.persist()
-    _OWNED_CACHE.append(frame)
-    return frame
+# at most one internally-pinned shingle frame across repeated fp=None
+# calls (dedup.OwnedCache semantics)
+_SHINGLE_CACHE = OwnedCache()
 
 
 def audio_neardup_pairs(
@@ -184,7 +171,7 @@ def audio_neardup_pairs(
         # interleave several fp=None plans before materializing them
         # should pass a managed fp (audio_fingerprints(df).persist())
         # and unpersist it themselves, as audio_dedup_resolution does.
-        sh = _persist_owned(audio_shingles(df, key_col, bytes_col, codec_col))
+        sh = _SHINGLE_CACHE.persist(audio_shingles(df, key_col, bytes_col, codec_col))
     sigs = minhash_from_shingles(sh, key_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
     if containment_threshold is not None:

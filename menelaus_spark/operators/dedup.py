@@ -24,6 +24,32 @@ from pyspark.sql import functions as F
 from menelaus_spark.operators.text import tokens_col
 
 
+class OwnedCache:
+    """A one-slot persist registry for frames a pipeline function
+    pins INTERNALLY (the caller never sees them, so it cannot release
+    them). Persisting a new frame first unpersists the previous one,
+    so repeated calls hold at most ONE pinned frame per owner instead
+    of leaking one per call. Unpersisting an earlier frame only drops
+    its cache; a still-unmaterialized plan over it recomputes
+    correctly."""
+
+    def __init__(self) -> None:
+        self._slot: list[DataFrame] = []
+
+    def persist(self, frame: DataFrame) -> DataFrame:
+        while self._slot:
+            try:
+                self._slot.pop().unpersist()
+            except Exception:
+                pass
+        frame = frame.persist()
+        self._slot.append(frame)
+        return frame
+
+
+_NGRAM_HDOC_CACHE = OwnedCache()
+
+
 def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+", " ")
 
@@ -111,13 +137,15 @@ def ngram_jaccard_pairs(
     # instead of re-running the tokenize+shingle pipeline. A 64-bit
     # collision can only ADD a candidate or merge one shingle pair
     # (p ~ 2^-64 per pair); candidate generation stays a superset.
-    hdoc = sh.select(
-        F.col(id_col),
-        "__blk",
-        F.sort_array(
-            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-        ).alias("__hs"),
-    ).withColumn("__sz", F.size("__hs")).persist()
+    hdoc = _NGRAM_HDOC_CACHE.persist(
+        sh.select(
+            F.col(id_col),
+            "__blk",
+            F.sort_array(
+                F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+            ).alias("__hs"),
+        ).withColumn("__sz", F.size("__hs"))
+    )
 
     tok = hdoc.select(F.col(id_col), "__blk", "__sz", F.explode("__hs").alias("__h"))
     dfreq = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
