@@ -1113,11 +1113,20 @@ _LI_DRIFT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
 def _small_proj_partitions(spark) -> int:
-    """Partition bound for pinned tiny projections: cap task count at
-    the session's parallelism instead of a hard 8 (the r03 constant
-    needlessly clamped parallelism on bigger inputs; coalesce never
-    increases partitions, so small local inputs are unaffected)."""
-    return max(8, spark.sparkContext.defaultParallelism)
+    """Partition bound for pinned tiny (~20 MB) projections. r04 set
+    this to defaultParallelism, which at local[32] runs every per-year
+    filter/aggregate of the drift sequences as 32 tasks over a few
+    hundred KB each — and this VM demonstrably anti-scales beyond
+    ~8-16 busy threads (BENCH/BASELINE.md). A measured sweep of
+    kdq_lineitem at sf0.1 (warm, 3 trials per config) put 32
+    partitions at min 16.6 s vs 6.3-6.7 s for 4-16; the r04 "noise"
+    drift of kdq_lineitem (3.99 -> 6.37 s) was partly THIS change.
+    Cap at 16: enough tasks to keep 4N-core runs busy on a frame this
+    size, below the VM's thread-thrash knee. A genuinely large
+    projection should size by bytes, not by machine parallelism — but
+    these helpers are exclusively for the pinned drift projections,
+    which are tiny by construction."""
+    return max(2, min(spark.sparkContext.defaultParallelism, 16))
 
 
 def _lineitem_year_proj(spark, sf_dir):
