@@ -2716,7 +2716,7 @@ def _audio_relational_oracle() -> str | None:
     """
 
 
-def _audio_suite_oracle() -> str | None:
+def _audio_suite_oracle(real_codecs: bool = False) -> str | None:
     """Full-suite twin for q_audio_suite: regenerate the table with the
     numpy generator twin, DECODE the payloads with the same importable
     numpy kernels the Arrow UDF runs (features_for_batch), and replay
@@ -2744,6 +2744,7 @@ def _audio_suite_oracle() -> str | None:
         pdf = _tables._gen_rows(
             np.arange(800), 42, 8, 100, AUDIO_SUITE_DRIFT,
             0.02, 0.0, 6.6, 0.5, (200, 3000), True,
+            0.0, ("gain", "resample"), real_codecs,
         )
     except Exception:
         return None
@@ -2842,7 +2843,8 @@ def _audio_suite_oracle() -> str | None:
     q_blen = feats[:, A.N_FEATURES + 4]
     hi_band = np.expm1(feats[:, 8:12]).sum(axis=1)
     tot_band = np.expm1(feats[:, 4:12]).sum(axis=1)
-    expected = 44.0 + 2.0 * half_away(dur * sr / 1000.0)
+    bps = np.where(codec == "ulaw", 1.0, 2.0)
+    expected = 44.0 + bps * half_away(dur * sr / 1000.0)
     tol = np.maximum(4.0, 0.02 * expected)
     conds = [
         ("audio_clipping", clean & (q_clip > 0.05)),
@@ -2924,6 +2926,42 @@ def q_audio_suite(spark, sf_dir):
             kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
             cps_bounds=(1.0, 60.0),
             payload_tol=0.02,
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_ulaw(spark, sf_dir):
+    """The flagship suite over a codec-MIXED table (real_codecs=True:
+    every "opus" draw is an honest G.711 mu-law clip — 1 byte/sample,
+    WAV fmt tag 7). Exercises tag-dispatch decode inside the Arrow
+    feature pass and the codec-aware payload model (payload_bps); the
+    oracle is the same full driver-side twin replay over the mu-law
+    table."""
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT, real_codecs=True)
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            payload_bps={"ulaw": 1.0},
             quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                            "min_band_ratio": 0.01},
         )
@@ -3672,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "example_data_profile": q_example_data_profile,
         "audio_suite_relational": q_audio_suite_relational,
         "audio_suite": q_audio_suite,
+        "audio_suite_ulaw": q_audio_suite_ulaw,
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
         "audio_neardup_pad": q_audio_neardup_pad,
@@ -4186,6 +4225,7 @@ def oracle_sql() -> dict[str, str]:
         ("cdbd_example_confidence", _cdbd_example_oracle),
         ("nndvi_lineitem", _nndvi_lineitem_oracle),
         ("audio_suite", _audio_suite_oracle),
+        ("audio_suite_ulaw", lambda: _audio_suite_oracle(real_codecs=True)),
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_neardup_pad", _audio_neardup_pad_oracle),
