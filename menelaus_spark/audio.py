@@ -113,35 +113,270 @@ def wav_encode_mulaw(samples: np.ndarray, sr_hz: int) -> bytes:
     return header + data
 
 
+_WAVE_FMT_ALAW = 6  # WAVE_FORMAT_ALAW
+_WAVE_FMT_IMA_ADPCM = 0x11  # WAVE_FORMAT_DVI_ADPCM / IMA ADPCM
+
+# ITU-T G.711 A-law segment ends for a 13-bit magnitude (public spec;
+# same table as the classic Sun/CCITT reference implementation)
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 samples -> G.711 A-law bytes (uint8), fully vectorized.
+
+    ITU-T G.711 A-law compander: 13-bit magnitude (input >> 3), 8
+    logarithmic segments, 4-bit mantissa, even bits inverted (0x55
+    mask, 0xD5 with the sign bit). ~37 dB SQNR — same class as mu-law,
+    above the input_hint's 30 dB per-row fidelity bar.
+    """
+    x = np.asarray(pcm, dtype=np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55).astype(np.int32)
+    p = np.where(x >= 0, x, -x - 1) >> 3  # 13-bit magnitude, 0..4095
+    seg = np.searchsorted(_ALAW_SEG_END, p, side="left").astype(np.int32)
+    low = np.where(seg < 2, (p >> 1) & 0x0F, (p >> seg) & 0x0F)
+    return (((seg << 4) | low) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(u8: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16 samples (exact inverse of the
+    companding table: alaw_encode(alaw_decode(b)) == b for all 256
+    code points; asserted in tests)."""
+    a = np.asarray(u8, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def wav_encode_alaw(samples: np.ndarray, sr_hz: int) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header WAV bytes with
+    format tag 6 (WAVE_FORMAT_ALAW) and G.711 A-law data — like the
+    mu-law container, a REAL 1-byte/sample compressed payload."""
+    data = alaw_encode(samples).tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        _WAVE_FMT_ALAW,
+        1,  # mono
+        sr_hz,
+        sr_hz,  # byte rate = 1 byte/sample
+        1,  # block align
+        8,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return header + data
+
+
+# IMA/DVI ADPCM quantizer tables (public spec: IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", rev 3.00;
+# the same 89-step / 8-entry tables appear in RFC 3551 and the
+# Microsoft WAVE_FORMAT_DVI_ADPCM registration)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+ADPCM_BLOCK_ALIGN = 256  # bytes per mono block: 4-byte header + 504 nibble pairs
+ADPCM_SPB = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # 505 samples per block
+_ADPCM_HEADER_LEN = 60  # RIFF(12) + fmt(8+20) + fact(8+4) + data hdr(8)
+# (header, block, samples/block) triple for the codec-aware
+# payload-size model (constraints.payload_expected_and_tol)
+ADPCM_PAYLOAD_MODEL = (_ADPCM_HEADER_LEN, ADPCM_BLOCK_ALIGN, ADPCM_SPB)
+
+
+def _ima_reconstruct(pred, index, code):
+    """One IMA ADPCM decoder step, vectorized across blocks: given the
+    predictor/step-index state vectors and a 4-bit code vector, return
+    the next (pred, index). EXACT integer arithmetic of the spec —
+    shared by encode (codec feedback loop) and decode so they can
+    never drift apart."""
+    step = _IMA_STEP[index]
+    diffq = (step >> 3)
+    diffq = diffq + np.where(code & 1, step >> 2, 0)
+    diffq = diffq + np.where(code & 2, step >> 1, 0)
+    diffq = diffq + np.where(code & 4, step, 0)
+    pred = np.clip(pred + np.where(code & 8, -diffq, diffq), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+    return pred, index
+
+
+def adpcm_encode(pcm: np.ndarray) -> tuple[bytes, int]:
+    """int16 mono samples -> (IMA ADPCM block data, n_samples).
+
+    Block-INDEPENDENT encoding (each 256-byte block carries its own
+    4-byte predictor/step-index header, so any block decodes without
+    its neighbors — the property that lets a scan split a huge clip),
+    vectorized ACROSS blocks: the sequential quantizer feedback loop
+    runs once over the 504 in-block positions with numpy vectors of
+    width n_blocks, never per-sample Python. The tail block is padded
+    by repeating the last sample; n_samples (returned) trims it back
+    at decode via the WAV fact chunk.
+    """
+    x = np.asarray(pcm, dtype=np.int32)
+    n = x.size
+    if n == 0:
+        x = np.zeros(1, dtype=np.int32)
+        n = 1
+    nb = -(-n // ADPCM_SPB)
+    padded = np.concatenate([x, np.full(nb * ADPCM_SPB - n, x[-1],
+                                        dtype=np.int32)])
+    blocks = padded.reshape(nb, ADPCM_SPB)
+    pred = blocks[:, 0].copy()
+    # per-block initial step index: smallest step >= the first sample
+    # delta (encoder freedom — the decoder honors whatever the header
+    # says, so block independence is preserved)
+    index = np.searchsorted(
+        _IMA_STEP, np.abs(blocks[:, 1] - blocks[:, 0])
+    ).clip(0, 88).astype(np.int32)
+    headers = np.zeros((nb, 4), dtype=np.uint8)
+    headers[:, 0] = pred & 0xFF
+    headers[:, 1] = (pred >> 8) & 0xFF
+    headers[:, 2] = index
+    nibbles = np.empty((nb, ADPCM_SPB - 1), dtype=np.uint8)
+    for i in range(1, ADPCM_SPB):
+        step = _IMA_STEP[index]
+        diff = blocks[:, i] - pred
+        mag = np.abs(diff)
+        code = np.where(mag >= step, 4, 0).astype(np.int32)
+        mag = mag - np.where(code & 4, step, 0)
+        code |= np.where(mag >= (step >> 1), 2, 0)
+        mag = mag - np.where(code & 2, step >> 1, 0)
+        code |= np.where(mag >= (step >> 2), 1, 0)
+        code |= np.where(diff < 0, 8, 0)
+        pred, index = _ima_reconstruct(pred, index, code)
+        nibbles[:, i - 1] = code
+    # pack low nibble first (spec byte order); 504 codes/block = 252 bytes
+    packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate([headers, packed], axis=1).tobytes(), n
+
+
+def adpcm_decode(data: bytes, n_samples: int) -> np.ndarray:
+    """IMA ADPCM block data -> int16 samples, vectorized across blocks
+    (the in-block feedback loop runs over 504 positions with vectors
+    of width n_blocks — exact integer arithmetic, bit-equal to a
+    scalar spec decoder; asserted in tests)."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    nb = raw.size // ADPCM_BLOCK_ALIGN
+    if nb == 0:
+        raise ValueError("ADPCM data shorter than one block")
+    blocks = raw[: nb * ADPCM_BLOCK_ALIGN].reshape(nb, ADPCM_BLOCK_ALIGN)
+    pred = (blocks[:, 0].astype(np.int32)
+            | (blocks[:, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    packed = blocks[:, 4:]
+    nibbles = np.empty((nb, ADPCM_SPB - 1), dtype=np.int32)
+    nibbles[:, 0::2] = packed & 0x0F
+    nibbles[:, 1::2] = packed >> 4
+    out = np.empty((nb, ADPCM_SPB), dtype=np.int16)
+    out[:, 0] = pred
+    for i in range(1, ADPCM_SPB):
+        pred, index = _ima_reconstruct(pred, index, nibbles[:, i - 1])
+        out[:, i] = pred
+    return out.reshape(-1)[:n_samples]
+
+
+def wav_encode_adpcm(samples: np.ndarray, sr_hz: int) -> bytes:
+    """int16 mono samples -> WAV bytes with format tag 0x11
+    (WAVE_FORMAT_DVI_ADPCM): 20-byte fmt chunk (cbSize=2 +
+    samples-per-block extension), a fact chunk carrying the true
+    sample count (mandatory for compressed WAVE), and 256-byte IMA
+    ADPCM blocks — a REAL ~4:1 predictive codec whose container
+    layout differs from the canonical 44-byte header."""
+    data, n = adpcm_encode(samples)
+    byte_rate = max(1, (sr_hz * ADPCM_BLOCK_ALIGN) // ADPCM_SPB)
+    fmt = struct.pack(
+        "<4sIHHIIHHHH",
+        b"fmt ", 20,
+        _WAVE_FMT_IMA_ADPCM,
+        1,  # mono
+        sr_hz,
+        byte_rate,
+        ADPCM_BLOCK_ALIGN,
+        4,  # bits per sample
+        2,  # cbSize
+        ADPCM_SPB,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, n)
+    head = struct.pack("<4sI4s", b"RIFF",
+                       4 + len(fmt) + len(fact) + 8 + len(data), b"WAVE")
+    return head + fmt + fact + struct.pack("<4sI", b"data", len(data)) + data
+
+
 def wav_decode(buf: bytes) -> tuple[int, np.ndarray]:
-    """WAV bytes -> (sr_hz, int16 sample array). Canonical 44-byte
-    header only; dispatches on the fmt chunk's format tag — PCM16
-    (tag 1) or G.711 mu-law (tag 7, expanded to int16)."""
+    """WAV bytes -> (sr_hz, int16 sample array). Walks the RIFF chunk
+    list (fmt / fact / data — stops at data, so trailing junk after
+    the data chunk never confuses the parse) and dispatches on the
+    fmt chunk's format tag: PCM16 (tag 1), G.711 mu-law (tag 7),
+    G.711 A-law (tag 6), or IMA ADPCM (tag 0x11) — all expanded to
+    int16. The canonical 44-byte PCM header is just the two-chunk
+    special case of the walk."""
     if len(buf) < _RIFF_HEADER_LEN or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a canonical WAV buffer")
-    fmt_tag = struct.unpack_from("<H", buf, 20)[0]
-    sr_hz = struct.unpack_from("<I", buf, 24)[0]
-    bits = struct.unpack_from("<H", buf, 34)[0]
-    n_data = struct.unpack_from("<I", buf, 40)[0]
-    if fmt_tag == _WAVE_FMT_PCM and bits == 16:
-        pcm = np.frombuffer(buf, dtype="<i2", offset=_RIFF_HEADER_LEN,
-                            count=n_data // 2)
-        return sr_hz, pcm
-    if fmt_tag == _WAVE_FMT_MULAW and bits == 8:
-        u8 = np.frombuffer(buf, dtype=np.uint8, offset=_RIFF_HEADER_LEN,
-                           count=n_data)
-        return sr_hz, mulaw_decode(u8)
-    raise ValueError(f"unsupported WAV format tag {fmt_tag} / {bits} bits")
+    fmt_tag = bits = sr_hz = None
+    n_fact = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, csize = struct.unpack_from("<4sI", buf, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, _ch, sr_hz = struct.unpack_from("<HHI", buf, body)
+            bits = struct.unpack_from("<H", buf, body + 14)[0]
+        elif cid == b"fact":
+            n_fact = struct.unpack_from("<I", buf, body)[0]
+        elif cid == b"data":
+            if fmt_tag is None:
+                raise ValueError("WAV data chunk precedes fmt chunk")
+            n_data = min(csize, len(buf) - body)
+            if fmt_tag == _WAVE_FMT_PCM and bits == 16:
+                pcm = np.frombuffer(buf, dtype="<i2", offset=body,
+                                    count=n_data // 2)
+                return sr_hz, pcm
+            if fmt_tag == _WAVE_FMT_MULAW and bits == 8:
+                u8 = np.frombuffer(buf, dtype=np.uint8, offset=body,
+                                   count=n_data)
+                return sr_hz, mulaw_decode(u8)
+            if fmt_tag == _WAVE_FMT_ALAW and bits == 8:
+                u8 = np.frombuffer(buf, dtype=np.uint8, offset=body,
+                                   count=n_data)
+                return sr_hz, alaw_decode(u8)
+            if fmt_tag == _WAVE_FMT_IMA_ADPCM and bits == 4:
+                n_blocks = n_data // ADPCM_BLOCK_ALIGN
+                n = n_fact if n_fact is not None else n_blocks * ADPCM_SPB
+                return sr_hz, adpcm_decode(buf[body:body + n_data], n)
+            raise ValueError(
+                f"unsupported WAV format tag {fmt_tag} / {bits} bits")
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    raise ValueError("WAV buffer has no data chunk")
 
 
 def decode_clip(buf: bytes, codec: str) -> tuple[int, np.ndarray]:
     """Decode one clip to (sr_hz, float32 PCM in [-1, 1]).
 
-    Decodable containers in this environment: PCM16 WAV and G.711
-    mu-law WAV (format tag 7 — a real 1-byte/sample compressed codec,
-    implemented in pure numpy). A real deployment would dispatch
-    opus/mp3/aac/flac to native decoder libraries here; those are
-    STUBBED — any non-WAV payload raises.
+    Decodable containers in this environment: PCM16 WAV, G.711 mu-law
+    (tag 7) and A-law (tag 6) WAV — real 1-byte/sample compressed
+    codecs — and IMA ADPCM WAV (tag 0x11, a real ~4:1 predictive
+    codec with per-block state), all implemented in pure numpy. A
+    real deployment would dispatch opus/mp3/aac/flac to native
+    decoder libraries here; those are STUBBED — any non-WAV payload
+    raises.
     """
     if len(buf) >= 4 and buf[:4] == b"RIFF":
         sr, pcm = wav_decode(buf)

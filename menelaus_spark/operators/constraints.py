@@ -135,14 +135,26 @@ def payload_expected_and_tol(sr_col: str, dur_col: str, tol_frac: float,
     keep the PCM16 default). ONE definition shared by the
     fused-aggregation fallback (length(bytes)) and the decode-pass
     path (q_byte_len) — the statistic-parity contract between the two
-    paths depends on it."""
-    bps = F.lit(2.0)
-    if bps_map and codec_col is not None:
-        for c, b in sorted(bps_map.items()):
-            bps = F.when(F.col(codec_col) == c, F.lit(float(b))).otherwise(bps)
-    expected = 44.0 + bps * F.round(
+    paths depends on it.
+
+    Map values are either a float (bytes/sample for linear codecs,
+    e.g. {"ulaw": 1.0}) or a ``(header_bytes, block_bytes,
+    samples_per_block)`` triple for BLOCK-quantized codecs (e.g. IMA
+    ADPCM's (60, 256, 505): expected = header + block * ceil(n /
+    spb) — payload length steps by a whole block, so a linear model
+    would false-positive on every off-grid clip)."""
+    n = F.round(
         F.col(dur_col).cast("double") * F.col(sr_col).cast("double") / 1000.0
     )
+    expected = F.lit(44.0) + F.lit(2.0) * n
+    if bps_map and codec_col is not None:
+        for c, b in sorted(bps_map.items()):
+            if isinstance(b, (tuple, list)):
+                hdr, blk, spb = (float(v) for v in b)
+                model = F.lit(hdr) + F.lit(blk) * F.ceil(n / F.lit(spb))
+            else:
+                model = F.lit(44.0) + F.lit(float(b)) * n
+            expected = F.when(F.col(codec_col) == c, model).otherwise(expected)
     return expected, F.greatest(F.lit(4.0), F.lit(tol_frac) * expected)
 
 

@@ -30,8 +30,19 @@ from menelaus_spark.audio import (
     HOP,
     resample_pcm,
     wav_encode,
+    wav_encode_adpcm,
+    wav_encode_alaw,
     wav_encode_mulaw,
 )
+
+# the real-codec transcoders, in the deterministic idx%3 order the
+# "full" near-dup transcode path cycles through
+_REAL_ENCODERS = {
+    "ulaw": wav_encode_mulaw,
+    "alaw": wav_encode_alaw,
+    "adpcm": wav_encode_adpcm,
+}
+_REAL_CYCLE = ("ulaw", "alaw", "adpcm")
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -236,7 +247,16 @@ def _gen_rows(
                     sr_out = sr_s // 2
                     x = resample_pcm(x, sr_s, sr_out)
                 pcm_d = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
-            if real_codecs:
+            if real_codecs == "full":
+                # "full": the transcode target cycles deterministically
+                # through all three real codecs (mu-law ~38 dB, A-law
+                # ~37 dB, IMA ADPCM ~22-29 dB re-encode SNR on this
+                # signal class — all above the measured 20 dB
+                # fingerprint-matching floor), keyed on idx so output
+                # stays partition-independent with no extra rng draws
+                codec_d = _REAL_CYCLE[idx % 3]
+                buf_d = _REAL_ENCODERS[codec_d](pcm_d, sr_out)
+            elif real_codecs:
                 # the dup is additionally a G.711 mu-law TRANSCODE of
                 # its class-modified payload — the classic lossy
                 # re-encode copy (codec label AND byte format change;
@@ -264,6 +284,18 @@ def _gen_rows(
             # draws, so real_codecs=False tables stay byte-identical.
             codec = "ulaw"
             buf = wav_encode_mulaw(pcm, sr)
+        elif real_codecs == "full" and codec == "mp3":
+            # "full" widens the physical-codec mix: "mp3" draws become
+            # G.711 A-law (tag 6), "aac" draws become IMA ADPCM (tag
+            # 0x11, ~4:1 predictive blocks + fact chunk — a container
+            # whose LAYOUT differs from the canonical 44-byte header,
+            # not just its sample format). No extra rng draws, so
+            # real_codecs=True tables stay byte-identical.
+            codec = "alaw"
+            buf = wav_encode_alaw(pcm, sr)
+        elif real_codecs == "full" and codec == "aac":
+            codec = "adpcm"
+            buf = wav_encode_adpcm(pcm, sr)
         else:
             buf = wav_encode(pcm, sr)
         # pad_bytes: trailing junk after the data chunk — still fully
@@ -309,7 +341,12 @@ def audio_table(
     format tag 7, 1 byte/sample), and injected near-dups are mu-law
     TRANSCODES of their source — fodder for validating the suite and
     the dedup paths on a table where codec != "pcm" actually changes
-    the byte format."""
+    the byte format. ``real_codecs="full"`` additionally maps "mp3"
+    draws to G.711 A-law (tag 6) and "aac" draws to IMA ADPCM (tag
+    0x11, block-compressed ~4:1 with a fact chunk), and cycles
+    near-dup transcodes through all three — a THREE-physical-codec
+    mixed table ("opus"-draw frequencies unchanged, so True tables
+    stay byte-identical)."""
     drift = default_drift_spec() if drift is None else drift
     rows_per_part = max(1, n_rows // n_parts)
 

@@ -370,3 +370,25 @@ def test_mulaw_transcode_neardup_detected(spark):
     # path above. It must stay silent rather than emit false pairs.
     got = {(r.id_a, r.id_b) for r in audio_neardup_pairs(df).collect()}
     assert got <= injected
+
+
+def test_full_codec_transcode_neardup_detected(spark):
+    # real_codecs="full" cycles injected transcodes through mu-law,
+    # A-law AND IMA ADPCM (the dup's container is keyed idx%3). The
+    # transcript-blocked masked-BER path must find every pair across
+    # all three re-encode noise levels (~38/37/~22-29 dB) — ADPCM is
+    # the stress case, its predictive quantization noise sits just
+    # above the path's measured 20 dB floor.
+    df = tables.audio_table(
+        spark, n_rows=160, n_parts=4, drift={}, neardup_frac=0.125,
+        null_frac=0.0, real_codecs="full",
+    )
+    injected = {
+        (f"clip_{i - 1:012d}", f"clip_{i:012d}") for i in range(160) if i % 8 == 7
+    }
+    codecs = {r.clip_id: r.codec for r in df.select("clip_id", "codec").collect()}
+    dup_codecs = {codecs[b] for _a, b in injected}
+    assert dup_codecs == {"ulaw", "alaw", "adpcm"}  # the cycle covers all three
+
+    got_t = {(r.id_a, r.id_b) for r in transcript_blocked_neardup(df).collect()}
+    assert got_t == injected

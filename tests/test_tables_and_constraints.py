@@ -195,3 +195,83 @@ def test_real_codecs_suite_decode_integrity(spark, tmp_path):
            if k[1] in ("decode_integrity", "payload_size", "accepted_values:codec")
            and s != "pass"]
     assert bad == []
+
+
+def test_full_codecs_table_payloads(spark):
+    # real_codecs="full": THREE physical codecs — "opus"->ulaw, "mp3"->
+    # alaw (1 byte/sample), "aac"->adpcm (256-byte IMA blocks + fact
+    # chunk). Each container decodes via its own tag path and the
+    # block-quantized payload model matches exactly.
+    df = tables.audio_table(spark, n_rows=200, n_parts=4, drift={},
+                            null_frac=0.0, real_codecs="full").persist()
+    rows = df.collect()
+    by_codec = {}
+    for r in rows:
+        by_codec.setdefault(r["codec"], []).append(r)
+    assert set(by_codec) >= {"pcm", "ulaw", "alaw", "adpcm"}
+    for r in by_codec["alaw"][:3]:
+        buf = bytes(r["bytes"])
+        n = round(r["dur_ms"] * r["sr_hz"] / 1000.0)
+        assert len(buf) == 44 + n
+        sr, pcm = audio.wav_decode(buf)
+        assert sr == r["sr_hz"] and pcm.size == n
+    for r in by_codec["adpcm"][:3]:
+        buf = bytes(r["bytes"])
+        n = round(r["dur_ms"] * r["sr_hz"] / 1000.0)
+        nb = -(-n // audio.ADPCM_SPB)
+        assert len(buf) == 60 + nb * audio.ADPCM_BLOCK_ALIGN
+        sr, pcm = audio.wav_decode(buf)
+        assert sr == r["sr_hz"] and pcm.size == n
+    # metadata draws are mode-independent: same sr/dur as the plain
+    # table; labels remapped per the documented codec map
+    base = {r["clip_id"]: r for r in
+            tables.audio_table(spark, n_rows=200, n_parts=4, drift={},
+                               null_frac=0.0).collect()}
+    remap = {"opus": "ulaw", "mp3": "alaw", "aac": "adpcm"}
+    for r in rows:
+        b = base[r["clip_id"]]
+        assert (r["sr_hz"], r["dur_ms"]) == (b["sr_hz"], b["dur_ms"])
+        assert r["codec"] == remap.get(b["codec"], b["codec"])
+    # codec-aware payload model (incl. the BLOCK-quantized adpcm
+    # triple): zero violations; the PCM16-only model flags every
+    # compressed row
+    bps = {"ulaw": 1.0, "alaw": 1.0, "adpcm": audio.ADPCM_PAYLOAD_MODEL}
+    aware = constraints.payload_size_cond(
+        "bytes", "sr_hz", "dur_ms", 0.02, "codec", bps)
+    naive = constraints.payload_size_cond("bytes", "sr_hz", "dur_ms", 0.02)
+    n_compressed = sum(len(v) for k, v in by_codec.items()
+                       if k in ("ulaw", "alaw", "adpcm"))
+    assert df.filter(aware).count() == 0
+    assert df.filter(naive).count() == n_compressed
+    df.unpersist()
+
+
+def test_full_codecs_suite_decode_integrity(spark, tmp_path):
+    # the validation suite over the THREE-codec table: every container
+    # decodes through the same Arrow feature pass (no NaN rows) and
+    # the block-quantized payload model holds suite-wide
+    from menelaus_spark.runner import ValidationSuite
+
+    df = tables.audio_table(spark, n_rows=160, n_parts=4, drift={},
+                            null_frac=0.0, real_codecs="full")
+    path = str(tmp_path / "table")
+    tables.write_audio_table(df, path)
+    suite = ValidationSuite(
+        spark, str(tmp_path / "state"),
+        expected_schema=tables.AUDIO_SCHEMA,
+        ranges={"dur_ms": (200, 3000)},
+        accepted_values={"codec": ["pcm", "ulaw", "alaw", "adpcm", "flac"]},
+        kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+        payload_tol=0.02,
+        payload_bps={"ulaw": 1.0, "alaw": 1.0,
+                     "adpcm": audio.ADPCM_PAYLOAD_MODEL},
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+    )
+    verdicts, violations = suite.run(spark.read.parquet(path))
+    v = {(r["partition_key"], r["check_name"]): r["state"]
+         for r in verdicts.collect()}
+    bad = [(k, s) for k, s in v.items()
+           if k[1] in ("decode_integrity", "payload_size",
+                       "accepted_values:codec")
+           and s != "pass"]
+    assert bad == []
