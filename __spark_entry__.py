@@ -2843,8 +2843,14 @@ def _audio_suite_oracle(real_codecs: bool = False) -> str | None:
     q_blen = feats[:, A.N_FEATURES + 4]
     hi_band = np.expm1(feats[:, 8:12]).sum(axis=1)
     tot_band = np.expm1(feats[:, 4:12]).sum(axis=1)
-    bps = np.where(codec == "ulaw", 1.0, 2.0)
-    expected = 44.0 + bps * half_away(dur * sr / 1000.0)
+    n_samp = half_away(dur * sr / 1000.0)
+    bps = np.where((codec == "ulaw") | (codec == "alaw"), 1.0, 2.0)
+    expected = 44.0 + bps * n_samp
+    # IMA ADPCM: block-quantized model (60-byte header + whole
+    # 256-byte blocks of 505 samples) — mirrors the engine's
+    # (header, block, spb) triple in payload_expected_and_tol
+    expected = np.where(codec == "adpcm",
+                        60.0 + 256.0 * np.ceil(n_samp / 505.0), expected)
     tol = np.maximum(4.0, 0.02 * expected)
     conds = [
         ("audio_clipping", clean & (q_clip > 0.05)),
@@ -2962,6 +2968,44 @@ def q_audio_suite_ulaw(spark, sf_dir):
             cps_bounds=(1.0, 60.0),
             payload_tol=0.02,
             payload_bps={"ulaw": 1.0},
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_codecs(spark, sf_dir):
+    """The flagship suite over the THREE-physical-codec table
+    (real_codecs="full": mu-law tag 7, A-law tag 6, IMA ADPCM tag 0x11
+    — the last a block-compressed container whose LAYOUT differs from
+    the canonical header, exercising the chunk-walk parse and the
+    block-quantized payload model inside the fused suite). Oracle =
+    the same full driver-side twin replay."""
+    from menelaus_spark.audio import ADPCM_PAYLOAD_MODEL
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT, real_codecs="full")
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            payload_bps={"ulaw": 1.0, "alaw": 1.0,
+                         "adpcm": ADPCM_PAYLOAD_MODEL},
             quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                            "min_band_ratio": 0.01},
         )
@@ -3711,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_relational": q_audio_suite_relational,
         "audio_suite": q_audio_suite,
         "audio_suite_ulaw": q_audio_suite_ulaw,
+        "audio_suite_codecs": q_audio_suite_codecs,
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
         "audio_neardup_pad": q_audio_neardup_pad,
@@ -4226,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         ("nndvi_lineitem", _nndvi_lineitem_oracle),
         ("audio_suite", _audio_suite_oracle),
         ("audio_suite_ulaw", lambda: _audio_suite_oracle(real_codecs=True)),
+        ("audio_suite_codecs", lambda: _audio_suite_oracle(real_codecs="full")),
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_neardup_pad", _audio_neardup_pad_oracle),
