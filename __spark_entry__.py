@@ -2530,6 +2530,12 @@ AUDIO_SUITE_DRIFT = {
     6: {"upsample_from": 2000},
 }
 
+# the corrupt-payload scenario: same drift spec plus one partition of
+# damaged payloads with claimed-good metadata (all three damage kinds:
+# truncated data, severed header, smashed magic)
+AUDIO_SUITE_DRIFT_CORRUPT = dict(AUDIO_SUITE_DRIFT)
+AUDIO_SUITE_DRIFT_CORRUPT[7] = {"corrupt_frac": 0.25}
+
 
 def q_audio_suite_relational(spark, sf_dir):
     """The audio suite's RELATIONAL verdict families (constraint
@@ -2716,7 +2722,7 @@ def _audio_relational_oracle() -> str | None:
     """
 
 
-def _audio_suite_oracle(real_codecs: bool = False) -> str | None:
+def _audio_suite_oracle(real_codecs=False, drift=None) -> str | None:
     """Full-suite twin for q_audio_suite: regenerate the table with the
     numpy generator twin, DECODE the payloads with the same importable
     numpy kernels the Arrow UDF runs (features_for_batch), and replay
@@ -2742,7 +2748,8 @@ def _audio_suite_oracle(real_codecs: bool = False) -> str | None:
 
     try:
         pdf = _tables._gen_rows(
-            np.arange(800), 42, 8, 100, AUDIO_SUITE_DRIFT,
+            np.arange(800), 42, 8, 100,
+            AUDIO_SUITE_DRIFT if drift is None else drift,
             0.02, 0.0, 6.6, 0.5, (200, 3000), True,
             0.0, ("gain", "resample"), real_codecs,
         )
@@ -2922,6 +2929,43 @@ def q_audio_suite(spark, sf_dir):
     try:
         df = tables.audio_table(spark, n_rows=800, n_parts=8,
                                 drift=AUDIO_SUITE_DRIFT)
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_corrupt(spark, sf_dir):
+    """The flagship suite over a table with a DAMAGED-payload partition
+    (corrupt_frac=0.25 in part 7: truncated data chunks, severed
+    headers, smashed RIFF magic — all with claimed-good metadata, the
+    bit-rot / interrupted-upload fault class of a 10^12-row corpus).
+    Damage must surface as decode_integrity + payload_size failures in
+    THAT partition only, never as a UDF crash; kind 2 (right length,
+    undecodable) proves decode_integrity catches what the O(1)
+    length check cannot. Oracle = the same twin replay."""
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT_CORRUPT)
         path = os.path.join(ckpt, "table")
         tables.write_audio_table(df, path)
         suite = ValidationSuite(
@@ -3756,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite": q_audio_suite,
         "audio_suite_ulaw": q_audio_suite_ulaw,
         "audio_suite_codecs": q_audio_suite_codecs,
+        "audio_suite_corrupt": q_audio_suite_corrupt,
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
         "audio_neardup_pad": q_audio_neardup_pad,
@@ -4272,6 +4317,8 @@ def oracle_sql() -> dict[str, str]:
         ("audio_suite", _audio_suite_oracle),
         ("audio_suite_ulaw", lambda: _audio_suite_oracle(real_codecs=True)),
         ("audio_suite_codecs", lambda: _audio_suite_oracle(real_codecs="full")),
+        ("audio_suite_corrupt",
+         lambda: _audio_suite_oracle(drift=AUDIO_SUITE_DRIFT_CORRUPT)),
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_neardup_pad", _audio_neardup_pad_oracle),

@@ -344,7 +344,14 @@ def wav_decode(buf: bytes) -> tuple[int, np.ndarray]:
         elif cid == b"data":
             if fmt_tag is None:
                 raise ValueError("WAV data chunk precedes fmt chunk")
-            n_data = min(csize, len(buf) - body)
+            if csize > len(buf) - body:
+                # STRICT on truncation: a data chunk claiming more
+                # bytes than present is damage, and silently decoding
+                # the surviving prefix would hide it from
+                # decode_integrity (metadata would then disagree with
+                # the decoded length anyway)
+                raise ValueError("truncated WAV data chunk")
+            n_data = csize
             if fmt_tag == _WAVE_FMT_PCM and bits == 16:
                 pcm = np.frombuffer(buf, dtype="<i2", offset=body,
                                     count=n_data // 2)

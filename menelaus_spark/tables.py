@@ -304,6 +304,25 @@ def _gen_rows(
         pad = int(d.get("pad_bytes", 0))
         if pad:
             buf += b"\x00" * pad
+        # corrupt_frac: payload damage with claimed-good metadata — the
+        # bit-rot / interrupted-upload fault class of a 10^12-row
+        # corpus. Three kinds, cycled by idx so every class appears:
+        #   0 truncated mid-data  -> decode fails AND length lies
+        #   1 severed header      -> decode fails AND length lies
+        #   2 smashed RIFF magic  -> right length, undecodable: ONLY
+        #     decode_integrity can see it (payload_size stays green)
+        # Extra rng draws only in partitions that request the key, so
+        # clean tables stay byte-identical across configs.
+        corrupt = float(d.get("corrupt_frac", 0.0))
+        if corrupt and rng.random() < corrupt:
+            kind = idx % 3
+            if kind == 0:
+                keep = 44 + int(rng.integers(0, max(1, (len(buf) - 44) // 2)))
+                buf = buf[:keep]
+            elif kind == 1:
+                buf = buf[: int(rng.integers(4, 44))]
+            else:
+                buf = b"JUNK" + buf[4:]
         out["clip_id"].append(clip_id)
         out["bytes"].append(buf)
         out["sr_hz"].append(sr)

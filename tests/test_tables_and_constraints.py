@@ -275,3 +275,51 @@ def test_full_codecs_suite_decode_integrity(spark, tmp_path):
                        "accepted_values:codec")
            and s != "pass"]
     assert bad == []
+
+
+def test_corrupt_frac_damage_classes(spark):
+    # corrupt_frac injects payload damage with claimed-good metadata.
+    # All three kinds must decode-fail WITHOUT crashing the Arrow pass,
+    # and the length-based check must catch exactly kinds 0/1 (kind 2
+    # keeps the right length — only decode_integrity sees it).
+    df = tables.audio_table(spark, n_rows=120, n_parts=3, null_frac=0.0,
+                            drift={1: {"corrupt_frac": 0.5}})
+    rows = df.collect()
+    damaged = []
+    for r in rows:
+        buf = bytes(r["bytes"])
+        try:
+            audio.decode_clip(buf, r["codec"])
+        except Exception:
+            damaged.append(r)
+    # only partition 1 requested damage; roughly half its rows hit
+    assert {r["part"] for r in damaged} == {1}
+    assert 10 <= len(damaged) <= 30
+    kinds = {int(r["clip_id"].split("_")[1]) % 3 for r in damaged}
+    assert kinds == {0, 1, 2}  # all three damage classes present
+    # undamaged partitions byte-identical to the no-corruption config
+    base = {r["clip_id"]: bytes(r["bytes"]) for r in
+            tables.audio_table(spark, n_rows=120, n_parts=3,
+                               null_frac=0.0, drift={}).collect()}
+    for r in rows:
+        if r["part"] != 1:
+            assert bytes(r["bytes"]) == base[r["clip_id"]]
+    # length check: fires for kinds 0/1, NOT for kind 2 (magic smash
+    # preserves length) — the two checks are genuinely complementary
+    cond = constraints.payload_size_cond("bytes", "sr_hz", "dur_ms", 0.02)
+    flagged = {r["clip_id"] for r in df.filter(cond).collect()}
+    for r in damaged:
+        k = int(r["clip_id"].split("_")[1]) % 3
+        assert (r["clip_id"] in flagged) == (k in (0, 1))
+
+
+def test_wav_decode_strict_on_truncated_data():
+    import numpy as np
+    import pytest as _pytest
+
+    pcm = (np.sin(np.arange(4000) / 8.0) * 9000).astype(np.int16)
+    for enc in (audio.wav_encode, audio.wav_encode_mulaw,
+                audio.wav_encode_alaw, audio.wav_encode_adpcm):
+        buf = enc(pcm, 8000)
+        with _pytest.raises(ValueError):
+            audio.wav_decode(buf[: len(buf) - 7])
