@@ -162,6 +162,37 @@ def main():
     audio_suite_s = round(time.time() - t0, 3)
     timings["audio_suite"] = audio_suite_s
 
+    # the same suite over the THREE-physical-codec table (mu-law /
+    # A-law / IMA ADPCM containers): measures the real decode cost a
+    # compressed 100-TB corpus pays — ADPCM's block expansion is the
+    # heaviest numpy kernel in the whole engine
+    from menelaus_spark.audio import ADPCM_PAYLOAD_MODEL
+
+    codecs_path = os.path.join(work, "audio_codecs")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=n_clips, n_parts=10,
+                           real_codecs="full"),
+        codecs_path,
+    )
+    df_codecs = spark.read.parquet(codecs_path)
+    t0 = time.time()
+    suite_codecs = ValidationSuite(
+        spark,
+        os.path.join(work, "ckpt_codecs"),
+        expected_schema=tables.AUDIO_SCHEMA,
+        null_rate_max={"transcript": 0.2},
+        ranges={"dur_ms": (200, 3000)},
+        accepted_values={"codec": ["pcm", "ulaw", "alaw", "adpcm", "flac"]},
+        kdq_params={"count_ubound": 200, "bootstrap_samples": 200},
+        cps_bounds=(1.0, 60.0),
+        payload_tol=0.02,
+        payload_bps={"ulaw": 1.0, "alaw": 1.0, "adpcm": ADPCM_PAYLOAD_MODEL},
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                       "min_band_ratio": 0.01},
+    )
+    suite_codecs.run(df_codecs)
+    timings["audio_suite_codecs"] = round(time.time() - t0, 3)
+
     # audio near-dup: all three fingerprint matching paths over the
     # SAME sf-scaled table (shingle MinHash/LSH + transcript-blocked
     # masked-BER + speed-ratio peak rescaling), sharing ONE decode

@@ -3,8 +3,9 @@ scaling efficiency >= 0.8 from N to 4N executors; sandbox proxy:
 local[8] vs local[32] on the SAME pre-generated input).
 
 Generates the audio table once, then runs the full validation suite in
-a fresh subprocess per core count (fresh JVM, fresh checkpoint).
-Writes BENCH/BASELINE.md with throughput at both levels + efficiency.
+a fresh subprocess per core count (fresh JVM, fresh checkpoint) and
+PRINTS the results section (BENCH/BASELINE.md is hand-consolidated —
+merge the numbers into the witness's canonical section).
 
 Usage: python tools/scaling_bench.py [n_clips] [n_parts] [cores_low] [cores_high]
 """
@@ -26,7 +27,8 @@ from menelaus_spark.session import get_spark
 spark = get_spark(cores=32, shuffle_partitions=32, app_name="scalegen")
 t0 = time.time()
 df = tables.audio_table(spark, n_rows={n_clips}, n_parts={n_parts},
-                        dur_mu=7.5, dur_sigma=0.35, dur_clip=(1000, 4000))
+                        dur_mu=7.5, dur_sigma=0.35, dur_clip=(1000, 4000),
+                        real_codecs={real_codecs!r})
 tables.write_audio_table(df, {path!r})
 print("GEN_SECONDS", round(time.time() - t0, 1))
 spark.stop()
@@ -44,10 +46,11 @@ suite = ValidationSuite(spark, {ckpt!r},
     expected_schema=tables.AUDIO_SCHEMA,
     null_rate_max={{"transcript": 0.2}},
     ranges={{"dur_ms": (200, 30000)}},
-    accepted_values={{"codec": ["pcm", "opus", "mp3", "aac", "flac"]}},
+    accepted_values={{"codec": {accepted!r}}},
     kdq_params={{"count_ubound": 500, "bootstrap_samples": 200}},
     cps_bounds=(1.0, 60.0),
     payload_tol=0.02,
+    payload_bps={bps},
     quality_rules={{"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                     "min_band_ratio": 0.01}})
 verdicts, _ = suite.run(df)
@@ -73,12 +76,26 @@ def main():
     n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    work = f"/tmp/menelaus_scale_{n_clips}_{n_parts}"
+    # optional 5th arg "full": THREE-physical-codec table (mu-law /
+    # A-law / IMA ADPCM containers) + the codec-aware suite config —
+    # the same witness with the real compressed-decode cost in the
+    # loop. Prints results only (the PCM run owns the generated
+    # header); record the numbers in the MANUAL section.
+    real_codecs = sys.argv[5] if len(sys.argv) > 5 else False
+    if real_codecs == "full":
+        accepted = ["pcm", "ulaw", "alaw", "adpcm", "flac"]
+        bps = '{{"ulaw": 1.0, "alaw": 1.0, "adpcm": (60, 256, 505)}}'
+        work = f"/tmp/menelaus_scale_full_{n_clips}_{n_parts}"
+    else:
+        accepted = ["pcm", "opus", "mp3", "aac", "flac"]
+        bps = "None"
+        work = f"/tmp/menelaus_scale_{n_clips}_{n_parts}"
     path = os.path.join(work, "audio")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         print(f"generating {n_clips} clips x {n_parts} partitions ...", flush=True)
         print(run_py(GEN_SNIPPET.format(repo=REPO, n_clips=n_clips, n_parts=n_parts,
-                                        path=path)).strip().splitlines()[-1])
+                                        path=path, real_codecs=real_codecs
+                                        )).strip().splitlines()[-1])
     # the sandbox VM shows 20-40% run-to-run noise (host-level); take
     # the minimum of N_TRIALS fresh-JVM runs per core count — the
     # least noise-polluted sample of the same deterministic job
@@ -88,7 +105,8 @@ def main():
         best = None
         for trial in range(n_trials):
             ckpt = os.path.join(work, f"ckpt_{cores}_{int(time.time())}_{trial}")
-            out = run_py(RUN_SNIPPET.format(repo=REPO, cores=cores, path=path, ckpt=ckpt))
+            out = run_py(RUN_SNIPPET.format(repo=REPO, cores=cores, path=path,
+                                            ckpt=ckpt, accepted=accepted, bps=bps))
             line = [ln for ln in out.splitlines() if '"RESULT"' in ln][-1]
             r = json.loads(line)
             print(f"trial {trial}:", r, flush=True)
@@ -161,20 +179,10 @@ measurement already includes: off-heap column vectors, byte-sized
 Arrow batches (~50 MB), 64 MB file splits, O(1)-in-partition-count job
 plan, no caching of raw binary partitions.
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # preserve hand-written history: everything at/after the MANUAL
-    # marker in the existing file survives regeneration
-    marker = "<!-- MANUAL SECTIONS BELOW: preserved across regenerations -->"
-    manual = ""
-    if os.path.exists(out_path):
-        old = open(out_path).read()
-        if marker in old:
-            manual = old[old.index(marker):]
-    with open(out_path, "w") as f:
-        f.write(md)
-        f.write("\n" + (manual or marker + "\n"))
-    print("wrote BENCH/BASELINE.md")
+    # BENCH/BASELINE.md is hand-consolidated since r05 (one canonical
+    # section per witness with full trial history) — NEVER overwrite
+    # it from here; print the section for manual merge instead.
+    print(md)
 
 
 if __name__ == "__main__":
