@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from menelaus_spark.audio import (
-    decode_clip,
+    decode_batch,
     fingerprint_codes,
     fingerprint_shingles,
     fp_sample_count,
@@ -69,10 +69,14 @@ def audio_shingles(
     def work(batches):
         for pdf in batches:
             keys, shl, hds = [], [], []
-            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+            decoded = decode_batch(pdf[bytes_col].tolist(),
+                                   pdf[codec_col].tolist())
+            for key, dec in zip(pdf[key_col], decoded):
                 keys.append(key)
                 try:
-                    sr, pcm = decode_clip(bytes(buf), codec)
+                    if dec is None:
+                        raise ValueError("undecodable payload")
+                    sr, pcm = dec
                     packed = pack_shingles(fingerprint_codes(pcm, sr)[0])
                     shl.append(shingle_hex(np.unique(packed)))
                     hds.append(shingle_hex(packed[:FP_HEADS]))
@@ -102,10 +106,14 @@ def audio_fingerprints(
     def work(batches):
         for pdf in batches:
             keys, shl, hds, cs, ms, ps, nf = [], [], [], [], [], [], []
-            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+            decoded = decode_batch(pdf[bytes_col].tolist(),
+                                   pdf[codec_col].tolist())
+            for key, dec in zip(pdf[key_col], decoded):
                 keys.append(key)
                 try:
-                    sr, pcm = decode_clip(bytes(buf), codec)
+                    if dec is None:
+                        raise ValueError("undecodable payload")
+                    sr, pcm = dec
                     c, m, p = fingerprint_codes(pcm, sr)
                     packed = pack_shingles(c)
                     shl.append(shingle_hex(np.unique(packed)))
@@ -234,10 +242,14 @@ def audio_fingerprint_codes(
     def work(batches):
         for pdf in batches:
             keys, cs, ms, ps, nf = [], [], [], [], []
-            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+            decoded = decode_batch(pdf[bytes_col].tolist(),
+                                   pdf[codec_col].tolist())
+            for key, dec in zip(pdf[key_col], decoded):
                 keys.append(key)
                 try:
-                    sr, pcm = decode_clip(bytes(buf), codec)
+                    if dec is None:
+                        raise ValueError("undecodable payload")
+                    sr, pcm = dec
                     c, m, p = fingerprint_codes(pcm, sr)
                     cs.append(c.astype(np.int32))
                     ms.append(m.astype(np.int32))

@@ -89,7 +89,7 @@ def fingerprint_banded_stream(
     shingles, signs and bands each clip (no groupBy — a streaming
     aggregation would force its own state store). Emits ``bands`` rows
     per decodable clip: (key, band, bhash, shingles)."""
-    from menelaus_spark.audio import decode_clip, fingerprint_shingles
+    from menelaus_spark.audio import decode_batch, fingerprint_shingles
     from menelaus_spark.operators.audio_dedup import shingle_hex
 
     schema = f"{key_col} string, band int, bhash string, shingles array<string>"
@@ -97,9 +97,13 @@ def fingerprint_banded_stream(
     def work(batches):
         for pdf in batches:
             keys, bnds, hashes, shs = [], [], [], []
-            for key, buf, codec in zip(pdf[key_col], pdf[bytes_col], pdf[codec_col]):
+            decoded = decode_batch(pdf[bytes_col].tolist(),
+                                   pdf[codec_col].tolist())
+            for key, dec in zip(pdf[key_col], decoded):
                 try:
-                    sr, pcm = decode_clip(bytes(buf), codec)
+                    if dec is None:
+                        raise ValueError("undecodable payload")
+                    sr, pcm = dec
                     sh = shingle_hex(fingerprint_shingles(pcm, sr))
                 except Exception:
                     sh = []

@@ -373,3 +373,35 @@ def test_adpcm_wav_container_and_chunk_walk():
     buf0 = audio.wav_encode_adpcm(np.array([], dtype=np.int16), 8000)
     sr0, out0 = audio.wav_decode(buf0)
     assert out0.size == 1
+
+
+def test_decode_batch_bit_equal_to_per_clip():
+    # decode_batch is the Arrow-batch fast path (ADPCM blocks from all
+    # clips stack into ONE feedback-loop pass) — it must be bit-equal
+    # to per-clip decode_clip on every payload class: all four
+    # containers, all three corruption kinds, null, non-WAV
+    from menelaus_spark import tables
+
+    pdf = tables._gen_rows(np.arange(180), 42, 3, 60,
+                           {1: {"corrupt_frac": 0.5}}, 0.0, 0.0, 6.6, 0.5,
+                           (200, 3000), True, 0.0, ("gain", "resample"),
+                           "full")
+    bufs = pdf["bytes"].tolist() + [None, b"OggS-not-a-wav"]
+    codecs = pdf["codec"].tolist() + ["pcm", "opus"]
+    batch = audio.decode_batch(bufs, codecs)
+    n_fail = n_ok = 0
+    seen_adpcm = False
+    for buf, codec, dec in zip(bufs, codecs, batch):
+        try:
+            ref = audio.decode_clip(bytes(buf), codec)
+        except Exception:
+            ref = None
+        if ref is None:
+            assert dec is None
+            n_fail += 1
+        else:
+            assert dec[0] == ref[0]
+            assert np.array_equal(dec[1], ref[1])
+            n_ok += 1
+            seen_adpcm |= codec == "adpcm"
+    assert seen_adpcm and n_ok > 100 and n_fail > 10

@@ -84,7 +84,9 @@ def main():
     real_codecs = sys.argv[5] if len(sys.argv) > 5 else False
     if real_codecs == "full":
         accepted = ["pcm", "ulaw", "alaw", "adpcm", "flac"]
-        bps = '{{"ulaw": 1.0, "alaw": 1.0, "adpcm": (60, 256, 505)}}'
+        # substituted VALUES are not re-scanned by str.format — this
+        # literal needs single braces, unlike the template text
+        bps = '{"ulaw": 1.0, "alaw": 1.0, "adpcm": (60, 256, 505)}'
         work = f"/tmp/menelaus_scale_full_{n_clips}_{n_parts}"
     else:
         accepted = ["pcm", "opus", "mp3", "aac", "flac"]
