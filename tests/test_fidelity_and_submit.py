@@ -57,7 +57,8 @@ def test_spark_submit_py_files(tmp_path):
         "import sys; sys.path.insert(0, %r); "
         "from menelaus_spark import get_spark, tables; "
         "s = get_spark(cores=2, shuffle_partitions=2); "
-        "tables.write_audio_table(tables.audio_table(s, n_rows=120, n_parts=3), %r); "
+        "tables.write_audio_table(tables.audio_table(s, n_rows=120, n_parts=3, "
+        "real_codecs='full'), %r); "
         "s.stop()" % (REPO, table_path)
     )
     subprocess.run([sys.executable, "-c", gen], capture_output=True, text=True, check=True)
@@ -74,6 +75,11 @@ def test_spark_submit_py_files(tmp_path):
             "--input", table_path,
             "--checkpoint", str(tmp_path / "ckpt"),
             "--kdq-count-ubound", "20", "--kdq-bootstrap", "50",
+            # the codec-mixed table: model every physical container so
+            # the payload check holds table-wide through the REAL
+            # launch path (mu-law/A-law linear, ADPCM block-quantized)
+            "--payload-codecs", "",
+            "--payload-bps", "ulaw=1,alaw=1,adpcm=60:256:505",
         ],
         capture_output=True, text=True, env=env, timeout=420,
     )

@@ -34,6 +34,25 @@ def build_zip(out_path: str = "/tmp/menelaus_spark.zip") -> str:
     return out_path
 
 
+def _parse_bps(spec: str) -> dict:
+    """"ulaw=1,alaw=1,adpcm=60:256:505" -> payload_bps map: floats for
+    linear bytes/sample, colon triples for block-quantized codecs
+    (header:block:samples_per_block — see
+    constraints.payload_expected_and_tol)."""
+    out = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        codec, _, val = part.partition("=")
+        if ":" in val:
+            h, b, spb = val.split(":")
+            out[codec.strip()] = (float(h), float(b), float(spb))
+        else:
+            out[codec.strip()] = float(val)
+    return out
+
+
 def run(args) -> None:
     # Under spark-submit the package arrives via --py-files; fall back
     # to the repo path for local runs.
@@ -64,6 +83,8 @@ def run(args) -> None:
             tuple(c.strip() for c in args.payload_codecs.split(",") if c.strip())
             if (args.audio_depth and args.payload_codecs) else None
         ),
+        payload_bps=(_parse_bps(args.payload_bps)
+                     if (args.audio_depth and args.payload_bps) else None),
         quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                        "min_band_ratio": 0.01} if args.audio_depth else None,
     )
@@ -111,6 +132,13 @@ def main():
                    help="comma-separated codec values whose payloads use "
                         "the WAV container layout; only these rows get the "
                         "payload-size check (empty string = check all rows)")
+    r.add_argument("--payload-bps", default="",
+                   help="codec-aware payload model, e.g. "
+                        "'ulaw=1,alaw=1,adpcm=60:256:505' (floats = "
+                        "bytes/sample, colon triples = block-quantized "
+                        "header:block:samples_per_block). Codecs named "
+                        "here are modeled, not skipped — combine with "
+                        "--payload-codecs to widen the checked set")
     r.add_argument("--cps-lo", type=float, default=1.0)
     r.add_argument("--cps-hi", type=float, default=60.0)
     r.add_argument("--payload-tol", type=float, default=0.02)
