@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_ann_topk",
     "token_stats",
     "text_quality",
     "lang_id",

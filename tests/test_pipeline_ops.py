@@ -354,3 +354,61 @@ def test_ivf_degenerate_sample_fewer_centroids_than_lists(spark):
     ).toPandas()
     assert len(out) == 3
     assert (out["cosine"] > 0.999).all()
+
+
+def test_pq_train_shapes_and_determinism(spark, emb):
+    cb1 = similarity.pq_train(emb, "vec_id", "embedding", m=8, n_codes=16)
+    cb2 = similarity.pq_train(emb.repartition(5), "vec_id", "embedding",
+                              m=8, n_codes=16)
+    assert cb1.shape == (8, 16, 8)  # dim 64 / m 8
+    assert np.array_equal(cb1, cb2)  # id-sorted sample -> identical books
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, "vec_id", "embedding", m=7)
+
+
+def test_pq_ann_recall_and_determinism(spark, emb):
+    rows = emb.limit(3).collect()
+    queries = [(f"q{i}", list(r["embedding"])) for i, r in enumerate(rows)]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", queries,
+                                   k=10).toPandas()
+    # raw ADC shortlist: 8-byte codes + one stored norm per vector
+    pq = similarity.pq_ann_topk(emb, "vec_id", "embedding", queries,
+                                k=10).toPandas()
+    # production shape: ADC shortlist of 100 + exact rerank
+    rr = similarity.pq_ann_topk(emb, "vec_id", "embedding", queries,
+                                k=10, rerank=100).toPandas()
+    raw_rec, rr_rec = [], []
+    for qid in ("q0", "q1", "q2"):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        raw_rec.append(len(e & set(pq[pq["query_id"] == qid]["vec_id"])) / len(e))
+        rr_rec.append(len(e & set(rr[rr["query_id"] == qid]["vec_id"])) / len(e))
+    # rerank must recover most of the exact top-10 and beat raw ADC
+    assert np.mean(rr_rec) >= 0.7
+    assert np.mean(rr_rec) >= np.mean(raw_rec)
+    # the query itself survives: exact-reranked rank 1 is (near-)self
+    assert (rr[rr["rank"] == 1]["cosine"] > 0.999).all()
+    # rounded-surrogate everything -> bit-identical, partition-independent
+    again = similarity.pq_ann_topk(emb.repartition(7), "vec_id", "embedding",
+                                   queries, k=10, rerank=100).toPandas()
+    a1 = rr.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    a2 = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a1.equals(a2)
+
+
+def test_pq_ann_clustered_ground_truth(spark):
+    # planted clusters: PQ codes must send every query's own cluster to
+    # the top — raw ADC (no rerank) already recovers it
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 3.0
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, schema="vec_id int, embedding array<double>")
+    queries = [(f"q{c}", [float(x) for x in centers[c]]) for c in range(4)]
+    out = similarity.pq_ann_topk(df, "vec_id", "embedding", queries,
+                                 k=20, m=4, n_codes=8).toPandas()
+    for c in range(4):
+        got = out[out["query_id"] == f"q{c}"]["vec_id"]
+        assert (got % 4 == c).all()  # every hit from the right cluster
