@@ -1179,6 +1179,155 @@ def _pq_ann_oracle() -> str | None:
     """
 
 
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF x PQ ANN top-5 — the production composition: coarse
+    quantizer prunes to nprobe=2 of 8 inverted lists, PQ codes (8x16)
+    score the probed members in compressed domain, exact rerank of
+    the 50-candidate shortlist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    queries = [(str(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    out = similarity.ivfpq_ann_topk(
+        emb, "vec_id", "embedding", queries, k=5, n_lists=8, nprobe=2,
+        m=8, n_codes=16, rerank=50,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_ann_oracle() -> str | None:
+    """DuckDB twin of q_ivfpq_ann_topk: the IVF twin's coarse
+    assignment + probe CTEs composed with the PQ twin's code
+    assignment + ADC + rerank CTEs — every quantizer regenerated from
+    the same id-sorted sample and inlined, every argmax on the shared
+    1e-6-rounded surrogate."""
+    import numpy as np
+
+    from menelaus_spark.operators.similarity import _lloyd_l2
+
+    try:
+        import duckdb
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT 100000"
+        ).fetchall()
+        qrows = con.execute(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"WHERE vec_id IN (0, 1, 2)"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    m, n_codes, n_lists, nprobe = 8, 16, 8, 2
+    d = X.shape[1]
+    ds = d // m
+    coarse = dedup._lloyd(X, n_lists, 20, 42)
+    CB = np.stack([
+        _lloyd_l2(X[:, j * ds:(j + 1) * ds], n_codes, 20, 42 + j)
+        for j in range(m)
+    ])
+    bias = 0.5 * np.einsum("mcd,mcd->mc", CB, CB)
+    coarse_vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(coarse)
+    )
+    cb_vals = ", ".join(
+        f"({j}, {c}, {bias[j, c]!r}, ["
+        + ", ".join(repr(float(x)) for x in CB[j, c]) + "]::DOUBLE[])"
+        for j in range(m) for c in range(n_codes)
+    )
+    lut_vals, probe_vals = [], []
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        qn = float(np.sqrt(q @ q))
+        qd = np.round(coarse @ q * 1e6)
+        order = sorted(range(len(coarse)),
+                       key=lambda i: (-qd[i], i))[:nprobe]
+        for li in order:
+            probe_vals.append(f"('{qid}', {li})")
+        for j in range(m):
+            for c in range(n_codes):
+                lut_vals.append(
+                    f"('{qid}', {j}, {c}, "
+                    f"{float(q[j * ds:(j + 1) * ds] @ CB[j, c])!r}, {qn!r})"
+                )
+    lut_vals_sql = ", ".join(lut_vals)
+    probe_vals_sql = ", ".join(probe_vals)
+    return f"""
+        WITH C(ci, cv) AS (VALUES {coarse_vals}),
+        CB(j, c, bias, cv) AS (VALUES {cb_vals}),
+        LUT(qid, j, c, val, qnorm) AS (VALUES {lut_vals_sql}),
+        PROBES(qid, list_id) AS (VALUES {probe_vals_sql}),
+        cdots AS (
+          SELECT e.vec_id, c.ci,
+                 round(list_inner_product(e.embedding::DOUBLE[], c.cv)
+                       * 1000000.0) AS d6
+          FROM embeddings e CROSS JOIN C c),
+        blk AS (
+          SELECT vec_id, ci AS list_id FROM (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d6 DESC, ci) AS rn
+            FROM cdots) WHERE rn = 1),
+        surr AS (
+          SELECT e.vec_id, cb.j, cb.c,
+                 round((list_inner_product(
+                          e.embedding[cb.j * {ds} + 1 : cb.j * {ds} + {ds}]::DOUBLE[],
+                          cb.cv) - cb.bias) * 1000000.0) AS d6
+          FROM embeddings e CROSS JOIN CB cb),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d6 DESC, c) AS rn
+            FROM surr) WHERE rn = 1),
+        norms AS (
+          SELECT vec_id,
+                 sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS vnorm
+          FROM embeddings),
+        adc AS (
+          SELECT l.qid, k.vec_id,
+                 round(sum(l.val)
+                       / (CASE WHEN n.vnorm * any_value(l.qnorm) > 0
+                               THEN n.vnorm * any_value(l.qnorm)
+                               ELSE 1.0 END), 6) AS approx_cosine
+          FROM PROBES p
+          JOIN blk b ON b.list_id = p.list_id
+          JOIN codes k ON k.vec_id = b.vec_id
+          JOIN LUT l ON l.qid = p.qid AND l.j = k.j AND l.c = k.code
+          JOIN norms n ON n.vec_id = k.vec_id
+          GROUP BY l.qid, k.vec_id, n.vnorm),
+        short AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY approx_cosine DESC, vec_id) AS rn
+            FROM adc) WHERE rn <= 50),
+        q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id IN (0, 1, 2)),
+        rer AS (
+          SELECT s.qid::VARCHAR AS query_id, s.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.qvec::DOUBLE[]), 6) AS cosine
+          FROM short s
+          JOIN q ON q.qid::VARCHAR = s.qid
+          JOIN embeddings e ON e.vec_id = s.vec_id),
+        ranked AS (
+          SELECT query_id, vec_id, round(cosine, 4) AS cos4,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM rer)
+        SELECT query_id, vec_id, cos4, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -3898,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
@@ -4428,6 +4578,9 @@ def oracle_sql() -> dict[str, str]:
     pq = _pq_ann_oracle()
     if pq is not None:
         out["pq_ann_topk"] = pq
+    ivfpq = _ivfpq_ann_oracle()
+    if ivfpq is not None:
+        out["ivfpq_ann_topk"] = ivfpq
     kdq = _kdq_oracle_sql()
     if kdq is not None:
         out["kdq_lineitem"] = kdq

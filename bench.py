@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
     "token_stats",
     "text_quality",
     "lang_id",

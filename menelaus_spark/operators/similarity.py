@@ -417,3 +417,140 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col), "cosine", "rank")
     )
+
+
+def ivfpq_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_cap: int = 100_000,
+    n_iters: int = 20,
+    seed: int = 42,
+    rerank: int = 0,
+    literal_cutoff: int = 4096,
+) -> DataFrame:
+    """IVF x PQ — the production ANN architecture at 10^12 vectors:
+    the IVF coarse quantizer prunes WHICH vectors each query touches
+    (~nprobe/n_lists of the corpus), PQ compresses WHAT is read for
+    the ones it does touch (m sub-codes + one norm instead of the raw
+    vector), and an optional exact rerank of the final shortlist
+    restores recall. Composition of :func:`ivf_ann_topk`'s coarse
+    assignment (same spherical quantizer, same rounded-dot tie rule)
+    with :func:`pq_ann_topk`'s codebooks/ADC (trained on the SAME
+    id-sorted sample) — both stages keep their cross-engine
+    determinism, so the DuckDB twin replays the whole pipeline.
+
+    Scale shape: the corpus-side frame (list_id, codes, vnorm) is
+    write-once and ~50-100x smaller than the raw vectors — THIS is
+    the table a 10^12-vector deployment persists and bucket-joins;
+    raw vectors are read only by the rerank stage, k x n_queries
+    rows at a time.
+    """
+    from menelaus_spark.operators.dedup import _lloyd
+
+    rows = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy("__id")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    coarse = _lloyd(X, n_lists, n_iters, seed)
+    CB = np.stack([
+        _lloyd_l2(X[:, j * ds:(j + 1) * ds], n_codes, n_iters, seed + j)
+        for j in range(m)
+    ])
+    bias = 0.5 * np.einsum("mcd,mcd->mc", CB, CB)
+    m_eff, _nc = CB.shape[0], CB.shape[1]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<list_id: int, codes: array<int>>")
+    def encode_udf(v: pd.Series) -> pd.DataFrame:
+        M = np.asarray(v.tolist(), dtype=np.float64)
+        D = M @ coarse.T
+        D6 = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D)
+        lists = np.argmax(D6, axis=1).astype(np.int32)
+        codes = np.empty((len(M), m_eff), dtype=np.int32)
+        for j in range(m_eff):
+            S = M[:, j * ds:(j + 1) * ds] @ CB[j].T - bias[j]
+            S6 = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S)
+            codes[:, j] = np.argmax(S6, axis=1)
+        return pd.DataFrame({"list_id": lists, "codes": list(codes)})
+
+    vec = F.col(vec_col).cast("array<double>")
+    corpus = df.select(
+        F.col(id_col),
+        encode_udf(vec).alias("__e"),
+        F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x)).alias("vnorm"),
+    ).select(id_col, F.col("__e.list_id").alias("list_id"),
+             F.col("__e.codes").alias("codes"), "vnorm")
+
+    n_eff = len(coarse)
+    probe_rows = []
+    for qid, v in queries:
+        q = np.asarray(v, dtype=np.float64)
+        qn = float(np.sqrt(q @ q))
+        lut = [
+            [float(q[j * ds:(j + 1) * ds] @ CB[j, c]) for c in range(_nc)]
+            for j in range(m_eff)
+        ]
+        qd = np.round(coarse @ q * 1e6)
+        order = sorted(range(n_eff), key=lambda i: (-qd[i], i))[: min(nprobe, n_eff)]
+        for li in order:
+            probe_rows.append((str(qid), int(li), lut, qn))
+    qdf = df.sparkSession.createDataFrame(
+        probe_rows,
+        schema="query_id string, list_id int, lut array<array<double>>, qnorm double",
+    )
+    scored = corpus.join(F.broadcast(qdf), on="list_id").withColumn(
+        "approx_cosine",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("lut"), F.col("codes"),
+                           lambda lutrow, code: F.element_at(lutrow, code + 1)),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+            / F.when(F.col("vnorm") * F.col("qnorm") > 0,
+                     F.col("vnorm") * F.col("qnorm")).otherwise(F.lit(1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.col(id_col))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank))
+        .select("query_id", F.col(id_col), "approx_cosine", "rank")
+    )
+    if rerank <= 0:
+        return shortlist.filter(F.col("rank") <= k)
+    qv = df.sparkSession.createDataFrame(
+        [(str(qid), [float(x) for x in v]) for qid, v in queries],
+        schema="query_id string, qvec array<double>",
+    )
+    cand = shortlist.drop("rank").join(
+        df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("__v")),
+        on=id_col,
+    ).join(F.broadcast(qv), on="query_id").withColumn(
+        "cosine", F.round(cosine_cols(F.col("__v"), F.col("qvec")), 6)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col), "cosine", "rank")
+    )

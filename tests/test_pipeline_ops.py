@@ -412,3 +412,39 @@ def test_pq_ann_clustered_ground_truth(spark):
     for c in range(4):
         got = out[out["query_id"] == f"q{c}"]["vec_id"]
         assert (got % 4 == c).all()  # every hit from the right cluster
+
+
+def test_ivfpq_ann_composition(spark, emb):
+    rows = emb.limit(3).collect()
+    queries = [(f"q{i}", list(r["embedding"])) for i, r in enumerate(rows)]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", queries,
+                                   k=10).toPandas()
+    out = similarity.ivfpq_ann_topk(
+        emb, "vec_id", "embedding", queries, k=10, n_lists=4, nprobe=2,
+        rerank=100,
+    ).toPandas()
+    recalls = []
+    for qid in ("q0", "q1", "q2"):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & set(out[out["query_id"] == qid]["vec_id"])) / len(e))
+    # probing half the lists + PQ shortlist + exact rerank recovers most
+    assert np.mean(recalls) >= 0.5
+    # exact-reranked rank 1 is (near-)self
+    assert (out[out["rank"] == 1]["cosine"] > 0.999).all()
+    # full-probe + full-corpus rerank degenerates to the exact answer
+    full = similarity.ivfpq_ann_topk(
+        emb, "vec_id", "embedding", queries, k=10, n_lists=4, nprobe=4,
+        rerank=emb.count(),
+    ).toPandas()
+    e1 = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f1 = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert e1[["query_id", "vec_id", "rank"]].equals(
+        f1[["query_id", "vec_id", "rank"]])
+    # partition independence
+    again = similarity.ivfpq_ann_topk(
+        emb.repartition(7), "vec_id", "embedding", queries, k=10,
+        n_lists=4, nprobe=2, rerank=100,
+    ).toPandas()
+    a1 = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    a2 = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a1.equals(a2)
