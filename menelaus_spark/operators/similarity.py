@@ -404,11 +404,16 @@ def pq_ann_topk(
         [(str(qid), [float(x) for x in v]) for qid, v in queries],
         schema="query_id string, qvec array<double>",
     )
-    cand = shortlist.drop("rank").join(
-        df.select(F.col(id_col),
-                  F.col(vec_col).cast("array<double>").alias("__v")),
-        on=id_col,
-    ).join(F.broadcast(qv), on="query_id").withColumn(
+    # broadcast the SHORTLIST (<= rerank x n_queries rows), never the
+    # corpus: at sf-test sizes Spark's size estimate would otherwise
+    # broadcast the raw-vector table — harmless here, catastrophic at
+    # 10^12 rows (the explicit hint pins the at-scale plan: one scan
+    # of the vector column filtered by the tiny broadcast relation)
+    cand = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(F.broadcast(shortlist.drop("rank")), on=id_col).join(
+        F.broadcast(qv), on="query_id"
+    ).withColumn(
         "cosine", F.round(cosine_cols(F.col("__v"), F.col("qvec")), 6)
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
@@ -541,11 +546,16 @@ def ivfpq_ann_topk(
         [(str(qid), [float(x) for x in v]) for qid, v in queries],
         schema="query_id string, qvec array<double>",
     )
-    cand = shortlist.drop("rank").join(
-        df.select(F.col(id_col),
-                  F.col(vec_col).cast("array<double>").alias("__v")),
-        on=id_col,
-    ).join(F.broadcast(qv), on="query_id").withColumn(
+    # broadcast the SHORTLIST (<= rerank x n_queries rows), never the
+    # corpus: at sf-test sizes Spark's size estimate would otherwise
+    # broadcast the raw-vector table — harmless here, catastrophic at
+    # 10^12 rows (the explicit hint pins the at-scale plan: one scan
+    # of the vector column filtered by the tiny broadcast relation)
+    cand = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(F.broadcast(shortlist.drop("rank")), on=id_col).join(
+        F.broadcast(qv), on="query_id"
+    ).withColumn(
         "cosine", F.round(cosine_cols(F.col("__v"), F.col("qvec")), 6)
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
