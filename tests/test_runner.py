@@ -374,3 +374,44 @@ def test_neardup_rate_check(spark, tmp_path):
     crow2 = verdicts2.filter(F.col("check_name") == "neardup:clusters").collect()
     assert len(crow2) == 1 and crow2[0]["state"] == "pass"
     assert crow2[0]["statistic"] == 0.0
+
+
+def test_suite_all_corrupt_partition_and_empty_partition(spark, tmp_path):
+    # 10^12-row realism: a partition can be ENTIRELY damaged payloads,
+    # and a partition key can exist with zero rows. Neither may crash
+    # the suite; the all-corrupt partition must fail decode_integrity
+    # while its metadata-only checks still evaluate.
+    import pandas as pd
+
+    from menelaus_spark import tables
+    from menelaus_spark.runner import ValidationSuite
+
+    df = tables.audio_table(spark, n_rows=120, n_parts=3, null_frac=0.0,
+                            drift={2: {"corrupt_frac": 1.1}})  # > 1 -> every row
+    pdf = df.toPandas()
+    # drop every part-1 row AFTER generation: the partition directory
+    # vanishes, modeling a key gap in the partition axis
+    pdf = pdf[pdf["part"] != 1]
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(pdf, schema=tables.AUDIO_SCHEMA) \
+        .write.partitionBy("part").parquet(path)
+    suite = ValidationSuite(
+        spark, str(tmp_path / "ckpt"),
+        expected_schema=tables.AUDIO_SCHEMA,
+        ranges={"dur_ms": (200, 3000)},
+        kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+        payload_tol=0.02,
+        quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+    )
+    verdicts, violations = suite.run(spark.read.parquet(path))
+    v = {(r["partition_key"], r["check_name"]): r["state"]
+         for r in verdicts.collect()}
+    assert v[("2", "decode_integrity")] == "fail"
+    assert v[("2", "range:dur_ms")] == "pass"  # metadata checks survive
+    assert v[("0", "decode_integrity")] == "pass"
+    # the missing partition simply contributes no verdicts
+    assert not any(pk == "1" for pk, _ck in v)
+    # every damaged clip surfaces as a violation row
+    n_bad = int((violations.filter("check_name = 'decode_integrity'")
+                 .count()))
+    assert n_bad == int((pdf["part"] == 2).sum())
