@@ -448,3 +448,25 @@ def test_ivfpq_ann_composition(spark, emb):
     a1 = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     a2 = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a1.equals(a2)
+
+
+def test_pq_production_fanout(spark):
+    # production-ish quantizer sizes: m=16 subspaces x 64 codes = 1024
+    # LUT doubles per query. Codebooks live in the Arrow encode closure
+    # and LUTs ride a broadcast DataFrame column — NEITHER inlines into
+    # the Catalyst tree (the IVF literal-blowup failure mode), so the
+    # plan stays small and the query still answers correctly.
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 64)) * 2.0
+    rows = [(i, [float(x) for x in centers[i % 8]
+                 + 0.05 * rng.standard_normal(64)]) for i in range(2000)]
+    df = spark.createDataFrame(rows, schema="vec_id int, embedding array<double>")
+    queries = [(f"q{c}", [float(x) for x in centers[c]]) for c in range(3)]
+    out = similarity.pq_ann_topk(df, "vec_id", "embedding", queries,
+                                 k=10, m=16, n_codes=64, rerank=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000  # no codebook literal blow-up
+    pdf = out.toPandas()
+    for c in range(3):
+        got = pdf[pdf["query_id"] == f"q{c}"]["vec_id"]
+        assert len(got) == 10 and (got % 8 == c).all()
