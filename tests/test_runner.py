@@ -415,3 +415,45 @@ def test_suite_all_corrupt_partition_and_empty_partition(spark, tmp_path):
     n_bad = int((violations.filter("check_name = 'decode_integrity'")
                  .count()))
     assert n_bad == int((pdf["part"] == 2).sum())
+
+
+def test_resume_byte_identical_codec_mixed_corrupt(spark, tmp_path):
+    # resume byte-identity on the HARD input: three physical codecs AND
+    # a damaged partition — the kill/resume path must reproduce the
+    # one-shot verdict table bit-for-bit through tag-dispatch decode,
+    # block-quantized payload modeling and NaN decode-integrity rows.
+    import json as _json
+
+    from menelaus_spark import audio as _audio
+    from menelaus_spark.runner import ValidationSuite
+
+    df = tables.audio_table(
+        spark, n_rows=240, n_parts=6, null_frac=0.0,
+        drift={4: {"corrupt_frac": 0.3}}, real_codecs="full",
+    ).persist()
+
+    def suite(name):
+        return ValidationSuite(
+            spark, str(tmp_path / name),
+            expected_schema=tables.AUDIO_SCHEMA,
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            payload_tol=0.02,
+            payload_bps={"ulaw": 1.0, "alaw": 1.0,
+                         "adpcm": _audio.ADPCM_PAYLOAD_MODEL},
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+        )
+
+    full_v, _ = suite("oneshot").run(df)
+    full = sorted(_json.dumps(r.asDict(recursive=True), sort_keys=True)
+                  for r in full_v.collect())
+    suite("resumable").run(df.filter(F.col("part") < 3))  # "killed"
+    resumed_v, _ = suite("resumable").run(df)
+    resumed = sorted(_json.dumps(r.asDict(recursive=True), sort_keys=True)
+                     for r in resumed_v.collect())
+    assert resumed == full
+    # the damaged partition's verdicts survived the resume identically
+    states = {(r["partition_key"], r["check_name"]): r["state"]
+              for r in resumed_v.collect()}
+    assert states[("4", "decode_integrity")] == "fail"
+    df.unpersist()
