@@ -2812,6 +2812,19 @@ AUDIO_SUITE_DRIFT = {
 AUDIO_SUITE_DRIFT_CORRUPT = dict(AUDIO_SUITE_DRIFT)
 AUDIO_SUITE_DRIFT_CORRUPT[7] = {"corrupt_frac": 0.25}
 
+# the metadata-lies scenario: one partition of intact, decodable
+# payloads whose CLAIMED columns lie (rate doubled + duration halved /
+# the inverse / G.711 label swapped) — invisible to the O(length)
+# payload model, caught only by the header-vs-claim check
+AUDIO_SUITE_DRIFT_METALIES = dict(AUDIO_SUITE_DRIFT)
+AUDIO_SUITE_DRIFT_METALIES[7] = {"meta_lie_frac": 0.3}
+
+# claimed-codec -> WAV fmt tag for the metadata check ("flac" labels
+# deliberately unmapped: the synthetic tables park them over PCM16)
+AUDIO_CODEC_TAGS = {"pcm": 1, "ulaw": 7, "alaw": 6, "adpcm": 17}
+AUDIO_META_RULES = {"sr": True, "dur_tol_ms": 5.0,
+                    "codec_tags": AUDIO_CODEC_TAGS}
+
 
 def q_audio_suite_relational(spark, sf_dir):
     """The audio suite's RELATIONAL verdict families (constraint
@@ -2998,7 +3011,8 @@ def _audio_relational_oracle() -> str | None:
     """
 
 
-def _audio_suite_oracle(real_codecs=False, drift=None) -> str | None:
+def _audio_suite_oracle(real_codecs=False, drift=None,
+                        meta_rules=None) -> str | None:
     """Full-suite twin for q_audio_suite: regenerate the table with the
     numpy generator twin, DECODE the payloads with the same importable
     numpy kernels the Arrow UDF runs (features_for_batch), and replay
@@ -3036,6 +3050,7 @@ def _audio_suite_oracle(real_codecs=False, drift=None) -> str | None:
     # the Arrow UDF computes float32 then casts to float64 — same here
     feats = A.features_for_batch(
         pdf["bytes"].tolist(), pdf["codec"].tolist(), quality=True,
+        header=meta_rules is not None,
     ).astype(np.float64)
     F0 = feats[:, 0]
     clean = ~np.isnan(F0)
@@ -3142,6 +3157,23 @@ def _audio_suite_oracle(real_codecs=False, drift=None) -> str | None:
          & ((hi_band / np.where(tot_band == 0, 1.0, tot_band)) < 0.01)),
         ("payload_size", ~np.isnan(q_blen) & (np.abs(q_blen - expected) > tol)),
     ]
+    if meta_rules is not None:
+        # metadata-consistency twin: header facts from the SAME numpy
+        # kernel (features_for_batch header cols) vs the claimed columns
+        hdr0 = A.N_FEATURES + A.N_QUALITY
+        hdr_sr, hdr_ms, hdr_tag = feats[:, hdr0], feats[:, hdr0 + 1], feats[:, hdr0 + 2]
+        hdr_ok = ~np.isnan(hdr_sr)
+        lies = np.zeros(len(pdf), dtype=bool)
+        if meta_rules.get("sr", True):
+            lies |= hdr_ok & (hdr_sr != sr)
+        m_tol = meta_rules.get("dur_tol_ms")
+        if m_tol is not None:
+            lies |= hdr_ok & (np.abs(hdr_ms - dur) > float(m_tol))
+        tags = meta_rules.get("codec_tags") or {}
+        if tags:
+            exp_tag = np.array([float(tags.get(c, np.nan)) for c in codec])
+            lies |= hdr_ok & ~np.isnan(exp_tag) & (hdr_tag != exp_tag)
+        conds.append(("metadata_consistency", hdr_ok & lies))
     for p, pk in zip(parts, pks):
         m = part_arr == p
         for name, cond in conds:
@@ -3328,6 +3360,50 @@ def q_audio_suite_codecs(spark, sf_dir):
                          "adpcm": ADPCM_PAYLOAD_MODEL},
             quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                            "min_band_ratio": 0.01},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_metalies(spark, sf_dir):
+    """The flagship suite over a table with a LYING-metadata partition
+    (meta_lie_frac=0.3 in part 7 of the three-physical-codec table):
+    payloads intact and decodable, but the claimed (sr_hz, dur_ms,
+    codec) columns disagree with the container's own header — rate
+    doubled + duration halved (byte count unchanged, so payload_size
+    stays green), the inverse, and mu-law<->A-law label swaps (equal
+    bytes/sample, so again length-invisible). Only the
+    metadata_consistency check (header facts riding the decode pass)
+    can catch these. Oracle = the same full twin replay with the
+    header-fact conditions added."""
+    from menelaus_spark.audio import ADPCM_PAYLOAD_MODEL
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT_METALIES,
+                                real_codecs="full")
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            payload_bps={"ulaw": 1.0, "alaw": 1.0,
+                         "adpcm": ADPCM_PAYLOAD_MODEL},
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01},
+            meta_rules=AUDIO_META_RULES,
         )
         verdicts, _ = suite.run(spark.read.parquet(path))
         return verdicts.select("partition_key", "check_name", "state").orderBy(
@@ -4079,6 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_ulaw": q_audio_suite_ulaw,
         "audio_suite_codecs": q_audio_suite_codecs,
         "audio_suite_corrupt": q_audio_suite_corrupt,
+        "audio_suite_metalies": q_audio_suite_metalies,
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
         "audio_neardup_pad": q_audio_neardup_pad,
@@ -4603,6 +4680,10 @@ def oracle_sql() -> dict[str, str]:
         ("audio_suite_codecs", lambda: _audio_suite_oracle(real_codecs="full")),
         ("audio_suite_corrupt",
          lambda: _audio_suite_oracle(drift=AUDIO_SUITE_DRIFT_CORRUPT)),
+        ("audio_suite_metalies",
+         lambda: _audio_suite_oracle(real_codecs="full",
+                                     drift=AUDIO_SUITE_DRIFT_METALIES,
+                                     meta_rules=AUDIO_META_RULES)),
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_neardup_pad", _audio_neardup_pad_oracle),

@@ -389,6 +389,28 @@ def wav_decode(buf: bytes) -> tuple[int, np.ndarray]:
         f"unsupported WAV format tag {fmt_tag} / {bits} bits")
 
 
+def wav_header_facts(buf: bytes) -> tuple[int, int, int]:
+    """(sr_hz, n_samples, fmt_tag) from the container header ALONE — no
+    sample decode. The payload-side ground truth for the suite's
+    metadata-consistency check: a row whose claimed (sr_hz, dur_ms,
+    codec) columns disagree with what its own header says is lying in
+    a way the O(length) payload-size model cannot see (e.g. claimed
+    rate doubled AND duration halved — byte count unchanged). Raises
+    on unparseable/truncated containers (decode_integrity owns those
+    rows)."""
+    fmt_tag, sr_hz, bits, _body, n_data, n_fact = _wav_chunks(bytes(buf))
+    if fmt_tag == _WAVE_FMT_PCM and bits == 16:
+        n = n_data // 2
+    elif fmt_tag in (_WAVE_FMT_MULAW, _WAVE_FMT_ALAW) and bits == 8:
+        n = n_data
+    elif fmt_tag == _WAVE_FMT_IMA_ADPCM and bits == 4:
+        n = n_fact if n_fact is not None else (
+            n_data // ADPCM_BLOCK_ALIGN) * ADPCM_SPB
+    else:
+        raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+    return sr_hz, n, fmt_tag
+
+
 def decode_clip(buf: bytes, codec: str) -> tuple[int, np.ndarray]:
     """Decode one clip to (sr_hz, float32 PCM in [-1, 1]).
 
@@ -461,6 +483,13 @@ HOP = 256
 N_QUALITY = 5
 QUALITY_COLS = ("q_clip_rate", "q_silence_ratio", "q_lead_sil_ms",
                 "q_trail_sil_ms", "q_byte_len")
+# container-header facts (wav_header_facts) that ride the same decode
+# pass when the metadata-consistency check is enabled: actual sample
+# rate, actual duration (ms, from the header's own sample count), and
+# the fmt-chunk format tag. NaN where the header is unparseable —
+# those rows belong to decode_integrity.
+N_HEADER = 3
+HEADER_COLS = ("q_hdr_sr", "q_hdr_ms", "q_hdr_tag")
 # one int16 step below full scale: a sample is "clipped" when the
 # encoder saturated it at +/-32767 (or -32768)
 CLIP_LEVEL = 32766.5 / 32768.0
@@ -549,21 +578,28 @@ def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
 
 
 def features_for_batch(bufs, codecs, quality: bool = False,
-                       byte_len: bool = False) -> np.ndarray:
+                       byte_len: bool = False,
+                       header: bool = False) -> np.ndarray:
     """Vectorized-over-batch feature extraction for a pandas UDF body.
 
     Returns an (n, N_FEATURES) float32 matrix; ``quality=True``
     appends :func:`quality_metrics` + the payload byte length
     (N_QUALITY extra columns); ``byte_len=True`` alone appends ONLY
     the byte-length column — the payload-size check without the
-    quality kernels' per-clip frame-RMS cost. Decode failures yield a
-    NaN row — which the Arrow boundary delivers to Spark as NULLs, so
+    quality kernels' per-clip frame-RMS cost. ``header=True`` appends
+    the HEADER_COLS container facts (:func:`wav_header_facts`) after
+    everything else — the metadata-consistency check rides the same
+    single read of the binary column. Decode failures yield a NaN
+    row — which the Arrow boundary delivers to Spark as NULLs, so
     engine-side filters must be null-robust (runner._f0_clean) — and is
     surfaced as violation rows by the decode-integrity check, never as
     a UDF crash.
     """
-    width = N_FEATURES + (N_QUALITY if quality else (1 if byte_len else 0))
+    n_q = N_QUALITY if quality else (1 if byte_len else 0)
+    width = N_FEATURES + n_q + (N_HEADER if header else 0)
     want_len = quality or byte_len
+    len_pos = N_FEATURES + n_q - 1
+    hdr0 = N_FEATURES + n_q
     out = np.empty((len(bufs), width), dtype=np.float32)
     # one batched decode: ADPCM clips expand in a single vectorized
     # pass; failures (null/corrupt/non-WAV payloads) come back None
@@ -576,7 +612,8 @@ def features_for_batch(bufs, codecs, quality: bool = False,
             sr, pcm = dec
             out[i, :N_FEATURES] = extract_features(pcm, sr)
             if quality:
-                out[i, N_FEATURES:-1] = quality_metrics(pcm, sr)
+                out[i, N_FEATURES:N_FEATURES + N_QUALITY - 1] = (
+                    quality_metrics(pcm, sr))
         except Exception:
             out[i] = np.nan
         if want_len and buf is not None:
@@ -585,13 +622,22 @@ def features_for_batch(bufs, codecs, quality: bool = False,
             # is never re-read by the constraint aggregation. Null
             # payloads keep NaN (mirrors the fallback path's
             # isNotNull guard, so both paths' statistics agree)
-            out[i, -1] = len(bytes(buf))
+            out[i, len_pos] = len(bytes(buf))
+        if header:
+            try:
+                hsr, hn, htag = wav_header_facts(buf)
+                out[i, hdr0] = hsr
+                out[i, hdr0 + 1] = 1000.0 * hn / hsr
+                out[i, hdr0 + 2] = htag
+            except Exception:
+                out[i, hdr0:hdr0 + N_HEADER] = np.nan
     return out
 
 
 def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
                 codec_col: str = "codec", carry_cols: tuple[str, ...] = (),
-                quality: bool = False, byte_len: bool = False):
+                quality: bool = False, byte_len: bool = False,
+                header: bool = False):
     """(key, f0..f11[, q_*]) feature DataFrame via mapInPandas — the
     Arrow-batched decode + feature path (no per-row Python in the plan;
     the numpy kernel runs per Arrow batch). Only (key, bytes, codec)
@@ -607,6 +653,8 @@ def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
         feature_cols += list(QUALITY_COLS)
     elif byte_len:
         feature_cols += [QUALITY_COLS[-1]]
+    if header:
+        feature_cols += list(HEADER_COLS)
     carry_types = dict(df.dtypes)
     head = f"{key_col} string"
     for c in carry_cols:
@@ -617,7 +665,7 @@ def features_df(df, key_col: str = "clip_id", bytes_col: str = "bytes",
         for pdf in batches:
             mat = features_for_batch(
                 pdf[bytes_col].tolist(), pdf[codec_col].tolist(),
-                quality=quality, byte_len=byte_len,
+                quality=quality, byte_len=byte_len, header=header,
             )
             out = pd.DataFrame(mat.astype(np.float64), columns=feature_cols)
             for c in reversed(carry_cols):

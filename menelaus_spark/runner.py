@@ -97,6 +97,7 @@ class ValidationSuite:
         payload_bps: dict | None = None,
         codec_col: str = "codec",
         quality_rules: dict | None = None,
+        meta_rules: dict | None = None,
         transcript_col: str = "transcript",
         dur_col: str = "dur_ms",
         sr_col: str = "sr_hz",
@@ -159,6 +160,21 @@ class ValidationSuite:
         self.payload_bps = dict(payload_bps) if payload_bps else None
         self.codec_col = codec_col
         self.quality_rules = quality_rules or None
+        # metadata-consistency: compare the CLAIMED (sr_hz, dur_ms,
+        # codec) columns against the container header's own facts
+        # (audio.wav_header_facts, riding the decode pass as the
+        # q_hdr_* columns — zero extra reads of the binary column).
+        # Catches the lies the O(length) payload model cannot: rate
+        # doubled + duration halved (byte count unchanged), or a codec
+        # label swapped between equal-rate codecs (mu-law <-> A-law).
+        # Keys: "sr" (bool, default True — claimed rate must equal the
+        # header rate), "dur_tol_ms" (float|None — |header duration -
+        # claimed| bound), "codec_tags" ({label: fmt_tag} — labels in
+        # the map must sit over a container with that format tag;
+        # unmapped labels are skipped, so corpora whose labels are
+        # known-logical (e.g. "flac" over PCM16 test fixtures) aren't
+        # mass-flagged).
+        self.meta_rules = dict(meta_rules) if meta_rules else None
         self.transcript_col = transcript_col
         self.dur_col = dur_col
         self.sr_col = sr_col
@@ -179,10 +195,12 @@ class ValidationSuite:
         constraint aggregation."""
         return self.payload_tol is not None and (
             self.kdq is not None or self.quality_rules is not None
+            or self.meta_rules is not None
         )
 
     def _quality_active(self) -> bool:
-        return self.quality_rules is not None or self._payload_in_decode()
+        return (self.quality_rules is not None or self._payload_in_decode()
+                or self.meta_rules is not None)
 
     def _feats_carry_cols(self, with_part: bool) -> tuple:
         carry = (self.partition_col,) if with_part else ()
@@ -190,6 +208,11 @@ class ValidationSuite:
             carry += (self.sr_col, self.dur_col)
             if self.payload_codecs is not None or self.payload_bps is not None:
                 carry += (self.codec_col,)
+        if self.meta_rules is not None:
+            extra = (self.sr_col, self.dur_col)
+            if self.meta_rules.get("codec_tags"):
+                extra += (self.codec_col,)
+            carry += tuple(c for c in extra if c not in carry)
         return carry
 
     def _payload_codec_gate(self):
@@ -243,6 +266,34 @@ class ValidationSuite:
                         & self._payload_codec_gate()
                         & (F.abs(F.col("q_byte_len") - expected) > tol),
                         F.col("q_byte_len").cast("long").cast("string")))
+        if self.meta_rules is not None:
+            m = self.meta_rules
+            lies = F.lit(False)
+            if m.get("sr", True):
+                lies = lies | (F.col("q_hdr_sr")
+                               != F.col(self.sr_col).cast("double"))
+            if m.get("dur_tol_ms") is not None:
+                lies = lies | (
+                    F.abs(F.col("q_hdr_ms") - F.col(self.dur_col).cast("double"))
+                    > F.lit(float(m["dur_tol_ms"])))
+            tags = m.get("codec_tags")
+            if tags:
+                want = F.create_map(
+                    *[F.lit(x) for k, v in sorted(tags.items())
+                      for x in (k, float(v))])
+                exp_tag = want[F.col(self.codec_col)]
+                lies = lies | (exp_tag.isNotNull()
+                               & (F.col("q_hdr_tag") != exp_tag))
+            # rows whose header never parsed belong to decode_integrity,
+            # not here — same division of labor as the quality checks
+            out.append(("metadata_consistency",
+                        F.col("q_hdr_sr").isNotNull()
+                        & ~F.isnan("q_hdr_sr") & lies,
+                        F.concat_ws(
+                            ":",
+                            F.col("q_hdr_sr").cast("long").cast("string"),
+                            F.round(F.col("q_hdr_ms"), 1).cast("string"),
+                            F.col("q_hdr_tag").cast("long").cast("string"))))
         return out
 
     def _quality_counts_by_part(self, feats: DataFrame, pks: list[str]) -> dict:
@@ -545,6 +596,7 @@ class ValidationSuite:
                 carry_cols=self._feats_carry_cols(with_part=False),
                 quality=self.quality_rules is not None,
                 byte_len=self._payload_in_decode(),
+                header=self.meta_rules is not None,
             ).persist()
             self._feats_cache = feats
         if self.kdq is not None:
@@ -1014,6 +1066,7 @@ class ValidationSuite:
                 carry_cols=self._feats_carry_cols(with_part=True),
                 quality=self.quality_rules is not None,
                 byte_len=self._payload_in_decode(),
+                header=self.meta_rules is not None,
             ).persist()
             self._feats_cache = feats
         if self.kdq is not None:

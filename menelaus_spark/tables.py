@@ -323,6 +323,25 @@ def _gen_rows(
                 buf = buf[: int(rng.integers(4, 44))]
             else:
                 buf = b"JUNK" + buf[4:]
+        # meta_lie_frac: bad-ingestion metadata — the payload is intact
+        # and decodable but the CLAIMED columns lie, in ways invisible
+        # to the O(length) payload-size model. Three kinds, cycled by
+        # idx: 0 = rate doubled + duration halved (byte count
+        # unchanged), 1 = rate halved + duration doubled, 2 = codec
+        # label swapped between the equal-rate G.711 companders
+        # (mu-law <-> A-law; falls back to kind 0 when the row isn't
+        # G.711). Only metadata_consistency (header-vs-claim) can see
+        # these. Extra rng draw only in partitions that request the
+        # key, so every other configuration stays byte-identical.
+        meta_lie = float(d.get("meta_lie_frac", 0.0))
+        if meta_lie and rng.random() < meta_lie:
+            kind = idx % 3
+            if kind == 2 and codec in ("ulaw", "alaw"):
+                codec = "alaw" if codec == "ulaw" else "ulaw"
+            elif kind == 1:
+                sr, dur = sr // 2, dur * 2
+            else:
+                sr, dur = sr * 2, dur // 2
         out["clip_id"].append(clip_id)
         out["bytes"].append(buf)
         out["sr_hz"].append(sr)

@@ -36,6 +36,30 @@ def test_non_wav_raises():
         audio.decode_clip(b"\x00\x01\x02\x03garbage", "opus")
 
 
+def test_wav_header_facts_all_codecs():
+    # header facts (rate, sample count, fmt tag) must come from the
+    # container alone, for every physical codec — the ground truth the
+    # metadata-consistency check compares the claimed columns against
+    rng = np.random.default_rng(11)
+    pcm = (rng.standard_normal(1601) * 8000).astype(np.int16)
+    for enc, tag, n in [
+        (audio.wav_encode, 1, 1601),
+        (audio.wav_encode_mulaw, 7, 1601),
+        (audio.wav_encode_alaw, 6, 1601),
+        (audio.wav_encode_adpcm, 17, 1601),  # fact chunk keeps exact n
+    ]:
+        sr, n_got, tag_got = audio.wav_header_facts(enc(pcm, 16000))
+        assert (sr, n_got, tag_got) == (16000, n, tag), enc.__name__
+    # trailing junk after the data chunk never changes the facts
+    buf = audio.wav_encode(pcm, 16000) + b"\x00" * 512
+    assert audio.wav_header_facts(buf) == (16000, 1601, 1)
+    # unparseable containers raise (decode_integrity owns those rows)
+    with pytest.raises(ValueError):
+        audio.wav_header_facts(b"JUNK" + audio.wav_encode(pcm, 16000)[4:])
+    with pytest.raises(ValueError):
+        audio.wav_header_facts(audio.wav_encode(pcm, 16000)[:30])
+
+
 def test_feature_vector_shape_and_determinism():
     pcm = (np.sin(np.linspace(0, 50, 3200)) * 15000).astype(np.int16)
     f1 = audio.extract_features(pcm.astype(np.float64) / 32768.0, 16000)

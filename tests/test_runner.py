@@ -417,6 +417,93 @@ def test_suite_all_corrupt_partition_and_empty_partition(spark, tmp_path):
     assert n_bad == int((pdf["part"] == 2).sum())
 
 
+_META_RULES = {"sr": True, "dur_tol_ms": 5.0,
+               "codec_tags": {"pcm": 1, "ulaw": 7, "alaw": 6, "adpcm": 17}}
+_META_DRIFT = {4: {"meta_lie_frac": 0.4}}
+
+
+def _meta_suite(spark, tmp_path, name, **kw):
+    from menelaus_spark import audio
+
+    return ValidationSuite(
+        spark, str(tmp_path / name),
+        expected_schema=tables.AUDIO_SCHEMA,
+        ranges={"dur_ms": (100, 8000)},  # lies double dur_ms: keep range quiet
+        kdq_features=False,
+        payload_tol=0.02,
+        payload_bps={"ulaw": 1.0, "alaw": 1.0,
+                     "adpcm": audio.ADPCM_PAYLOAD_MODEL},
+        meta_rules=_META_RULES,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def metalies_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("metalies") / "table")
+    tables.write_audio_table(
+        tables.audio_table(spark, n_rows=240, n_parts=6, null_frac=0.0,
+                           drift=_META_DRIFT, real_codecs="full"), path)
+    return spark.read.parquet(path)
+
+
+def test_metadata_consistency_check(spark, tmp_path, metalies_df):
+    # lying metadata with intact payloads: compensated rate/duration
+    # swaps keep the byte count unchanged (payload_size MUST stay
+    # green — that's the check's reason to exist) and G.711 label
+    # swaps keep bytes/sample equal; only the header-vs-claim check
+    # fires, in exactly the lying partition
+    import numpy as np
+
+    from menelaus_spark import audio
+
+    verdicts_df, violations_df = _meta_suite(spark, tmp_path, "meta").run(metalies_df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    for pk in map(str, range(6)):
+        assert v[(pk, "payload_size")]["state"] == "pass", pk
+        assert v[(pk, "decode_integrity")]["state"] == "pass", pk
+        want = "fail" if pk == "4" else "pass"
+        assert v[(pk, "metadata_consistency")]["state"] == want, pk
+
+    # exact violation set from the same numpy kernel the Arrow pass runs
+    pdf = tables._gen_rows(np.arange(240), 42, 6, 40, _META_DRIFT, 0.0, 0.0,
+                           6.6, 0.5, (200, 3000), True, 0.0,
+                           ("gain", "resample"), "full")
+    feats = audio.features_for_batch(pdf["bytes"].tolist(),
+                                     pdf["codec"].tolist(), header=True)
+    h0 = audio.N_FEATURES
+    hdr_sr, hdr_ms, hdr_tag = feats[:, h0], feats[:, h0 + 1], feats[:, h0 + 2]
+    sr = pdf["sr_hz"].to_numpy(np.float64)
+    dur = pdf["dur_ms"].to_numpy(np.float64)
+    tags = _META_RULES["codec_tags"]
+    exp = np.array([float(tags.get(c, np.nan)) for c in pdf["codec"]])
+    ok = ~np.isnan(hdr_sr)
+    sr_lie = ok & (hdr_sr != sr)
+    dur_lie = ok & (np.abs(hdr_ms - dur) > 5.0)
+    tag_lie = ok & ~np.isnan(exp) & (hdr_tag != exp)
+    lies = sr_lie | dur_lie | tag_lie
+    expect_ids = set(pdf["clip_id"][lies])
+    got_ids = {r["row_key"] for r in violations_df.filter(
+        "check_name = 'metadata_consistency'").collect()}
+    assert got_ids == expect_ids and len(got_ids) >= 10
+    # the fixture exercises a PURE label swap too: header rate and
+    # duration agree with the claim, only the format tag lies — the
+    # class neither payload_size nor any rate arithmetic can see
+    assert bool((tag_lie & ~sr_lie & ~dur_lie).any())
+
+
+def test_metadata_vectorized_matches_sequential(spark, tmp_path, metalies_df):
+    v_rows, _ = _meta_suite(spark, tmp_path, "meta_vec").run(
+        metalies_df, vectorized=True)
+    s_rows, _ = _meta_suite(spark, tmp_path, "meta_seq").run(
+        metalies_df, vectorized=False)
+    v = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True)
+               for r in v_rows.collect())
+    s = sorted(json.dumps(r.asDict(recursive=True), sort_keys=True)
+               for r in s_rows.collect())
+    assert v == s
+
+
 def test_resume_byte_identical_codec_mixed_corrupt(spark, tmp_path):
     # resume byte-identity on the HARD input: three physical codecs AND
     # a damaged partition — the kill/resume path must reproduce the
