@@ -516,7 +516,8 @@ def test_resume_byte_identical_codec_mixed_corrupt(spark, tmp_path):
 
     df = tables.audio_table(
         spark, n_rows=240, n_parts=6, null_frac=0.0,
-        drift={4: {"corrupt_frac": 0.3}}, real_codecs="full",
+        drift={3: {"meta_lie_frac": 0.3}, 4: {"corrupt_frac": 0.3}},
+        real_codecs="full",
     ).persist()
 
     def suite(name):
@@ -529,6 +530,7 @@ def test_resume_byte_identical_codec_mixed_corrupt(spark, tmp_path):
             payload_bps={"ulaw": 1.0, "alaw": 1.0,
                          "adpcm": _audio.ADPCM_PAYLOAD_MODEL},
             quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9},
+            meta_rules=_META_RULES,
         )
 
     full_v, _ = suite("oneshot").run(df)
@@ -539,8 +541,11 @@ def test_resume_byte_identical_codec_mixed_corrupt(spark, tmp_path):
     resumed = sorted(_json.dumps(r.asDict(recursive=True), sort_keys=True)
                      for r in resumed_v.collect())
     assert resumed == full
-    # the damaged partition's verdicts survived the resume identically
+    # the damaged + lying partitions' verdicts survived the resume
+    # identically, each caught by its own check
     states = {(r["partition_key"], r["check_name"]): r["state"]
               for r in resumed_v.collect()}
     assert states[("4", "decode_integrity")] == "fail"
+    assert states[("3", "metadata_consistency")] == "fail"
+    assert states[("3", "decode_integrity")] == "pass"
     df.unpersist()
