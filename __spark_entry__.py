@@ -313,6 +313,49 @@ def q_ks_value_click_vs_error(spark, sf_dir):
     )
 
 
+def q_emd_value_click_vs_error(spark, sf_dir):
+    """Earth Mover's (1-Wasserstein) distance between `value`
+    distributions of click vs error events, in value units: binwidth *
+    sum over bins of |CDF gap| — the same aligned cumulative histograms
+    the KS entry uses (functions/distances.emd_1d is the suite-side
+    numpy twin). EMD integrates the whole CDF gap, catching thin mean
+    shifts KS's single max understates."""
+    from pyspark.sql import Window
+
+    from menelaus_spark.operators.histograms import bin_index_col, joint_minmax
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(["click", "error"]))
+    lo, hi = joint_minmax(ev, ["value"])["value"]
+    binned = ev.select(
+        "event_type",
+        bin_index_col(F.col("value").cast("double"), lo, hi, HIST_BINS).alias("bin"),
+    ).filter(F.col("bin").isNotNull())
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("c2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    bw = (float(hi) - float(lo)) / HIST_BINS
+    # unlike KS's max, the EMD sum must count EMPTY bins: the CDF gap
+    # after a populated bin persists across every empty bin up to the
+    # next populated one, so each row's |gap| is weighted by that span
+    # (the last populated bin's gap is 0 — both CDFs reach 1)
+    return (
+        counts.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .withColumn("span",
+                    F.lead("bin", 1, HIST_BINS).over(Window.orderBy("bin"))
+                    - F.col("bin"))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(
+            F.lit(bw) * F.sum(F.col("span").cast("double")
+                              * F.abs(F.col("cum1") / F.col("t1")
+                                      - F.col("cum2") / F.col("t2"))),
+            6).alias("emd"))
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup / similarity / text pipeline ops
 
@@ -4110,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hellinger_returnflag": q_hellinger_returnflag,
         "psi_event_type_halves": q_psi_event_type_halves,
         "ks_value_click_vs_error": q_ks_value_click_vs_error,
+        "emd_value_click_vs_error": q_emd_value_click_vs_error,
         # dedup / similarity / text
         "minhash_documents": q_minhash_documents,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -4370,6 +4414,31 @@ def oracle_sql() -> dict[str, str]:
               FROM counts),
             tot AS (SELECT sum(c1) t1, sum(c2) t2 FROM counts)
             SELECT round(max(abs(cum1 / t1 - cum2 / t2)), 6) AS ks FROM cum, tot
+        """,
+
+        "emd_value_click_vs_error": f"""
+            WITH ev AS (SELECT * FROM events WHERE event_type IN ('click','error')),
+            rng AS (SELECT min(value) lo, max(value) hi FROM ev),
+            binned AS (
+              SELECT event_type,
+                     CASE WHEN value = hi THEN {HIST_BINS - 1}
+                          ELSE least(floor((value - lo) / ((hi - lo) / {HIST_BINS}))::INT,
+                                     {HIST_BINS - 1}) END AS bin
+              FROM ev, rng WHERE value IS NOT NULL),
+            counts AS (
+              SELECT bin,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+              FROM binned GROUP BY bin),
+            cum AS (
+              SELECT sum(c1) OVER (ORDER BY bin) AS cum1,
+                     sum(c2) OVER (ORDER BY bin) AS cum2,
+                     lead(bin, 1, {HIST_BINS}) OVER (ORDER BY bin) - bin AS span
+              FROM counts),
+            tot AS (SELECT sum(c1) t1, sum(c2) t2 FROM counts)
+            SELECT round(((SELECT (hi - lo) / {HIST_BINS} FROM rng))
+                         * sum(span * abs(cum1 / t1 - cum2 / t2)), 6) AS emd
+            FROM cum, tot
         """,
         "minhash_documents": f"""
             WITH toks AS (

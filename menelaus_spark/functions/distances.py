@@ -102,6 +102,24 @@ def ks_statistic(ref_hist: np.ndarray, test_hist: np.ndarray) -> float:
     return float(np.max(np.abs(np.cumsum(r) / rs - np.cumsum(t) / ts)))
 
 
+def emd_1d(ref_hist: np.ndarray, test_hist: np.ndarray,
+           lo: float, hi: float) -> float:
+    """First Wasserstein distance (Earth Mover's Distance) between two
+    aligned-bin histograms on [lo, hi], in the column's own units:
+    binwidth * sum_bins |CDF_ref - CDF_test|. (Not in the reference —
+    north-star drift-family addition; integrates the WHOLE CDF gap, so
+    a mean shift spread thinly over many bins that KS's single max
+    understates still accumulates.) Rides the SAME collected KS
+    histograms — zero extra passes."""
+    r = np.asarray(ref_hist, dtype=np.float64)
+    t = np.asarray(test_hist, dtype=np.float64)
+    rs, ts = r.sum(), t.sum()
+    if rs == 0 or ts == 0 or hi <= lo:
+        return 0.0
+    bw = (float(hi) - float(lo)) / r.size
+    return float(bw * np.sum(np.abs(np.cumsum(r) / rs - np.cumsum(t) / ts)))
+
+
 def intersection_divergence(p: np.ndarray, q: np.ndarray) -> float:
     """1 - sum(min(p_i, q_i)) on normalized histograms, matching
     /root/reference/menelaus/data_drift/pca_cd.py:347-371."""

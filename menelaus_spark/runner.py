@@ -82,6 +82,8 @@ class ValidationSuite:
         ks_cols: tuple[str, ...] = ("dur_ms", "sr_hz"),
         psi_col: str | None = "codec",
         psi_threshold: float = 0.2,
+        emd_cols: tuple[str, ...] = (),
+        emd_threshold: float | dict | None = None,
         kdq_features: bool = True,
         referential: DataFrame | None = None,
         seed: int = 42,
@@ -115,6 +117,21 @@ class ValidationSuite:
         self.ks_cols = list(ks_cols)
         self.psi_col = psi_col
         self.psi_threshold = psi_threshold
+        # Earth Mover's (1-Wasserstein) drift vs the reference
+        # partition, computed from the SAME collected KS histograms —
+        # zero extra passes, so emd_cols must be a subset of ks_cols.
+        # Thresholds are in the column's own units (a dict per column,
+        # or one float for all); EMD integrates the whole CDF gap, so
+        # it accumulates mean shifts that KS's single max understates.
+        self.emd_cols = list(emd_cols)
+        missing = set(self.emd_cols) - set(self.ks_cols)
+        if missing:
+            raise ValueError(
+                f"emd_cols must be a subset of ks_cols (EMD rides the KS "
+                f"histogram pass); not in ks_cols: {sorted(missing)}")
+        if self.emd_cols and emd_threshold is None:
+            raise ValueError("emd_cols requires emd_threshold")
+        self.emd_threshold = emd_threshold
         self.kdq_features = kdq_features
         self.referential = referential
         self.seed = seed
@@ -550,6 +567,20 @@ class ValidationSuite:
                     thr = ks_critical(ref["n"], int(mat[c].sum()), self.ks_alpha)
                     verdicts.append(Verdict(pk, f"ks:{c}", DRIFT if stat > thr else PASS,
                                             statistic=stat, threshold=thr, n_rows=n_rows))
+        for c in self.emd_cols:
+            if is_ref:
+                verdicts.append(Verdict(pk, f"emd:{c}", PASS, statistic=0.0,
+                                        threshold=None, n_rows=n_rows,
+                                        details={"role": "reference"}))
+            else:
+                thr = (self.emd_threshold[c]
+                       if isinstance(self.emd_threshold, dict)
+                       else float(self.emd_threshold))
+                ref = self._ks_ref[c]  # emd_cols <= ks_cols: always set
+                stat = dist.emd_1d(np.array(ref["counts"]), mat[c],
+                                   ref["lo"], ref["hi"])
+                verdicts.append(Verdict(pk, f"emd:{c}", DRIFT if stat > thr else PASS,
+                                        statistic=stat, threshold=thr, n_rows=n_rows))
         if self.psi_col:
             if is_ref:
                 self._psi_ref = {"freqs": freqs, "n": n_rows}

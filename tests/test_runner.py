@@ -72,6 +72,28 @@ def test_full_suite_drift_detection(spark, tmp_path, audio_df):
     assert violations_df.count() == 0
 
 
+def test_emd_drift_check(spark, tmp_path, audio_df):
+    # Earth Mover's drift rides the SAME collected KS histograms (zero
+    # extra passes): emd:dur_ms must flag the dur_mu_shift partition
+    # and stay quiet on every control (measured: shifted 852 ms vs
+    # controls 28-88 ms against the 150 ms threshold)
+    suite = _suite(spark, tmp_path, "emd", kdq_features=False,
+                   emd_cols=("dur_ms",), emd_threshold={"dur_ms": 150.0})
+    verdicts_df, _ = suite.run(audio_df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("5", "emd:dur_ms")]["state"] == "drift"
+    assert v[("5", "emd:dur_ms")]["statistic"] > 500.0
+    for pk in ("1", "2", "3", "4", "6", "7", "8", "9"):
+        assert v[(pk, "emd:dur_ms")]["state"] == "pass", pk
+    assert v[("0", "emd:dur_ms")]["details"] == {"role": "reference"}
+    # EMD-only columns would need their own histogram pass — refused
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "emd_bad", emd_cols=("value",),
+               emd_threshold=1.0)
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "emd_bad2", emd_cols=("dur_ms",))
+
+
 def test_resume_byte_identical(spark, tmp_path, audio_df):
     # single-shot run
     s_full = _suite(spark, tmp_path, "oneshot")

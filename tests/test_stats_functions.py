@@ -65,6 +65,26 @@ def test_psi_and_ks():
     assert abs(D.ks_statistic(np.array([1.0, 0]), np.array([0, 1.0])) - 1.0) < 1e-12
 
 
+def test_emd_1d():
+    r = np.array([50, 30, 20.0])
+    assert D.emd_1d(r, r, 0.0, 3.0) == 0.0
+    # point mass moved k bins = k * binwidth, exactly
+    a = np.zeros(10); a[0] = 1.0
+    b = np.zeros(10); b[7] = 1.0
+    assert abs(D.emd_1d(a, b, 0.0, 10.0) - 7.0) < 1e-12
+    # scale-free in counts, linear in the value range
+    assert abs(D.emd_1d(5 * a, 3 * b, 0.0, 20.0) - 14.0) < 1e-12
+    # empty histograms and degenerate ranges are quiet zeros
+    assert D.emd_1d(np.zeros(4), b[:4], 0.0, 1.0) == 0.0
+    assert D.emd_1d(a, b, 2.0, 2.0) == 0.0
+    # EMD accumulates what KS's max understates: two half-masses each
+    # shifted one bin give KS 0.5 but EMD a full binwidth
+    p = np.array([1.0, 0, 1.0, 0])
+    q = np.array([0, 1.0, 0, 1.0])
+    assert abs(D.ks_statistic(p, q) - 0.5) < 1e-12
+    assert abs(D.emd_1d(p, q, 0.0, 4.0) - 1.0) < 1e-12
+
+
 def test_intersection():
     p = np.array([1.0, 0.0])
     q = np.array([0.0, 1.0])
