@@ -3055,7 +3055,7 @@ def _audio_relational_oracle() -> str | None:
 
 
 def _audio_suite_oracle(real_codecs=False, drift=None,
-                        meta_rules=None) -> str | None:
+                        meta_rules=None, extra_rows=None) -> str | None:
     """Full-suite twin for q_audio_suite: regenerate the table with the
     numpy generator twin, DECODE the payloads with the same importable
     numpy kernels the Arrow UDF runs (features_for_batch), and replay
@@ -3260,6 +3260,7 @@ def _audio_suite_oracle(real_codecs=False, drift=None,
         stat = float(np.sum((qq - pp) * np.log(qq / pp)))
         verdicts.append((pk, "psi:codec", "drift" if stat > 0.2 else "pass"))
 
+    verdicts.extend(extra_rows or [])
     vals = ", ".join(f"('{pk}', '{ck}', '{st}')" for pk, ck, st in verdicts)
     return ("SELECT * FROM (VALUES " + vals
             + ") t(partition_key, check_name, state) "
@@ -3294,6 +3295,54 @@ def q_audio_suite(spark, sf_dir):
                            "min_band_ratio": 0.01},
         )
         verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_lineage(spark, sf_dir):
+    """The flagship suite killed after 3 partitions, then resumed with
+    verify_lineage=True over a table whose ALREADY-VALIDATED part 1 had
+    keys rewritten underneath the checkpoint (same row count, different
+    key set). The resume must (a) reproduce the one-shot verdict table
+    byte-identically for every check — the tamper touches only clip_id,
+    which no restored detector state consumes — and (b) add `lineage`
+    rows for exactly the replayed partitions, failing exactly the
+    tampered one. Oracle = the untampered full twin replay + the three
+    expected lineage rows."""
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT)
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+
+        def suite():
+            return ValidationSuite(
+                spark, os.path.join(ckpt, "state"),
+                expected_schema=tables.AUDIO_SCHEMA,
+                null_rate_max={"transcript": 0.2},
+                ranges={"dur_ms": (200, 3000)},
+                kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+                cps_bounds=(1.0, 60.0),
+                payload_tol=0.02,
+                quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                               "min_band_ratio": 0.01},
+            )
+
+        src = spark.read.parquet(path)
+        suite().run(src.filter(F.col("part") < 3))  # "killed"
+        tampered = src.withColumn(
+            "clip_id",
+            F.when((F.col("part") == 1) & F.col("clip_id").endswith("1"),
+                   F.concat(F.col("clip_id"), F.lit("_x")))
+            .otherwise(F.col("clip_id")))
+        verdicts, _ = suite().run(tampered, verify_lineage=True)
         return verdicts.select("partition_key", "check_name", "state").orderBy(
             "partition_key", "check_name"
         )
@@ -4200,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_codecs": q_audio_suite_codecs,
         "audio_suite_corrupt": q_audio_suite_corrupt,
         "audio_suite_metalies": q_audio_suite_metalies,
+        "audio_suite_lineage": q_audio_suite_lineage,
         "audio_neardup": q_audio_neardup,
         "audio_neardup_trim": q_audio_neardup_trim,
         "audio_neardup_pad": q_audio_neardup_pad,
@@ -4753,6 +4803,10 @@ def oracle_sql() -> dict[str, str]:
          lambda: _audio_suite_oracle(real_codecs="full",
                                      drift=AUDIO_SUITE_DRIFT_METALIES,
                                      meta_rules=AUDIO_META_RULES)),
+        ("audio_suite_lineage",
+         lambda: _audio_suite_oracle(extra_rows=[
+             ("0", "lineage", "pass"), ("1", "lineage", "fail"),
+             ("2", "lineage", "pass")])),
         ("audio_neardup", _audio_neardup_oracle),
         ("audio_neardup_trim", _audio_neardup_trim_oracle),
         ("audio_neardup_pad", _audio_neardup_pad_oracle),

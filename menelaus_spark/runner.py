@@ -852,10 +852,60 @@ class ValidationSuite:
             ).as_row(),
         ]
 
-    def run(self, df: DataFrame, vectorized: bool = True) -> tuple[DataFrame, DataFrame]:
+    def _lineage_verdicts(self, df: DataFrame, scope: set[str]) -> list[dict]:
+        """Re-fingerprint every COMPLETED partition (one metadata-only
+        aggregation over the key column — pruned scan, no payload read)
+        and compare against the manifest's recorded lineage. A replayed
+        partition whose data silently changed since it was validated —
+        rows added/removed, keys rewritten, the whole partition gone —
+        gets a `lineage` FAIL row alongside its (now stale) replayed
+        verdicts. Deliberately NOT auto-revalidated: the sequential
+        drift chain (HDM reference growth, kdq reference, KS baseline)
+        already consumed the original data, so recomputing one
+        mid-chain partition out of order would corrupt the sequence
+        semantics; the remedy is a fresh checkpoint. Verdict fields:
+        statistic = found row count, threshold = recorded row count,
+        details carry both fingerprints on mismatch."""
+        recs = {r["partition_key"]: r["fingerprint"]
+                for r in self.manifest.records
+                if r["partition_key"] in scope}
+        pv = [self._pk_value(df, pk) for pk in recs]
+        rows = (
+            df.filter(F.col(self.partition_col).isin(pv))
+            .groupBy(self.partition_col)
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.expr(f"bit_xor(xxhash64({self.key_col}))").alias("__h"))
+            .collect()
+        )
+        found = {str(r[self.partition_col]): (int(r["__n"]), int(r["__h"] or 0))
+                 for r in rows}
+        out = []
+        for pk in sorted(recs):
+            fp = recs[pk]
+            got = found.get(pk, (0, 0))
+            ok = got == (int(fp["n"]), int(fp["key_hash"]))
+            det = {} if ok else {
+                "expected_n": str(fp["n"]), "found_n": str(got[0]),
+                "expected_key_hash": str(fp["key_hash"]),
+                "found_key_hash": str(got[1]),
+            }
+            out.append(Verdict(pk, "lineage", PASS if ok else FAIL,
+                               statistic=float(got[0]),
+                               threshold=float(fp["n"]),
+                               n_rows=got[0], details=det).as_row())
+        return out
+
+    def run(self, df: DataFrame, vectorized: bool = True,
+            verify_lineage: bool = False) -> tuple[DataFrame, DataFrame]:
         """Validate every partition not yet in the manifest; return
         (verdicts, violations) DataFrames covering ALL partitions
         (replayed + newly computed).
+
+        ``verify_lineage=True`` additionally re-fingerprints every
+        already-completed partition and emits a `lineage` pass/fail
+        verdict row per replayed partition (see _lineage_verdicts) —
+        the guard against trusting replayed verdicts over data that
+        changed underneath the checkpoint.
 
         ``vectorized=True`` (default, the scale plan): per-partition
         statistics for ALL unvisited partitions come from a constant
@@ -885,6 +935,10 @@ class ValidationSuite:
                 self._run_sequential(df, todo)
 
         verdict_rows = self.manifest.replayed_verdicts()
+        if verify_lineage and done:
+            # only partitions REPLAYED from a prior run need the check —
+            # ones validated just now fingerprinted their own data
+            verdict_rows = verdict_rows + self._lineage_verdicts(df, done)
         if self.global_uniqueness:
             verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
         if self.neardup_rate_max is not None:

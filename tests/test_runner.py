@@ -439,6 +439,57 @@ def test_suite_all_corrupt_partition_and_empty_partition(spark, tmp_path):
     assert n_bad == int((pdf["part"] == 2).sum())
 
 
+def test_lineage_verification_on_resume(spark, tmp_path):
+    # a replayed partition whose data changed under the checkpoint must
+    # be flagged, not silently trusted: verify_lineage re-fingerprints
+    # completed partitions (one key-column-only aggregation) against
+    # the manifest's recorded lineage
+    df = spark.createDataFrame(
+        tables.audio_table(spark, n_rows=240, n_parts=6, drift={}).toPandas()
+    )
+
+    def s(name):
+        return _suite(spark, tmp_path, name, kdq_features=False)
+
+    shared = s("lin")
+    shared.run(df.filter(F.col("part") < 3))  # "killed" after 3 parts
+
+    # tamper part 1: rewrite some keys (count unchanged, hash changes)
+    tampered = df.withColumn(
+        "clip_id",
+        F.when((F.col("part") == 1) & F.col("clip_id").endswith("1"),
+               F.concat(F.col("clip_id"), F.lit("_x")))
+        .otherwise(F.col("clip_id")))
+    v, _ = s("lin").run(tampered, verify_lineage=True)
+    states = {(r["partition_key"], r["check_name"]): r
+              for r in v.collect() if r["check_name"] == "lineage"}
+    # lineage rows for REPLAYED partitions only; fail exactly on the tamper
+    assert set(states) == {(pk, "lineage") for pk in ("0", "1", "2")}
+    assert states[("1", "lineage")]["state"] == "fail"
+    assert states[("0", "lineage")]["state"] == "pass"
+    assert states[("2", "lineage")]["state"] == "pass"
+    det = states[("1", "lineage")]["details"]
+    assert det["expected_n"] == det["found_n"] == "40"  # keys, not counts
+    assert det["expected_key_hash"] != det["found_key_hash"]
+
+    # all partitions now complete: a VANISHED partition also fails
+    v2, _ = s("lin").run(tampered.filter(F.col("part") != 2),
+                         verify_lineage=True)
+    states2 = {r["partition_key"]: r for r in v2.collect()
+               if r["check_name"] == "lineage"}
+    assert set(states2) == set(map(str, range(6)))
+    assert states2["2"]["state"] == "fail"
+    assert states2["2"]["details"]["found_n"] == "0"
+    assert states2["1"]["state"] == "fail"
+    for pk in ("0", "3", "4", "5"):
+        assert states2[pk]["state"] == "pass", pk
+
+    # default off: verdict table carries no lineage rows (byte-identity
+    # of every pre-existing configuration)
+    v3, _ = s("lin").run(tampered)
+    assert v3.filter("check_name = 'lineage'").count() == 0
+
+
 _META_RULES = {"sr": True, "dur_tol_ms": 5.0,
                "codec_tags": {"pcm": 1, "ulaw": 7, "alaw": 6, "adpcm": 17}}
 _META_DRIFT = {4: {"meta_lie_frac": 0.4}}
