@@ -356,6 +356,42 @@ def q_emd_value_click_vs_error(spark, sf_dir):
     )
 
 
+def q_cvm_value_click_vs_error(spark, sf_dir):
+    """Two-sample Cramer-von Mises criterion between `value`
+    distributions of click vs error events: sum over bins of the POOLED
+    empirical mass times the squared CDF gap (Anderson 1962), from the
+    same aligned cumulative histograms the KS/EMD entries use
+    (functions/distances.cvm_statistic is the suite-side numpy twin).
+    Scale-free in [0, 1]; empty bins carry zero pooled mass, so unlike
+    EMD no bin-span weighting is needed."""
+    from pyspark.sql import Window
+
+    from menelaus_spark.operators.histograms import bin_index_col, joint_minmax
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(["click", "error"]))
+    lo, hi = joint_minmax(ev, ["value"])["value"]
+    binned = ev.select(
+        "event_type",
+        bin_index_col(F.col("value").cast("double"), lo, hi, HIST_BINS).alias("bin"),
+    ).filter(F.col("bin").isNotNull())
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("c2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    gap = F.col("cum1") / F.col("t1") - F.col("cum2") / F.col("t2")
+    return (
+        counts.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(
+            F.sum((F.col("c1") + F.col("c2")) / (F.col("t1") + F.col("t2"))
+                  * gap * gap),
+            6).alias("cvm"))
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup / similarity / text pipeline ops
 
@@ -4203,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_event_type_halves": q_psi_event_type_halves,
         "ks_value_click_vs_error": q_ks_value_click_vs_error,
         "emd_value_click_vs_error": q_emd_value_click_vs_error,
+        "cvm_value_click_vs_error": q_cvm_value_click_vs_error,
         # dedup / similarity / text
         "minhash_documents": q_minhash_documents,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -4488,6 +4525,31 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(c1) t1, sum(c2) t2 FROM counts)
             SELECT round(((SELECT (hi - lo) / {HIST_BINS} FROM rng))
                          * sum(span * abs(cum1 / t1 - cum2 / t2)), 6) AS emd
+            FROM cum, tot
+        """,
+        "cvm_value_click_vs_error": f"""
+            WITH ev AS (SELECT * FROM events WHERE event_type IN ('click','error')),
+            rng AS (SELECT min(value) lo, max(value) hi FROM ev),
+            binned AS (
+              SELECT event_type,
+                     CASE WHEN value = hi THEN {HIST_BINS - 1}
+                          ELSE least(floor((value - lo) / ((hi - lo) / {HIST_BINS}))::INT,
+                                     {HIST_BINS - 1}) END AS bin
+              FROM ev, rng WHERE value IS NOT NULL),
+            counts AS (
+              SELECT bin,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+              FROM binned GROUP BY bin),
+            cum AS (
+              SELECT c1, c2,
+                     sum(c1) OVER (ORDER BY bin) AS cum1,
+                     sum(c2) OVER (ORDER BY bin) AS cum2
+              FROM counts),
+            tot AS (SELECT sum(c1) t1, sum(c2) t2 FROM counts)
+            SELECT round(sum((c1 + c2) / (t1 + t2)
+                             * (cum1 / t1 - cum2 / t2)
+                             * (cum1 / t1 - cum2 / t2)), 6) AS cvm
             FROM cum, tot
         """,
         "minhash_documents": f"""

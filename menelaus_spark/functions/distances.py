@@ -120,6 +120,30 @@ def emd_1d(ref_hist: np.ndarray, test_hist: np.ndarray,
     return float(bw * np.sum(np.abs(np.cumsum(r) / rs - np.cumsum(t) / ts)))
 
 
+def cvm_statistic(ref_hist: np.ndarray, test_hist: np.ndarray) -> float:
+    """Two-sample Cramer-von Mises criterion approximated on aligned
+    histograms: sum over bins of the POOLED empirical mass times the
+    squared CDF gap, w_i * (CDF_ref_i - CDF_test_i)^2 with
+    w_i = (r_i + t_i) / (R + T) — i.e. the integral of the squared gap
+    against the pooled distribution (Anderson 1962), so the statistic
+    is scale-free in [0, 1]. (Not in the reference — north-star
+    drift-family addition.) Complements the family: KS takes the max
+    gap (sharp local shifts), EMD the unweighted integral in column
+    units (mean shifts), CvM the pooled-weighted squared integral —
+    most sensitive to body-of-distribution shifts while down-weighting
+    sparse tails that can dominate EMD. Rides the SAME collected KS
+    histograms — zero extra passes. Empty bins carry zero pooled mass,
+    so unlike emd_1d no bin-span correction is needed."""
+    r = np.asarray(ref_hist, dtype=np.float64)
+    t = np.asarray(test_hist, dtype=np.float64)
+    rs, ts = r.sum(), t.sum()
+    if rs == 0 or ts == 0:
+        return 0.0
+    gap = np.cumsum(r) / rs - np.cumsum(t) / ts
+    w = (r + t) / (rs + ts)
+    return float(np.sum(w * gap * gap))
+
+
 def intersection_divergence(p: np.ndarray, q: np.ndarray) -> float:
     """1 - sum(min(p_i, q_i)) on normalized histograms, matching
     /root/reference/menelaus/data_drift/pca_cd.py:347-371."""

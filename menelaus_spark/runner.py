@@ -84,6 +84,8 @@ class ValidationSuite:
         psi_threshold: float = 0.2,
         emd_cols: tuple[str, ...] = (),
         emd_threshold: float | dict | None = None,
+        cvm_cols: tuple[str, ...] = (),
+        cvm_threshold: float | dict | None = None,
         kdq_features: bool = True,
         referential: DataFrame | None = None,
         seed: int = 42,
@@ -132,6 +134,18 @@ class ValidationSuite:
         if self.emd_cols and emd_threshold is None:
             raise ValueError("emd_cols requires emd_threshold")
         self.emd_threshold = emd_threshold
+        # Cramer-von Mises: pooled-weighted squared CDF gap, same
+        # collected KS histograms, same subset rule as EMD. Scale-free
+        # in [0, 1] (thresholds need no column units, unlike EMD's).
+        self.cvm_cols = list(cvm_cols)
+        missing = set(self.cvm_cols) - set(self.ks_cols)
+        if missing:
+            raise ValueError(
+                f"cvm_cols must be a subset of ks_cols (CvM rides the KS "
+                f"histogram pass); not in ks_cols: {sorted(missing)}")
+        if self.cvm_cols and cvm_threshold is None:
+            raise ValueError("cvm_cols requires cvm_threshold")
+        self.cvm_threshold = cvm_threshold
         self.kdq_features = kdq_features
         self.referential = referential
         self.seed = seed
@@ -580,6 +594,19 @@ class ValidationSuite:
                 stat = dist.emd_1d(np.array(ref["counts"]), mat[c],
                                    ref["lo"], ref["hi"])
                 verdicts.append(Verdict(pk, f"emd:{c}", DRIFT if stat > thr else PASS,
+                                        statistic=stat, threshold=thr, n_rows=n_rows))
+        for c in self.cvm_cols:
+            if is_ref:
+                verdicts.append(Verdict(pk, f"cvm:{c}", PASS, statistic=0.0,
+                                        threshold=None, n_rows=n_rows,
+                                        details={"role": "reference"}))
+            else:
+                thr = (self.cvm_threshold[c]
+                       if isinstance(self.cvm_threshold, dict)
+                       else float(self.cvm_threshold))
+                ref = self._ks_ref[c]  # cvm_cols <= ks_cols: always set
+                stat = dist.cvm_statistic(np.array(ref["counts"]), mat[c])
+                verdicts.append(Verdict(pk, f"cvm:{c}", DRIFT if stat > thr else PASS,
                                         statistic=stat, threshold=thr, n_rows=n_rows))
         if self.psi_col:
             if is_ref:

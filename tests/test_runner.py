@@ -94,6 +94,29 @@ def test_emd_drift_check(spark, tmp_path, audio_df):
         _suite(spark, tmp_path, "emd_bad2", emd_cols=("dur_ms",))
 
 
+def test_cvm_drift_check(spark, tmp_path, audio_df):
+    # Cramer-von Mises rides the SAME collected KS histograms (zero
+    # extra passes): pooled-weighted squared CDF gap, scale-free in
+    # [0, 1]. cvm:dur_ms must flag the dur_mu_shift partition and stay
+    # quiet on every control.
+    suite = _suite(spark, tmp_path, "cvm", kdq_features=False,
+                   cvm_cols=("dur_ms",), cvm_threshold={"dur_ms": 0.01})
+    verdicts_df, _ = suite.run(audio_df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("5", "cvm:dur_ms")]["state"] == "drift"
+    assert 0.0 < v[("5", "cvm:dur_ms")]["statistic"] <= 1.0
+    for pk in ("1", "2", "3", "4", "6", "7", "8", "9"):
+        assert v[(pk, "cvm:dur_ms")]["state"] == "pass", pk
+        assert v[(pk, "cvm:dur_ms")]["statistic"] < 0.005, pk
+    assert v[("0", "cvm:dur_ms")]["details"] == {"role": "reference"}
+    # CvM-only columns would need their own histogram pass — refused
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "cvm_bad", cvm_cols=("value",),
+               cvm_threshold=1.0)
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "cvm_bad2", cvm_cols=("dur_ms",))
+
+
 def test_resume_byte_identical(spark, tmp_path, audio_df):
     # single-shot run
     s_full = _suite(spark, tmp_path, "oneshot")

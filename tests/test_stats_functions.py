@@ -85,6 +85,32 @@ def test_emd_1d():
     assert abs(D.emd_1d(p, q, 0.0, 4.0) - 1.0) < 1e-12
 
 
+def test_cvm_statistic():
+    r = np.array([50, 30, 20.0])
+    assert D.cvm_statistic(r, r) == 0.0
+    # disjoint point masses: gap is 1 on the first bin, 0 on the last,
+    # pooled weights 1/2 each -> 1/2 * 1 + 1/2 * 0 = 0.5
+    p = np.array([1.0, 0.0])
+    q = np.array([0.0, 1.0])
+    assert abs(D.cvm_statistic(p, q) - 0.5) < 1e-12
+    # bounded in [0, 1] and symmetric
+    a = np.array([3.0, 1.0, 0.0, 4.0])
+    b = np.array([0.0, 2.0, 5.0, 1.0])
+    s = D.cvm_statistic(a, b)
+    assert 0.0 < s <= 1.0
+    assert abs(s - D.cvm_statistic(b, a)) < 1e-15
+    # scale-free in counts
+    assert abs(D.cvm_statistic(10 * a, 10 * b) - s) < 1e-12
+    # empty side is a quiet zero
+    assert D.cvm_statistic(np.zeros(4), b) == 0.0
+    # body shift vs tail blip: CvM (pooled-weighted) ranks the body
+    # shift above a far-tail sliver that EMD weights by distance
+    base = np.array([0, 100, 100, 0, 0, 0, 0, 0.0])
+    body = np.array([0, 0, 100, 100, 0, 0, 0, 0.0])   # whole body moved 1 bin
+    tail = np.array([0, 100, 99, 0, 0, 0, 0, 1.0])    # 1 count flung 5 bins
+    assert D.cvm_statistic(base, body) > D.cvm_statistic(base, tail)
+
+
 def test_intersection():
     p = np.array([1.0, 0.0])
     q = np.array([0.0, 1.0])
