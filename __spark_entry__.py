@@ -286,6 +286,33 @@ def q_psi_event_type_halves(spark, sf_dir):
     )
 
 
+def q_chisq_event_type_halves(spark, sf_dir):
+    """Two-sample chi-squared homogeneity statistic of event_type
+    frequencies, even vs odd event_id halves — the hypothesis-test
+    sibling of PSI over the same category frequencies
+    (functions/distances.chi2_homogeneity is the suite-side numpy
+    twin). Expected counts from pooled proportions:
+    E[s,i] = n_s*(c0_i+c1_i)/(t0+t1); returns the statistic and its
+    degrees of freedom (pooled-nonzero categories - 1)."""
+    ev = _t(spark, sf_dir, "events").withColumn("half", F.pmod("event_id", F.lit(2)))
+    freqs = ev.groupBy("event_type").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("half") == 1).cast("long")).alias("c1"),
+    ).filter(F.col("c0") + F.col("c1") > 0)
+    tot = freqs.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    e0 = F.col("t0") * (F.col("c0") + F.col("c1")) / (F.col("t0") + F.col("t1"))
+    e1 = F.col("t1") * (F.col("c0") + F.col("c1")) / (F.col("t0") + F.col("t1"))
+    return (
+        freqs.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("c0") - e0) * (F.col("c0") - e0) / e0
+                          + (F.col("c1") - e1) * (F.col("c1") - e1) / e1),
+                    6).alias("chisq"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("dof"),
+        )
+    )
+
+
 def q_ks_value_click_vs_error(spark, sf_dir):
     """Two-sample KS statistic between `value` distributions of click
     vs error events via cumulative aligned histograms + window cumsum."""
@@ -4237,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_extendedprice": q_hist_extendedprice,
         "hellinger_returnflag": q_hellinger_returnflag,
         "psi_event_type_halves": q_psi_event_type_halves,
+        "chisq_event_type_halves": q_chisq_event_type_halves,
         "ks_value_click_vs_error": q_ks_value_click_vs_error,
         "emd_value_click_vs_error": q_emd_value_click_vs_error,
         "cvm_value_click_vs_error": q_cvm_value_click_vs_error,
@@ -4480,6 +4508,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum((q - p) * ln(q / p)), 6) AS psi
             FROM (SELECT greatest(c0 / t0, 1e-4) p, greatest(c1 / t1, 1e-4) q
                   FROM freqs, tot)
+        """,
+        "chisq_event_type_halves": """
+            WITH freqs AS (
+              SELECT event_type,
+                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+              FROM events GROUP BY event_type
+              HAVING sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0),
+            tot AS (SELECT sum(c0) t0, sum(c1) t1 FROM freqs)
+            SELECT round(sum((c0 - t0 * (c0 + c1) / (t0 + t1))
+                             * (c0 - t0 * (c0 + c1) / (t0 + t1))
+                             / (t0 * (c0 + c1) / (t0 + t1))
+                           + (c1 - t1 * (c0 + c1) / (t0 + t1))
+                             * (c1 - t1 * (c0 + c1) / (t0 + t1))
+                             / (t1 * (c0 + c1) / (t0 + t1))), 6) AS chisq,
+                   count(*) - 1 AS dof
+            FROM freqs, tot
         """,
         "ks_value_click_vs_error": f"""
             WITH ev AS (SELECT * FROM events WHERE event_type IN ('click','error')),

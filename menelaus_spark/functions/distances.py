@@ -89,6 +89,37 @@ def psi(ref_freq: np.ndarray, test_freq: np.ndarray, eps: float = 1e-4) -> float
     return float(np.sum((q - p) * np.log(q / p)))
 
 
+def chi2_homogeneity(ref_counts: np.ndarray, test_counts: np.ndarray
+                     ) -> tuple[float, int]:
+    """Two-sample chi-squared homogeneity statistic over aligned
+    category counts, with its degrees of freedom. (Not in the
+    reference — north-star drift-family addition: the hypothesis-test
+    sibling of PSI, giving a principled alpha-level threshold via
+    chi2_critical instead of PSI's rule-of-thumb 0.1/0.2 bands.)
+
+    Expected counts come from the pooled proportions:
+    E[s, i] = n_s * (r_i + t_i) / (R + T); stat = sum (O - E)^2 / E
+    over both samples and every category with pooled mass;
+    dof = (#pooled-nonzero categories - 1). Categories absent from
+    both samples carry no information and are dropped (they would
+    divide by zero)."""
+    r = np.asarray(ref_counts, dtype=np.float64)
+    t = np.asarray(test_counts, dtype=np.float64)
+    rs, ts = r.sum(), t.sum()
+    if rs == 0 or ts == 0:
+        return 0.0, 0
+    pooled = r + t
+    mask = pooled > 0
+    k = int(mask.sum())
+    if k <= 1:
+        return 0.0, 0
+    p = pooled[mask] / (rs + ts)
+    er, et = rs * p, ts * p
+    stat = float(np.sum((r[mask] - er) ** 2 / er)
+                 + np.sum((t[mask] - et) ** 2 / et))
+    return stat, k - 1
+
+
 def ks_statistic(ref_hist: np.ndarray, test_hist: np.ndarray) -> float:
     """Two-sample Kolmogorov-Smirnov statistic approximated on aligned
     cumulative histograms: max |CDF_ref - CDF_test| over bin edges.

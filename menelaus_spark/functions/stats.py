@@ -115,6 +115,73 @@ def betainc(a: float, b: float, x: float) -> float:
     return 1.0 - front * _betacf(b, a, 1.0 - x) / b
 
 
+def _gammainc_P(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x): series expansion for
+    x < a + 1, Lentz continued fraction for the complement otherwise
+    (both standard published formulas, same style as _betacf)."""
+    if x <= 0.0:
+        return 0.0
+    if x < a + 1.0:
+        # series: P(a,x) = x^a e^-x / Gamma(a) * sum x^n / (a)_(n+1)
+        ap, total, term = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            term *= x / ap
+            total += term
+            if abs(term) < abs(total) * 3e-16:
+                break
+        return total * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    # continued fraction for Q(a,x) (Lentz)
+    FPMIN = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = b + an / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 3e-16:
+            break
+    q = h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    return 1.0 - q
+
+
+def chi2_cdf(x: float, df: float) -> float:
+    """Chi-squared CDF: P(df/2, x/2)."""
+    if x <= 0.0:
+        return 0.0
+    return _gammainc_P(df / 2.0, x / 2.0)
+
+
+def chi2_critical(df: float, alpha: float) -> float:
+    """Upper-alpha critical value of the chi-squared(df) distribution
+    by bisection on chi2_cdf (driver-side scalar use, like t_ppf)."""
+    p = 1.0 - float(alpha)
+    if not 0.0 < p < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    lo, hi = 0.0, max(4.0 * df, 16.0)
+    while chi2_cdf(hi, df) < p:
+        hi *= 2.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if chi2_cdf(mid, df) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-12 * max(1.0, mid):
+            break
+    return 0.5 * (lo + hi)
+
+
 def t_cdf(t: float, df: float) -> float:
     x = df / (df + t * t)
     p = 0.5 * betainc(df / 2.0, 0.5, x)

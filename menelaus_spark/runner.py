@@ -35,6 +35,7 @@ from menelaus_spark import audio
 from menelaus_spark.checks.hdm import HDDDM
 from menelaus_spark.checks.kdqtree import KdqTreeBatch
 from menelaus_spark.functions import distances as dist
+from menelaus_spark.functions import stats as S
 from menelaus_spark.operators import constraints as C
 from menelaus_spark.operators import histograms as H
 from menelaus_spark.state import CheckpointManifest
@@ -82,6 +83,7 @@ class ValidationSuite:
         ks_cols: tuple[str, ...] = ("dur_ms", "sr_hz"),
         psi_col: str | None = "codec",
         psi_threshold: float = 0.2,
+        chisq_alpha: float | None = None,
         emd_cols: tuple[str, ...] = (),
         emd_threshold: float | dict | None = None,
         cvm_cols: tuple[str, ...] = (),
@@ -119,6 +121,19 @@ class ValidationSuite:
         self.ks_cols = list(ks_cols)
         self.psi_col = psi_col
         self.psi_threshold = psi_threshold
+        # chi-squared homogeneity test on the SAME collected category
+        # frequencies PSI uses (zero extra passes): the hypothesis-test
+        # sibling of PSI — drift when stat > chi2_critical(k-1, alpha),
+        # a principled alpha-level threshold instead of PSI's
+        # rule-of-thumb bands.
+        if chisq_alpha is not None:
+            if psi_col is None:
+                raise ValueError(
+                    "chisq_alpha requires psi_col (the chi-squared test "
+                    "rides the PSI frequency pass)")
+            if not 0.0 < chisq_alpha < 1.0:
+                raise ValueError("chisq_alpha must be in (0, 1)")
+        self.chisq_alpha = chisq_alpha
         # Earth Mover's (1-Wasserstein) drift vs the reference
         # partition, computed from the SAME collected KS histograms —
         # zero extra passes, so emd_cols must be a subset of ks_cols.
@@ -614,6 +629,11 @@ class ValidationSuite:
                 verdicts.append(Verdict(pk, f"psi:{self.psi_col}", PASS, statistic=0.0,
                                         threshold=self.psi_threshold, n_rows=n_rows,
                                         details={"role": "reference"}))
+                if self.chisq_alpha is not None:
+                    verdicts.append(Verdict(pk, f"chisq:{self.psi_col}", PASS,
+                                            statistic=0.0, threshold=None,
+                                            n_rows=n_rows,
+                                            details={"role": "reference"}))
             else:
                 r, t, _ = H.align_frequencies(self._psi_ref["freqs"], freqs)
                 stat = dist.psi(r, t)
@@ -621,6 +641,15 @@ class ValidationSuite:
                                         DRIFT if stat > self.psi_threshold else PASS,
                                         statistic=stat, threshold=self.psi_threshold,
                                         n_rows=n_rows))
+                if self.chisq_alpha is not None:
+                    stat, dof = dist.chi2_homogeneity(r, t)
+                    thr = (S.chi2_critical(dof, self.chisq_alpha)
+                           if dof > 0 else float("inf"))
+                    verdicts.append(Verdict(
+                        pk, f"chisq:{self.psi_col}",
+                        DRIFT if stat > thr else PASS,
+                        statistic=stat, threshold=thr, n_rows=n_rows,
+                        details={"dof": dof, "alpha": self.chisq_alpha}))
         return verdicts
 
     def _drift_verdicts(self, pk: str, part_df: DataFrame, n_rows: int,

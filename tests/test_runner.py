@@ -117,6 +117,29 @@ def test_cvm_drift_check(spark, tmp_path, audio_df):
         _suite(spark, tmp_path, "cvm_bad2", cvm_cols=("dur_ms",))
 
 
+def test_chisq_drift_check(spark, tmp_path, audio_df):
+    # chi-squared homogeneity rides the SAME collected PSI category
+    # frequencies (zero extra passes): chisq:codec must flag the codec
+    # reshuffle partition at a principled alpha-level threshold. Alpha
+    # is Bonferroni-tight (0.001) so the 9 independent control
+    # partitions stay quiet against sampling noise.
+    suite = _suite(spark, tmp_path, "chisq", kdq_features=False,
+                   chisq_alpha=0.001)
+    verdicts_df, _ = suite.run(audio_df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("6", "chisq:codec")]["state"] == "drift"
+    assert v[("6", "chisq:codec")]["statistic"] > v[("6", "chisq:codec")]["threshold"]
+    assert v[("6", "chisq:codec")]["details"]["alpha"] == "0.001"
+    for pk in ("1", "2", "3", "4", "5", "7", "8", "9"):
+        assert v[(pk, "chisq:codec")]["state"] == "pass", pk
+    assert v[("0", "chisq:codec")]["details"] == {"role": "reference"}
+    # the test needs the frequency pass: refused without psi_col
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "chisq_bad", psi_col=None, chisq_alpha=0.05)
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "chisq_bad2", chisq_alpha=1.5)
+
+
 def test_resume_byte_identical(spark, tmp_path, audio_df):
     # single-shot run
     s_full = _suite(spark, tmp_path, "oneshot")

@@ -111,6 +111,36 @@ def test_cvm_statistic():
     assert D.cvm_statistic(base, body) > D.cvm_statistic(base, tail)
 
 
+def test_chi2_homogeneity():
+    # symmetric 2x2: pooled p = 1/2, all expected counts 15,
+    # stat = 4 * (5^2 / 15) = 20/3, dof = 1
+    r = np.array([10.0, 20.0])
+    t = np.array([20.0, 10.0])
+    stat, dof = D.chi2_homogeneity(r, t)
+    assert abs(stat - 20.0 / 3.0) < 1e-12 and dof == 1
+    # identical distributions: zero statistic
+    stat, dof = D.chi2_homogeneity(r, 3 * r)
+    assert stat < 1e-12 and dof == 1
+    # categories absent from BOTH sides are dropped from dof
+    stat, dof = D.chi2_homogeneity(np.array([5.0, 0, 5.0]),
+                                   np.array([4.0, 0, 6.0]))
+    assert dof == 1
+    # empty side / single category: quiet zero
+    assert D.chi2_homogeneity(np.zeros(3), t[:3] if t.size >= 3 else t) == (0.0, 0)
+    assert D.chi2_homogeneity(np.array([7.0]), np.array([3.0])) == (0.0, 0)
+
+
+def test_chi2_critical():
+    from menelaus_spark.functions import stats as S
+    # published chi-squared table values
+    for df, alpha, want in [(1, 0.05, 3.8415), (4, 0.05, 9.4877),
+                            (9, 0.01, 21.666), (2, 0.10, 4.6052),
+                            (30, 0.05, 43.773)]:
+        assert abs(S.chi2_critical(df, alpha) - want) < 5e-4, (df, alpha)
+    assert abs(S.chi2_cdf(3.8415, 1) - 0.95) < 1e-4
+    assert S.chi2_cdf(0.0, 5) == 0.0
+
+
 def test_intersection():
     p = np.array([1.0, 0.0])
     q = np.array([0.0, 1.0])
