@@ -286,6 +286,26 @@ def q_psi_event_type_halves(spark, sf_dir):
     )
 
 
+def q_entropy_event_type_quarters(spark, sf_dir):
+    """Shannon entropy (nats) of the event_type distribution within
+    each event_id % 4 quarter — the deequ-style categorical-collapse
+    profile statistic (functions/distances.shannon_entropy is the
+    suite-side numpy twin riding the PSI frequency pass). One
+    two-stage aggregation: (quarter, type) counts, then
+    -sum(p ln p) per quarter."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "quarter", F.pmod("event_id", F.lit(4)))
+    counts = ev.groupBy("quarter", "event_type").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("quarter").agg(F.sum("c").alias("n"))
+    return (
+        counts.join(tot, "quarter")
+        .groupBy("quarter")
+        .agg(F.round(-F.sum((F.col("c") / F.col("n"))
+                            * F.log(F.col("c") / F.col("n"))), 6)
+             .alias("entropy"))
+    )
+
+
 def q_chisq_event_type_halves(spark, sf_dir):
     """Two-sample chi-squared homogeneity statistic of event_type
     frequencies, even vs odd event_id halves — the hypothesis-test
@@ -4265,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hellinger_returnflag": q_hellinger_returnflag,
         "psi_event_type_halves": q_psi_event_type_halves,
         "chisq_event_type_halves": q_chisq_event_type_halves,
+        "entropy_event_type_quarters": q_entropy_event_type_quarters,
         "ks_value_click_vs_error": q_ks_value_click_vs_error,
         "emd_value_click_vs_error": q_emd_value_click_vs_error,
         "cvm_value_click_vs_error": q_cvm_value_click_vs_error,
@@ -4508,6 +4529,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum((q - p) * ln(q / p)), 6) AS psi
             FROM (SELECT greatest(c0 / t0, 1e-4) p, greatest(c1 / t1, 1e-4) q
                   FROM freqs, tot)
+        """,
+        "entropy_event_type_quarters": """
+            WITH counts AS (
+              SELECT event_id % 4 AS quarter, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT quarter, sum(c) AS n FROM counts GROUP BY quarter)
+            SELECT counts.quarter AS quarter,
+                   round(-sum((c / n) * ln(c / n)), 6) AS entropy
+            FROM counts JOIN tot ON counts.quarter = tot.quarter
+            GROUP BY counts.quarter
         """,
         "chisq_event_type_halves": """
             WITH freqs AS (

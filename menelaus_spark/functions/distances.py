@@ -89,6 +89,23 @@ def psi(ref_freq: np.ndarray, test_freq: np.ndarray, eps: float = 1e-4) -> float
     return float(np.sum((q - p) * np.log(q / p)))
 
 
+def shannon_entropy(counts: np.ndarray) -> float:
+    """Shannon entropy (nats) of a category count vector. (Not in the
+    reference — deequ-style profile statistic for the north-star
+    validation family: a collapsed categorical distribution — e.g.
+    every clip in a partition suddenly the same codec — drops entropy
+    toward 0 even when no NEW category appears, which PSI's
+    eps-floored log-ratio can understate and accepted-values cannot
+    see at all.) Zero-count categories contribute zero."""
+    c = np.asarray(counts, dtype=np.float64)
+    n = c.sum()
+    if n <= 0:
+        return 0.0
+    p = c[c > 0] / n
+    # + 0.0 normalizes the single-category case's -0.0 to +0.0
+    return float(-np.sum(p * np.log(p)) + 0.0)
+
+
 def chi2_homogeneity(ref_counts: np.ndarray, test_counts: np.ndarray
                      ) -> tuple[float, int]:
     """Two-sample chi-squared homogeneity statistic over aligned

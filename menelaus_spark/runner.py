@@ -84,6 +84,7 @@ class ValidationSuite:
         psi_col: str | None = "codec",
         psi_threshold: float = 0.2,
         chisq_alpha: float | None = None,
+        entropy_min: float | None = None,
         emd_cols: tuple[str, ...] = (),
         emd_threshold: float | dict | None = None,
         cvm_cols: tuple[str, ...] = (),
@@ -134,6 +135,17 @@ class ValidationSuite:
             if not 0.0 < chisq_alpha < 1.0:
                 raise ValueError("chisq_alpha must be in (0, 1)")
         self.chisq_alpha = chisq_alpha
+        # Shannon-entropy floor on the psi_col category distribution
+        # (deequ-style profile constraint): a partition whose
+        # distribution COLLAPSES (one codec swallows everything) fails
+        # even when no new category appears. Same collected
+        # frequencies, zero extra passes; checked on EVERY partition
+        # including the reference (no baseline needed).
+        if entropy_min is not None and psi_col is None:
+            raise ValueError(
+                "entropy_min requires psi_col (the entropy floor rides "
+                "the PSI frequency pass)")
+        self.entropy_min = entropy_min
         # Earth Mover's (1-Wasserstein) drift vs the reference
         # partition, computed from the SAME collected KS histograms —
         # zero extra passes, so emd_cols must be a subset of ks_cols.
@@ -650,6 +662,15 @@ class ValidationSuite:
                         DRIFT if stat > thr else PASS,
                         statistic=stat, threshold=thr, n_rows=n_rows,
                         details={"dof": dof, "alpha": self.chisq_alpha}))
+            if self.entropy_min is not None:
+                cnts = np.array(list(freqs.values()), dtype=np.float64)
+                ent = dist.shannon_entropy(cnts)
+                verdicts.append(Verdict(
+                    pk, f"entropy:{self.psi_col}",
+                    FAIL if ent < self.entropy_min else PASS,
+                    statistic=ent, threshold=self.entropy_min,
+                    n_rows=n_rows,
+                    details={"n_categories": int((cnts > 0).sum())}))
         return verdicts
 
     def _drift_verdicts(self, pk: str, part_df: DataFrame, n_rows: int,

@@ -140,6 +140,30 @@ def test_chisq_drift_check(spark, tmp_path, audio_df):
         _suite(spark, tmp_path, "chisq_bad2", chisq_alpha=1.5)
 
 
+def test_entropy_floor_check(spark, tmp_path, audio_df):
+    # entropy floor rides the SAME collected PSI frequencies: a
+    # partition whose codec distribution COLLAPSES to one value fails
+    # even though 'pcm' is an accepted value and appears in the
+    # reference (accepted_values and PSI-vs-new-category are blind to
+    # pure collapse). Partition 8 is forced single-codec.
+    df = audio_df.withColumn(
+        "codec", F.when(F.col("part") == 8, F.lit("pcm")).otherwise(F.col("codec")))
+    suite = _suite(spark, tmp_path, "entropy", kdq_features=False,
+                   entropy_min=0.5)
+    verdicts_df, _ = suite.run(df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("8", "entropy:codec")]["state"] == "fail"
+    assert v[("8", "entropy:codec")]["statistic"] == 0.0
+    assert v[("8", "entropy:codec")]["details"]["n_categories"] == "1"
+    # every other partition (including the reference) is checked + quiet
+    for pk in ("0", "1", "2", "3", "4", "5", "6", "7", "9"):
+        assert v[(pk, "entropy:codec")]["state"] == "pass", pk
+        assert v[(pk, "entropy:codec")]["statistic"] > 0.5, pk
+    # needs the frequency pass: refused without psi_col
+    with pytest.raises(ValueError):
+        _suite(spark, tmp_path, "entropy_bad", psi_col=None, entropy_min=0.5)
+
+
 def test_resume_byte_identical(spark, tmp_path, audio_df):
     # single-shot run
     s_full = _suite(spark, tmp_path, "oneshot")

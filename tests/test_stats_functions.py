@@ -111,6 +111,17 @@ def test_cvm_statistic():
     assert D.cvm_statistic(base, body) > D.cvm_statistic(base, tail)
 
 
+def test_shannon_entropy():
+    # uniform over k categories = ln(k); collapse = 0; zeros ignored
+    assert abs(D.shannon_entropy(np.array([5.0, 5, 5, 5])) - math.log(4)) < 1e-12
+    assert D.shannon_entropy(np.array([42.0, 0, 0])) == 0.0
+    assert D.shannon_entropy(np.zeros(3)) == 0.0
+    # scale-free in counts, maximal at uniform
+    a = np.array([10.0, 30, 60])
+    assert abs(D.shannon_entropy(a) - D.shannon_entropy(7 * a)) < 1e-12
+    assert D.shannon_entropy(a) < math.log(3)
+
+
 def test_chi2_homogeneity():
     # symmetric 2x2: pooled p = 1/2, all expected counts 15,
     # stat = 4 * (5^2 / 15) = 20/3, dof = 1
