@@ -587,6 +587,38 @@ class ValidationSuite:
                 mat[r["kind"][3:]][int(r["key"])] = float(r["count"])
         return out
 
+    @staticmethod
+    def _bin_blame(ref_counts, test_counts, lo: float, hi: float,
+                   squared_pooled: bool = False) -> dict:
+        """Drift localization for the CDF-gap family: the bin that
+        contributes most to the statistic (|gap| for KS/EMD,
+        pooled-weighted squared gap for CvM), reported as its value
+        interval — so a drifted verdict says WHERE the distribution
+        moved, not just that it did. Driver-side numpy over the
+        already-collected histograms; attached to DRIFT verdicts only.
+        np.argmax's lowest-index tie rule keeps it deterministic."""
+        r = np.asarray(ref_counts, dtype=np.float64)
+        t = np.asarray(test_counts, dtype=np.float64)
+        rs, ts = r.sum(), t.sum()
+        if rs == 0 or ts == 0:
+            return {}
+        gap = np.cumsum(r) / rs - np.cumsum(t) / ts
+        contrib = ((r + t) / (rs + ts)) * gap * gap if squared_pooled else np.abs(gap)
+        i = int(np.argmax(contrib))
+        bw = (float(hi) - float(lo)) / r.size
+        return {"top_bin": i,
+                "bin_lo": round(float(lo) + i * bw, 6),
+                "bin_hi": round(float(lo) + (i + 1) * bw, 6),
+                "cdf_gap": round(float(gap[i]), 6)}
+
+    @staticmethod
+    def _cat_blame(cats, contrib) -> dict:
+        """Top-contributing category for the frequency family (PSI /
+        chi-squared), attached to DRIFT verdicts only."""
+        i = int(np.argmax(contrib))
+        return {"top_category": str(cats[i]),
+                "contribution": round(float(contrib[i]), 6)}
+
     def _ks_psi_decide(self, pk: str, n_rows: int, is_ref: bool, ranges: dict,
                        mat: dict, freqs: dict):
         verdicts = []
@@ -606,8 +638,13 @@ class ValidationSuite:
                     ref = self._ks_ref[c]
                     stat = dist.ks_statistic(np.array(ref["counts"]), mat[c])
                     thr = ks_critical(ref["n"], int(mat[c].sum()), self.ks_alpha)
-                    verdicts.append(Verdict(pk, f"ks:{c}", DRIFT if stat > thr else PASS,
-                                            statistic=stat, threshold=thr, n_rows=n_rows))
+                    drifted = stat > thr
+                    blame = (self._bin_blame(ref["counts"], mat[c],
+                                             ref["lo"], ref["hi"])
+                             if drifted else {})
+                    verdicts.append(Verdict(pk, f"ks:{c}", DRIFT if drifted else PASS,
+                                            statistic=stat, threshold=thr,
+                                            n_rows=n_rows, details=blame))
         for c in self.emd_cols:
             if is_ref:
                 verdicts.append(Verdict(pk, f"emd:{c}", PASS, statistic=0.0,
@@ -620,8 +657,13 @@ class ValidationSuite:
                 ref = self._ks_ref[c]  # emd_cols <= ks_cols: always set
                 stat = dist.emd_1d(np.array(ref["counts"]), mat[c],
                                    ref["lo"], ref["hi"])
-                verdicts.append(Verdict(pk, f"emd:{c}", DRIFT if stat > thr else PASS,
-                                        statistic=stat, threshold=thr, n_rows=n_rows))
+                drifted = stat > thr
+                blame = (self._bin_blame(ref["counts"], mat[c],
+                                         ref["lo"], ref["hi"])
+                         if drifted else {})
+                verdicts.append(Verdict(pk, f"emd:{c}", DRIFT if drifted else PASS,
+                                        statistic=stat, threshold=thr,
+                                        n_rows=n_rows, details=blame))
         for c in self.cvm_cols:
             if is_ref:
                 verdicts.append(Verdict(pk, f"cvm:{c}", PASS, statistic=0.0,
@@ -633,8 +675,14 @@ class ValidationSuite:
                        else float(self.cvm_threshold))
                 ref = self._ks_ref[c]  # cvm_cols <= ks_cols: always set
                 stat = dist.cvm_statistic(np.array(ref["counts"]), mat[c])
-                verdicts.append(Verdict(pk, f"cvm:{c}", DRIFT if stat > thr else PASS,
-                                        statistic=stat, threshold=thr, n_rows=n_rows))
+                drifted = stat > thr
+                blame = (self._bin_blame(ref["counts"], mat[c],
+                                         ref["lo"], ref["hi"],
+                                         squared_pooled=True)
+                         if drifted else {})
+                verdicts.append(Verdict(pk, f"cvm:{c}", DRIFT if drifted else PASS,
+                                        statistic=stat, threshold=thr,
+                                        n_rows=n_rows, details=blame))
         if self.psi_col:
             if is_ref:
                 self._psi_ref = {"freqs": freqs, "n": n_rows}
@@ -647,21 +695,39 @@ class ValidationSuite:
                                             n_rows=n_rows,
                                             details={"role": "reference"}))
             else:
-                r, t, _ = H.align_frequencies(self._psi_ref["freqs"], freqs)
+                r, t, cats = H.align_frequencies(self._psi_ref["freqs"], freqs)
                 stat = dist.psi(r, t)
+                drifted = stat > self.psi_threshold
+                blame = {}
+                if drifted and r.sum() > 0 and t.sum() > 0:
+                    eps = 1e-4
+                    p = np.maximum(r / r.sum(), eps)
+                    q = np.maximum(t / t.sum(), eps)
+                    blame = self._cat_blame(cats, (q - p) * np.log(q / p))
                 verdicts.append(Verdict(pk, f"psi:{self.psi_col}",
-                                        DRIFT if stat > self.psi_threshold else PASS,
+                                        DRIFT if drifted else PASS,
                                         statistic=stat, threshold=self.psi_threshold,
-                                        n_rows=n_rows))
+                                        n_rows=n_rows, details=blame))
                 if self.chisq_alpha is not None:
                     stat, dof = dist.chi2_homogeneity(r, t)
                     thr = (S.chi2_critical(dof, self.chisq_alpha)
                            if dof > 0 else float("inf"))
+                    details = {"dof": dof, "alpha": self.chisq_alpha}
+                    if stat > thr:
+                        # per-category (O-E)^2/E summed over both samples
+                        pooled = r + t
+                        mask = pooled > 0
+                        p = pooled[mask] / (r.sum() + t.sum())
+                        er, et = r.sum() * p, t.sum() * p
+                        contrib = ((r[mask] - er) ** 2 / er
+                                   + (t[mask] - et) ** 2 / et)
+                        details.update(self._cat_blame(
+                            [c for c, m in zip(cats, mask) if m], contrib))
                     verdicts.append(Verdict(
                         pk, f"chisq:{self.psi_col}",
                         DRIFT if stat > thr else PASS,
                         statistic=stat, threshold=thr, n_rows=n_rows,
-                        details={"dof": dof, "alpha": self.chisq_alpha}))
+                        details=details))
             if self.entropy_min is not None:
                 cnts = np.array(list(freqs.values()), dtype=np.float64)
                 ent = dist.shannon_entropy(cnts)

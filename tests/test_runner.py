@@ -61,6 +61,19 @@ def test_full_suite_drift_detection(spark, tmp_path, audio_df):
     assert v[("6", "psi:codec")]["state"] == "drift"       # codec reshuffle
     assert v[("7", "kdq_tree")]["state"] == "drift"        # 50x noise in PCM
 
+    # drift localization: the KS verdict names the bin interval of the
+    # largest CDF gap (an upward dur_ms mean shift -> gap peaks INSIDE
+    # the range, in dur_ms units), the PSI verdict the top category
+    ks_blame = v[("5", "ks:dur_ms")]["details"]
+    assert {"top_bin", "bin_lo", "bin_hi", "cdf_gap"} <= set(ks_blame)
+    assert 200.0 <= float(ks_blame["bin_lo"]) < float(ks_blame["bin_hi"]) <= 3000.0
+    assert abs(float(ks_blame["cdf_gap"])) > 0.1
+    psi_blame = v[("6", "psi:codec")]["details"]
+    assert psi_blame["top_category"] in {"pcm", "opus", "mp3", "aac", "flac"}
+    assert float(psi_blame["contribution"]) > 0.0
+    # quiet verdicts carry no blame
+    assert v[("1", "ks:dur_ms")]["details"] == {}
+
     # negative controls: KS/PSI quiet on unchanged partitions
     for pk in ("1", "2", "3", "4", "8", "9"):
         assert v[(pk, "ks:dur_ms")]["state"] == "pass", pk
@@ -83,6 +96,7 @@ def test_emd_drift_check(spark, tmp_path, audio_df):
     v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
     assert v[("5", "emd:dur_ms")]["state"] == "drift"
     assert v[("5", "emd:dur_ms")]["statistic"] > 500.0
+    assert "bin_lo" in v[("5", "emd:dur_ms")]["details"]
     for pk in ("1", "2", "3", "4", "6", "7", "8", "9"):
         assert v[(pk, "emd:dur_ms")]["state"] == "pass", pk
     assert v[("0", "emd:dur_ms")]["details"] == {"role": "reference"}
@@ -105,6 +119,7 @@ def test_cvm_drift_check(spark, tmp_path, audio_df):
     v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
     assert v[("5", "cvm:dur_ms")]["state"] == "drift"
     assert 0.0 < v[("5", "cvm:dur_ms")]["statistic"] <= 1.0
+    assert "bin_lo" in v[("5", "cvm:dur_ms")]["details"]
     for pk in ("1", "2", "3", "4", "6", "7", "8", "9"):
         assert v[(pk, "cvm:dur_ms")]["state"] == "pass", pk
         assert v[(pk, "cvm:dur_ms")]["statistic"] < 0.005, pk
@@ -130,6 +145,8 @@ def test_chisq_drift_check(spark, tmp_path, audio_df):
     assert v[("6", "chisq:codec")]["state"] == "drift"
     assert v[("6", "chisq:codec")]["statistic"] > v[("6", "chisq:codec")]["threshold"]
     assert v[("6", "chisq:codec")]["details"]["alpha"] == "0.001"
+    assert v[("6", "chisq:codec")]["details"]["top_category"] in {
+        "pcm", "opus", "mp3", "aac", "flac"}
     for pk in ("1", "2", "3", "4", "5", "7", "8", "9"):
         assert v[(pk, "chisq:codec")]["state"] == "pass", pk
     assert v[("0", "chisq:codec")]["details"] == {"role": "reference"}
