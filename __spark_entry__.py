@@ -3264,7 +3264,7 @@ def _audio_suite_oracle(real_codecs=False, drift=None,
     # ---- audio-depth quality checks from the decode-pass columns
     q_clip = feats[:, A.N_FEATURES + 0]
     q_sil = feats[:, A.N_FEATURES + 1]
-    q_blen = feats[:, A.N_FEATURES + 4]
+    q_blen = feats[:, A.N_FEATURES + A.N_QUALITY - 1]  # q_byte_len is last
     hi_band = np.expm1(feats[:, 8:12]).sum(axis=1)
     tot_band = np.expm1(feats[:, 4:12]).sum(axis=1)
     n_samp = half_away(dur * sr / 1000.0)

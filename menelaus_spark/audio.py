@@ -480,9 +480,10 @@ def decode_batch(bufs, codecs) -> list:
 FRAME = 512      # 32 ms @ 16 kHz
 HOP = 256
 
-N_QUALITY = 5
+N_QUALITY = 7
 QUALITY_COLS = ("q_clip_rate", "q_silence_ratio", "q_lead_sil_ms",
-                "q_trail_sil_ms", "q_byte_len")
+                "q_trail_sil_ms", "q_dc_offset", "q_crest_db",
+                "q_byte_len")
 # container-header facts (wav_header_facts) that ride the same decode
 # pass when the metadata-consistency check is enabled: actual sample
 # rate, actual duration (ms, from the header's own sample count), and
@@ -523,11 +524,18 @@ def quality_metrics(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     - silence_ratio: fraction of FRAME/HOP frames under the -40 dBFS
       RMS floor (dead-air / wrong-channel recordings);
     - lead/trail_sil_ms: leading/trailing silent span (sloppy trims).
-      An all-silent clip reports the full duration in both.
+      An all-silent clip reports the full duration in both;
+    - dc_offset: signed sample mean (a broken ADC / coupling-capacitor
+      fault biases the whole waveform off zero — inaudible in RMS
+      terms, ruinous for downstream spectral features);
+    - crest_db: crest factor 20*log10(peak/RMS) — collapses toward
+      0 dB under hard limiting / saturation (a clean sine sits at
+      ~3 dB, speech well above), the classic over-compression signal.
+      Silent clips report 0.
     """
     x = np.asarray(pcm, dtype=np.float64)
     if x.size == 0:
-        return np.array([0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+        return np.array([0.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype=np.float32)
     clip_rate = float(np.mean(np.abs(x) >= CLIP_LEVEL))
     rms = _frame_rms(x)
     sil = rms < SILENCE_RMS
@@ -539,7 +547,13 @@ def quality_metrics(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
     else:
         lead_ms = min(dur_ms, 1000.0 * voiced[0] * HOP / sr_hz)
         trail_ms = min(dur_ms, 1000.0 * (sil.size - 1 - voiced[-1]) * HOP / sr_hz)
-    return np.array([clip_rate, silence_ratio, lead_ms, trail_ms], dtype=np.float32)
+    dc_offset = float(np.mean(x))
+    peak = float(np.max(np.abs(x)))
+    total_rms = float(np.sqrt(np.mean(x * x)))
+    crest_db = (20.0 * np.log10(peak / total_rms)
+                if peak > 0 and total_rms > 0 else 0.0)
+    return np.array([clip_rate, silence_ratio, lead_ms, trail_ms,
+                     dc_offset, crest_db], dtype=np.float32)
 
 
 def extract_features(pcm: np.ndarray, sr_hz: int) -> np.ndarray:

@@ -295,6 +295,20 @@ class ValidationSuite:
             out.append(("audio_silence",
                         clean & (F.col("q_silence_ratio") > F.lit(rules["silence_ratio_max"])),
                         F.round(F.col("q_silence_ratio"), 4).cast("string")))
+        if "dc_offset_max" in rules:
+            out.append(("audio_dc_offset",
+                        clean & (F.abs(F.col("q_dc_offset"))
+                                 > F.lit(rules["dc_offset_max"])),
+                        F.round(F.col("q_dc_offset"), 4).cast("string")))
+        if "crest_min_db" in rules:
+            # over-compression / hard-limiting detection: crest factor
+            # (peak/RMS, dB) collapses toward 0 under saturation. The
+            # silence guard keeps all-silent clips (crest reported 0)
+            # with the audio_silence check where they belong.
+            out.append(("audio_crest",
+                        clean & (F.col("q_silence_ratio") < F.lit(1.0))
+                        & (F.col("q_crest_db") < F.lit(rules["crest_min_db"])),
+                        F.round(F.col("q_crest_db"), 4).cast("string")))
         if "min_band_ratio" in rules:
             # upsampling / bandwidth-mismatch detection from the
             # ALREADY-COMPUTED spectral bands: a clip whose upper-half

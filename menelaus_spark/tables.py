@@ -113,7 +113,9 @@ def _synth_clip(rng, d, dur_mu, dur_sigma, dur_clip, test_scale):
     # stay byte-identical across configs):
     #   gain: amplifies the signal into int16 saturation (clipping)
     #   silence_frac: fraction of clips replaced by digital silence
-    sig = sig * float(d.get("gain", 1.0))
+    #   dc_offset: constant bias added to the waveform (broken-ADC
+    #   fault; no rng draws, so clean partitions stay byte-identical)
+    sig = sig * float(d.get("gain", 1.0)) + float(d.get("dc_offset", 0.0))
     pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
     if "silence_frac" in d and rng.random() < float(d["silence_frac"]):
         pcm = np.zeros(n, dtype=np.int16)

@@ -118,10 +118,28 @@ def test_quality_metrics_clean_clip():
     t = np.arange(sr) / sr  # 1 s tone, no clipping, no silence
     q = audio.quality_metrics(0.4 * np.sin(2 * np.pi * 220 * t), sr)
     assert q.shape == (audio.N_QUALITY - 1,)  # q_byte_len rides the batch kernel
-    clip_rate, silence_ratio, lead_ms, trail_ms = q
+    clip_rate, silence_ratio, lead_ms, trail_ms, dc_offset, crest_db = q
     assert clip_rate == 0.0
     assert silence_ratio == 0.0
     assert lead_ms == 0.0 and trail_ms == 0.0
+    # pure sine: zero-mean, crest factor = sqrt(2) = 3.01 dB
+    assert abs(dc_offset) < 1e-3
+    assert abs(crest_db - 20 * np.log10(np.sqrt(2))) < 0.1
+
+
+def test_quality_metrics_dc_and_crest():
+    sr = 16000
+    t = np.arange(sr) / sr
+    # DC-biased tone: signed mean reported, no clipping triggered
+    q = audio.quality_metrics(0.2 + 0.4 * np.sin(2 * np.pi * 220 * t), sr)
+    assert abs(q[4] - 0.2) < 1e-3
+    assert q[0] == 0.0
+    # hard-limited (near-square) wave: crest collapses toward 0 dB
+    x = np.clip(30.0 * np.sin(2 * np.pi * 220 * t), -1.0, 1.0)
+    qs = audio.quality_metrics(x, sr)
+    assert qs[5] < 0.5
+    # silence: crest reported 0 (guarded by silence_ratio in the suite)
+    assert audio.quality_metrics(np.zeros(sr), sr)[5] == 0.0
 
 
 def test_quality_metrics_clipped():

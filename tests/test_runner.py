@@ -261,12 +261,14 @@ _AUDIO_DEPTH_DRIFT = {
     3: {"words_per_s": 40.0},      # transcript rate far above speech
     4: {"pad_bytes": 4096},        # payload inconsistent with (sr, dur)
     5: {"upsample_from": 2000},    # spectrum empty above 1 kHz -> bandwidth
+    6: {"dc_offset": 0.2},         # broken-ADC bias, no clipping (0.6 < 1)
 }
 _AUDIO_DEPTH_KW = dict(
     cps_bounds=(1.0, 60.0),
     payload_tol=0.02,
     quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
-                   "min_band_ratio": 0.01},
+                   "min_band_ratio": 0.01, "dc_offset_max": 0.05,
+                   "crest_min_db": 1.5},
 )
 
 
@@ -274,7 +276,7 @@ _AUDIO_DEPTH_KW = dict(
 def depth_df(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("audio_depth") / "table")
     tables.write_audio_table(
-        tables.audio_table(spark, n_rows=600, n_parts=6, drift=_AUDIO_DEPTH_DRIFT),
+        tables.audio_table(spark, n_rows=700, n_parts=7, drift=_AUDIO_DEPTH_DRIFT),
         path,
     )
     return spark.read.parquet(path)
@@ -286,19 +288,33 @@ def test_audio_depth_checks(spark, tmp_path, depth_df):
     v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
 
     for name in ("audio_clipping", "audio_silence", "transcript_rate",
-                 "payload_size", "audio_bandwidth"):
+                 "payload_size", "audio_bandwidth", "audio_dc_offset",
+                 "audio_crest"):
         assert v[("0", name)]["state"] == "pass", name  # clean partition
     assert v[("1", "audio_clipping")]["state"] == "fail"
+    # hard saturation ALSO collapses the crest factor toward 0 dB —
+    # the two checks see the same physical fault from different sides
+    assert v[("1", "audio_crest")]["state"] == "fail"
     assert v[("2", "audio_silence")]["state"] == "fail"
+    # the crest guard exempts ALL-silent clips (reported crest 0) —
+    # they belong to audio_silence, and the half-silent partition's
+    # voiced clips have normal crest
+    assert v[("2", "audio_crest")]["state"] == "pass"
     assert v[("3", "transcript_rate")]["state"] == "fail"
     assert v[("4", "payload_size")]["state"] == "fail"
     assert v[("5", "audio_bandwidth")]["state"] == "fail"
     assert v[("5", "audio_clipping")]["state"] == "pass"
     assert v[("5", "decode_integrity")]["state"] == "pass"
+    # DC bias: inaudible to every other check (no clipping at 0.6 FS,
+    # frames not silent), caught only by the signed-mean metric
+    assert v[("6", "audio_dc_offset")]["state"] == "fail"
+    assert v[("6", "audio_clipping")]["state"] == "pass"
+    assert v[("6", "audio_silence")]["state"] == "pass"
     # faults don't cross-contaminate other checks
     assert v[("4", "decode_integrity")]["state"] == "pass"  # padding still decodes
     assert v[("1", "audio_silence")]["state"] == "pass"
     assert v[("3", "payload_size")]["state"] == "pass"
+    assert v[("5", "audio_dc_offset")]["state"] == "pass"
 
     # violation rows carry clip ids + metric values, one reason each
     by_reason = {
@@ -314,6 +330,8 @@ def test_audio_depth_checks(spark, tmp_path, depth_df):
     # threshold — the check is statistical per clip, deterministic for
     # this seeded fixture; the PARTITION verdict needs only one hit
     assert 80 <= by_reason["audio_bandwidth"] <= 100
+    assert by_reason["audio_dc_offset"] >= 90       # whole partition biased
+    assert by_reason["audio_crest"] >= 90           # whole partition limited
     row = violations_df.filter(F.col("check_name") == "payload_size").first()
     assert int(row["details"]["value"]) > 4096  # value = payload byte length
 
