@@ -2938,6 +2938,12 @@ AUDIO_SUITE_DRIFT = {
 AUDIO_SUITE_DRIFT_CORRUPT = dict(AUDIO_SUITE_DRIFT)
 AUDIO_SUITE_DRIFT_CORRUPT[7] = {"corrupt_frac": 0.25}
 
+# the QC scenario: one partition of DC-biased clips (broken-ADC fault —
+# no clipping at 0.6 FS, frames not silent, caught only by the signed
+# mean); the gain-saturated part 5 additionally fails the crest check
+AUDIO_SUITE_DRIFT_QC = dict(AUDIO_SUITE_DRIFT)
+AUDIO_SUITE_DRIFT_QC[7] = {"dc_offset": 0.2}
+
 # the metadata-lies scenario: one partition of intact, decodable
 # payloads whose CLAIMED columns lie (rate doubled + duration halved /
 # the inverse / G.711 label swapped) — invisible to the O(length)
@@ -3138,7 +3144,8 @@ def _audio_relational_oracle() -> str | None:
 
 
 def _audio_suite_oracle(real_codecs=False, drift=None,
-                        meta_rules=None, extra_rows=None) -> str | None:
+                        meta_rules=None, extra_rows=None,
+                        qc_rules=False) -> str | None:
     """Full-suite twin for q_audio_suite: regenerate the table with the
     numpy generator twin, DECODE the payloads with the same importable
     numpy kernels the Arrow UDF runs (features_for_batch), and replay
@@ -3283,6 +3290,15 @@ def _audio_suite_oracle(real_codecs=False, drift=None,
          & ((hi_band / np.where(tot_band == 0, 1.0, tot_band)) < 0.01)),
         ("payload_size", ~np.isnan(q_blen) & (np.abs(q_blen - expected) > tol)),
     ]
+    if qc_rules:
+        # r05 QC metrics: same fixed emission order as _quality_conds
+        # (dc_offset then crest, silence-guarded), thresholds mirroring
+        # q_audio_suite_qc's dc_offset_max=0.05 / crest_min_db=1.5
+        q_dc = feats[:, A.N_FEATURES + 4]
+        q_crest = feats[:, A.N_FEATURES + 5]
+        conds.insert(2, ("audio_dc_offset", clean & (np.abs(q_dc) > 0.05)))
+        conds.insert(3, ("audio_crest",
+                         clean & (q_sil < 1.0) & (q_crest < 1.5)))
     if meta_rules is not None:
         # metadata-consistency twin: header facts from the SAME numpy
         # kernel (features_for_batch header cols) vs the claimed columns
@@ -3461,6 +3477,43 @@ def q_audio_suite_corrupt(spark, sf_dir):
             payload_tol=0.02,
             quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                            "min_band_ratio": 0.01},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_qc(spark, sf_dir):
+    """The flagship suite with the r05 QC rules armed (dc_offset_max
+    0.05, crest_min_db 1.5) over a table with a DC-biased partition
+    (part 7: broken-ADC fault — 0.2 constant bias, no clipping, frames
+    not silent, invisible to every other check) — and the
+    gain-saturated part 5 now fails audio_crest BESIDE audio_clipping
+    (hard limiting collapses peak/RMS toward 0 dB). Oracle = the twin
+    replay with the same two conds appended."""
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT_QC)
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01, "dc_offset_max": 0.05,
+                           "crest_min_db": 1.5},
         )
         verdicts, _ = suite.run(spark.read.parquet(path))
         return verdicts.select("partition_key", "check_name", "state").orderBy(
@@ -4334,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_ulaw": q_audio_suite_ulaw,
         "audio_suite_codecs": q_audio_suite_codecs,
         "audio_suite_corrupt": q_audio_suite_corrupt,
+        "audio_suite_qc": q_audio_suite_qc,
         "audio_suite_metalies": q_audio_suite_metalies,
         "audio_suite_lineage": q_audio_suite_lineage,
         "audio_neardup": q_audio_neardup,
@@ -4938,6 +4992,9 @@ def oracle_sql() -> dict[str, str]:
         ("audio_suite_codecs", lambda: _audio_suite_oracle(real_codecs="full")),
         ("audio_suite_corrupt",
          lambda: _audio_suite_oracle(drift=AUDIO_SUITE_DRIFT_CORRUPT)),
+        ("audio_suite_qc",
+         lambda: _audio_suite_oracle(drift=AUDIO_SUITE_DRIFT_QC,
+                                     qc_rules=True)),
         ("audio_suite_metalies",
          lambda: _audio_suite_oracle(real_codecs="full",
                                      drift=AUDIO_SUITE_DRIFT_METALIES,
