@@ -3145,7 +3145,7 @@ def _audio_relational_oracle() -> str | None:
 
 def _audio_suite_oracle(real_codecs=False, drift=None,
                         meta_rules=None, extra_rows=None,
-                        qc_rules=False) -> str | None:
+                        qc_rules=False, drift2=None) -> str | None:
     """Full-suite twin for q_audio_suite: regenerate the table with the
     numpy generator twin, DECODE the payloads with the same importable
     numpy kernels the Arrow UDF runs (features_for_batch), and replay
@@ -3341,16 +3341,40 @@ def _audio_suite_oracle(real_codecs=False, drift=None,
         ranges_c = ranges[c]
         ref_h = ks_hist(arr[m0])
         verdicts.append((pks[0], f"ks:{c}", "pass"))
+        if drift2 and c in drift2.get("emd", {}):
+            verdicts.append((pks[0], f"emd:{c}", "pass"))
+        if drift2 and c in drift2.get("cvm", {}):
+            verdicts.append((pks[0], f"cvm:{c}", "pass"))
         for p, pk in zip(parts[1:], pks[1:]):
             th = ks_hist(arr[part_arr == p])
-            stat = float(np.max(np.abs(np.cumsum(ref_h) / ref_h.sum()
-                                       - np.cumsum(th) / th.sum())))
+            gap = np.cumsum(ref_h) / ref_h.sum() - np.cumsum(th) / th.sum()
+            stat = float(np.max(np.abs(gap)))
             n, mm = ref_h.sum(), th.sum()
             thr = c_ks * float(np.sqrt((n + mm) / (n * mm)))
             verdicts.append((pk, f"ks:{c}", "drift" if stat > thr else "pass"))
+            if drift2 and c in drift2.get("emd", {}):
+                lo, hi = ranges_c
+                bw = (hi - lo) / KSB
+                e = float(bw * np.sum(np.abs(gap)))
+                verdicts.append((pk, f"emd:{c}",
+                                 "drift" if e > drift2["emd"][c] else "pass"))
+            if drift2 and c in drift2.get("cvm", {}):
+                w = (ref_h + th) / (ref_h.sum() + th.sum())
+                v = float(np.sum(w * gap * gap))
+                verdicts.append((pk, f"cvm:{c}",
+                                 "drift" if v > drift2["cvm"][c] else "pass"))
     verdicts.append((pks[0], "psi:codec", "pass"))
+    if drift2 and "chisq_alpha" in drift2:
+        verdicts.append((pks[0], "chisq:codec", "pass"))
     cats = sorted(set(codec))
     ref_f = np.array([(codec[m0] == cc).sum() for cc in cats], dtype=np.float64)
+    if drift2 and "entropy_min" in drift2:
+        for p, pk in zip(parts, pks):
+            f = np.array([(codec[part_arr == p] == cc).sum() for cc in cats],
+                         dtype=np.float64)
+            ent = dist.shannon_entropy(f)
+            verdicts.append((pk, "entropy:codec",
+                             "pass" if ent >= drift2["entropy_min"] else "fail"))
     for p, pk in zip(parts[1:], pks[1:]):
         mt = part_arr == p
         tf = np.array([(codec[mt] == cc).sum() for cc in cats], dtype=np.float64)
@@ -3358,6 +3382,13 @@ def _audio_suite_oracle(real_codecs=False, drift=None,
         qq = np.maximum(tf / tf.sum(), 1e-4)
         stat = float(np.sum((qq - pp) * np.log(qq / pp)))
         verdicts.append((pk, "psi:codec", "drift" if stat > 0.2 else "pass"))
+        if drift2 and "chisq_alpha" in drift2:
+            from menelaus_spark.functions import stats as _S
+            cs, dof = dist.chi2_homogeneity(ref_f, tf)
+            thr = (_S.chi2_critical(dof, drift2["chisq_alpha"])
+                   if dof > 0 else float("inf"))
+            verdicts.append((pk, "chisq:codec",
+                             "drift" if cs > thr else "pass"))
 
     verdicts.extend(extra_rows or [])
     vals = ", ".join(f"('{pk}', '{ck}', '{st}')" for pk, ck, st in verdicts)
@@ -3477,6 +3508,44 @@ def q_audio_suite_corrupt(spark, sf_dir):
             payload_tol=0.02,
             quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
                            "min_band_ratio": 0.01},
+        )
+        verdicts, _ = suite.run(spark.read.parquet(path))
+        return verdicts.select("partition_key", "check_name", "state").orderBy(
+            "partition_key", "check_name"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_audio_suite_drift2(spark, sf_dir):
+    """The flagship suite with the whole r05 drift family armed beside
+    KS/PSI: EMD + CvM on dur_ms (same collected histograms), the
+    chi-squared homogeneity test + Shannon-entropy floor on codec (same
+    collected frequencies) — zero extra Spark passes vs the flagship
+    plan, one new verdict family per check. Oracle = the twin replay
+    recomputing every statistic from its own histograms."""
+    from menelaus_spark.runner import ValidationSuite
+
+    _ensure_workers_can_import(spark)
+    ckpt = tempfile.mkdtemp(prefix="menelaus_ckpt_")
+    try:
+        df = tables.audio_table(spark, n_rows=800, n_parts=8,
+                                drift=AUDIO_SUITE_DRIFT)
+        path = os.path.join(ckpt, "table")
+        tables.write_audio_table(df, path)
+        suite = ValidationSuite(
+            spark, os.path.join(ckpt, "state"),
+            expected_schema=tables.AUDIO_SCHEMA,
+            null_rate_max={"transcript": 0.2},
+            ranges={"dur_ms": (200, 3000)},
+            kdq_params={"count_ubound": 20, "bootstrap_samples": 50},
+            cps_bounds=(1.0, 60.0),
+            payload_tol=0.02,
+            quality_rules={"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
+                           "min_band_ratio": 0.01},
+            emd_cols=("dur_ms",), emd_threshold=150.0,
+            cvm_cols=("dur_ms",), cvm_threshold=0.01,
+            chisq_alpha=0.001, entropy_min=0.5,
         )
         verdicts, _ = suite.run(spark.read.parquet(path))
         return verdicts.select("partition_key", "check_name", "state").orderBy(
@@ -4388,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_codecs": q_audio_suite_codecs,
         "audio_suite_corrupt": q_audio_suite_corrupt,
         "audio_suite_qc": q_audio_suite_qc,
+        "audio_suite_drift2": q_audio_suite_drift2,
         "audio_suite_metalies": q_audio_suite_metalies,
         "audio_suite_lineage": q_audio_suite_lineage,
         "audio_neardup": q_audio_neardup,
@@ -4995,6 +5065,10 @@ def oracle_sql() -> dict[str, str]:
         ("audio_suite_qc",
          lambda: _audio_suite_oracle(drift=AUDIO_SUITE_DRIFT_QC,
                                      qc_rules=True)),
+        ("audio_suite_drift2",
+         lambda: _audio_suite_oracle(drift2={
+             "emd": {"dur_ms": 150.0}, "cvm": {"dur_ms": 0.01},
+             "chisq_alpha": 0.001, "entropy_min": 0.5})),
         ("audio_suite_metalies",
          lambda: _audio_suite_oracle(real_codecs="full",
                                      drift=AUDIO_SUITE_DRIFT_METALIES,
