@@ -306,6 +306,33 @@ def q_entropy_event_type_quarters(spark, sf_dir):
     )
 
 
+def q_hotkey_event_type_quarters(spark, sf_dir):
+    """Per-quarter heavy-hitter: the mode event_type and its share of
+    each event_id % 4 quarter (runner._hotkey_verdicts is the
+    suite-side twin over the partition column). Mode selection is the
+    deterministic struct max — count first, value string second — so
+    ties resolve identically in Spark and the SQL twin's
+    ORDER BY c DESC, event_type DESC."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    counts = (
+        ev.withColumn("quarter", F.pmod("event_id", F.lit(4)))
+        .groupBy("quarter", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("quarter")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("event_type").alias("k"))).alias("top"),
+            F.sum("c").alias("total"),
+        )
+        .select(
+            "quarter",
+            F.col("top.k").alias("top_key"),
+            F.round(F.col("top.c") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 def q_chisq_event_type_halves(spark, sf_dir):
     """Two-sample chi-squared homogeneity statistic of event_type
     frequencies, even vs odd event_id halves — the hypothesis-test
@@ -4408,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_event_type_halves": q_psi_event_type_halves,
         "chisq_event_type_halves": q_chisq_event_type_halves,
         "entropy_event_type_quarters": q_entropy_event_type_quarters,
+        "hotkey_event_type_quarters": q_hotkey_event_type_quarters,
         "ks_value_click_vs_error": q_ks_value_click_vs_error,
         "emd_value_click_vs_error": q_emd_value_click_vs_error,
         "cvm_value_click_vs_error": q_cvm_value_click_vs_error,
@@ -4653,6 +4681,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum((q - p) * ln(q / p)), 6) AS psi
             FROM (SELECT greatest(c0 / t0, 1e-4) p, greatest(c1 / t1, 1e-4) q
                   FROM freqs, tot)
+        """,
+        "hotkey_event_type_quarters": """
+            WITH counts AS (
+              SELECT event_id % 4 AS quarter, event_type, count(*) AS c
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+            ranked AS (
+              SELECT quarter, event_type, c,
+                     row_number() OVER (PARTITION BY quarter
+                                        ORDER BY c DESC, event_type DESC) AS rn,
+                     sum(c) OVER (PARTITION BY quarter) AS total
+              FROM counts)
+            SELECT quarter, event_type AS top_key,
+                   round(c / total, 6) AS share
+            FROM ranked WHERE rn = 1
         """,
         "entropy_event_type_quarters": """
             WITH counts AS (

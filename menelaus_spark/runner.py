@@ -85,6 +85,7 @@ class ValidationSuite:
         psi_threshold: float = 0.2,
         chisq_alpha: float | None = None,
         entropy_min: float | None = None,
+        hot_key_max_frac: dict | None = None,
         emd_cols: tuple[str, ...] = (),
         emd_threshold: float | dict | None = None,
         cvm_cols: tuple[str, ...] = (),
@@ -146,6 +147,13 @@ class ValidationSuite:
                 "entropy_min requires psi_col (the entropy floor rides "
                 "the PSI frequency pass)")
         self.entropy_min = entropy_min
+        # heavy-hitter ceiling: {column: max mode share}. A partition
+        # where one value of a HIGH-CARDINALITY column (e.g.
+        # transcript) swallows more than the ceiling fails — the
+        # boilerplate-flood check ("thank you for watching" x 10^6)
+        # that frequency-family checks can't see because the column
+        # has too many categories to collect. See _hotkey_verdicts.
+        self.hot_key_max_frac = hot_key_max_frac or None
         # Earth Mover's (1-Wasserstein) drift vs the reference
         # partition, computed from the SAME collected KS histograms —
         # zero extra passes, so emd_cols must be a subset of ks_cols.
@@ -952,6 +960,47 @@ class ValidationSuite:
             statistic=float(n_dup), threshold=0.0, n_rows=int(row["n"]),
         ).as_row()
 
+    def _hotkey_verdicts(self, df: DataFrame) -> list[dict]:
+        """Per-partition heavy-hitter (mode share) verdicts for each
+        configured high-cardinality column: `hotkey:<col>` fails where
+        one value's share exceeds the ceiling. One groupBy(partition,
+        col) per column — no salting needed: Spark's partial (map-side)
+        hash aggregation collapses a hot value to one row per task
+        before the shuffle, so a boilerplate flood costs nothing extra.
+        The top-1 reduction collects O(partitions) rows. Deterministic
+        (ties broken by the larger value string via the struct max), so
+        recomputing per run keeps resumed and one-shot verdict tables
+        identical — the same contract as the global uniqueness check.
+        NULLs are excluded from both the mode and the denominator (they
+        belong to the null-rate constraint)."""
+        out = []
+        for col, frac_max in (self.hot_key_max_frac or {}).items():
+            counts = (
+                df.filter(F.col(col).isNotNull())
+                .groupBy(self.partition_col, col)
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            top = (
+                counts.groupBy(self.partition_col)
+                .agg(
+                    F.max(F.struct(F.col("c"),
+                                   F.col(col).cast("string").alias("k"))).alias("top"),
+                    F.sum("c").alias("total"),
+                )
+                .collect()
+            )
+            for r in sorted(top, key=lambda r: str(r[0])):
+                share = float(r["top"]["c"]) / float(r["total"])
+                out.append(Verdict(
+                    str(r[0]), f"hotkey:{col}",
+                    FAIL if share > float(frac_max) else PASS,
+                    statistic=share, threshold=float(frac_max),
+                    n_rows=int(r["total"]),
+                    details={"top_key": r["top"]["k"],
+                             "top_n": int(r["top"]["c"])},
+                ).as_row())
+        return out
+
     def _neardup_verdicts(self, df: DataFrame) -> list[dict]:
         """Global payload near-dup verdicts via the fingerprint-shingle
         MinHash/LSH path. Deterministic (seeded md5 hash family,
@@ -1100,6 +1149,8 @@ class ValidationSuite:
             verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
         if self.neardup_rate_max is not None:
             verdict_rows = verdict_rows + self._neardup_verdicts(df)
+        if self.hot_key_max_frac is not None:
+            verdict_rows = verdict_rows + self._hotkey_verdicts(df)
         verdicts_df = self.spark.createDataFrame(verdict_rows, schema=VERDICT_SCHEMA)
         import os
 

@@ -128,6 +128,11 @@ def _draw_transcript(rng, d, null_frac, dur):
     (transcript-rate faults)."""
     if null_frac > 0 and rng.random() < null_frac:
         return None
+    # boilerplate_frac: replaces the transcript with one fixed string —
+    # the heavy-hitter flood fault (hotkey:<col> check fodder). The
+    # extra rng draw only happens in partitions that request the key.
+    if "boilerplate_frac" in d and rng.random() < float(d["boilerplate_frac"]):
+        return "thank you for watching"
     if "words_per_s" in d:
         n_tok = max(1, int(round(dur / 1000.0 * float(d["words_per_s"]))))
     else:

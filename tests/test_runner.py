@@ -157,6 +157,27 @@ def test_chisq_drift_check(spark, tmp_path, audio_df):
         _suite(spark, tmp_path, "chisq_bad2", chisq_alpha=1.5)
 
 
+def test_hotkey_check(spark, tmp_path):
+    # heavy-hitter ceiling on a HIGH-CARDINALITY column: a partition
+    # flooded with one boilerplate transcript fails hotkey:transcript;
+    # organic partitions (random word sequences) stay far below the
+    # ceiling. Deterministic, so it is recomputed per run like the
+    # global uniqueness check — a resumed table yields identical rows.
+    df = tables.audio_table(spark, n_rows=800, n_parts=4,
+                            drift={2: {"boilerplate_frac": 0.7}})
+    suite = _suite(spark, tmp_path, "hotkey", kdq_features=False,
+                   hot_key_max_frac={"transcript": 0.5})
+    verdicts_df, _ = suite.run(df)
+    v = _by_check([r.asDict(recursive=True) for r in verdicts_df.collect()])
+    assert v[("2", "hotkey:transcript")]["state"] == "fail"
+    assert v[("2", "hotkey:transcript")]["statistic"] > 0.5
+    assert v[("2", "hotkey:transcript")]["details"]["top_key"] == \
+        "thank you for watching"
+    for pk in ("0", "1", "3"):
+        assert v[(pk, "hotkey:transcript")]["state"] == "pass", pk
+        assert v[(pk, "hotkey:transcript")]["statistic"] < 0.2, pk
+
+
 def test_entropy_floor_check(spark, tmp_path, audio_df):
     # entropy floor rides the SAME collected PSI frequencies: a
     # partition whose codec distribution COLLAPSES to one value fails
