@@ -51,8 +51,8 @@ suite = ValidationSuite(spark, {ckpt!r},
     cps_bounds=(1.0, 60.0),
     payload_tol=0.02,
     payload_bps={bps},
-    quality_rules={{"clip_rate_max": 0.05, "silence_ratio_max": 0.9,
-                    "min_band_ratio": 0.01}})
+    quality_rules={quality_rules},
+    **{extra_kw})
 verdicts, _ = suite.run(df)
 n = sum(r["n_rows"] for r in suite.manifest.records)
 dt = time.time() - t0
@@ -82,6 +82,26 @@ def main():
     # loop. Prints results only (the PCM run owns the generated
     # header); record the numbers in the MANUAL section.
     real_codecs = sys.argv[5] if len(sys.argv) > 5 else False
+    # "armed" mode: the PCM table but with EVERY r05-late check family
+    # switched on — EMD/CvM (ride the KS histograms), chi-squared +
+    # entropy floor (ride the PSI frequencies), DC-offset + crest
+    # (ride the decode batch), and the heavy-hitter ceiling (the one
+    # check with its own groupBy(part, col) pass). Measures that the
+    # zero-extra-pass claim holds as a scaling number, not a sentence.
+    armed = real_codecs == "armed"
+    if armed:
+        real_codecs = False
+    quality_rules = ('{"clip_rate_max": 0.05, "silence_ratio_max": 0.9, '
+                     '"min_band_ratio": 0.01}')
+    extra_kw = "{}"
+    if armed:
+        quality_rules = ('{"clip_rate_max": 0.05, "silence_ratio_max": 0.9, '
+                         '"min_band_ratio": 0.01, "dc_offset_max": 0.05, '
+                         '"crest_min_db": 0.1}')
+        extra_kw = ('{"emd_cols": ("dur_ms",), "emd_threshold": 500.0, '
+                    '"cvm_cols": ("dur_ms",), "cvm_threshold": 0.05, '
+                    '"chisq_alpha": 0.001, "entropy_min": 0.2, '
+                    '"hot_key_max_frac": {"transcript": 0.5}}')
     if real_codecs == "full":
         accepted = ["pcm", "ulaw", "alaw", "adpcm", "flac"]
         # substituted VALUES are not re-scanned by str.format — this
@@ -108,7 +128,9 @@ def main():
         for trial in range(n_trials):
             ckpt = os.path.join(work, f"ckpt_{cores}_{int(time.time())}_{trial}")
             out = run_py(RUN_SNIPPET.format(repo=REPO, cores=cores, path=path,
-                                            ckpt=ckpt, accepted=accepted, bps=bps))
+                                            ckpt=ckpt, accepted=accepted, bps=bps,
+                                            quality_rules=quality_rules,
+                                            extra_kw=extra_kw))
             line = [ln for ln in out.splitlines() if '"RESULT"' in ln][-1]
             r = json.loads(line)
             print(f"trial {trial}:", r, flush=True)
