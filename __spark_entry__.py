@@ -526,6 +526,19 @@ def q_dedup_clusters_documents(spark, sf_dir):
     return cluster_members(cc).orderBy("id")
 
 
+def q_repeated_ngram_documents(spark, sf_dir):
+    """Exact repeated-substring pairs: documents sharing >= 1 verbatim
+    8-token span (Lee et al. 2022 exact-dup signal; catches shared
+    passages document-level Jaccard misses). md5-prefix span keys make
+    the whole pipeline — span extraction, 60-bit keying, hot-span cap
+    at document frequency 64, inverted-index self-join, shared-span
+    count — bit-reproducible in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return dedup.repeated_ngram_pairs(
+        docs, "doc_id", "text", n=8, hot_cap=64
+    ).orderBy("id_a", "id_b")
+
+
 def q_ngram_jaccard_documents(spark, sf_dir):
     """Blocked n-gram Jaccard near-dup pairs. Block = (lang, length
     bucket): near-duplicates have near-equal lengths, so the classic
@@ -4445,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "repeated_ngram_documents": q_repeated_ngram_documents,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_kmeans": q_embedding_neardup_kmeans,
         "hdddm_lineitem_cumulative": q_hdddm_lineitem_cumulative,
@@ -4914,6 +4928,25 @@ def oracle_sql() -> dict[str, str]:
             FROM cl JOIN sz USING (cluster_id)
             ORDER BY cl.id
         ''',
+        "repeated_ngram_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_GUARDED} AS toks FROM documents),
+            spans AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(unnest(list_distinct(
+                        list_transform(range(1, len(toks) - 6),
+                          i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                     ))), 1, 15))::BIGINT AS h
+              FROM toks WHERE len(toks) >= 8),
+            cold AS (
+              SELECT doc_id, h FROM spans
+              WHERE h IN (SELECT h FROM spans GROUP BY h HAVING count(*) <= 64)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, count(*) AS shared_spans
+            FROM pairs GROUP BY id_a, id_b ORDER BY id_a, id_b
+        """,
         "ngram_jaccard_documents": f"""
             WITH sh AS (
               SELECT doc_id, lang, blk,

@@ -320,6 +320,55 @@ def minhash_lsh_dedup(
     return verified
 
 
+def repeated_ngram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    hot_cap: int = 64,
+) -> DataFrame:
+    """Document pairs sharing at least one EXACT n-token span — the
+    substring-level exact-duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    training corpora contain verbatim repeated passages inside
+    otherwise-distinct documents, which document-level MinHash/Jaccard
+    similarity misses when the shared span is a small fraction of both
+    docs). Returns (id_a, id_b, shared_spans).
+
+    Plan shape (no all-pairs join anywhere):
+    - distinct n-gram spans per doc via the shared shingle expression
+      (pure JVM higher-order functions);
+    - span -> 60-bit key = md5-prefix (the repo's exact,
+      engine-portable hash family — the DuckDB oracle reproduces it
+      bit-for-bit; a collision can only ADD a pair, p ~ 2^-60);
+    - hot-span cap: spans present in more than ``hot_cap`` documents
+      are boilerplate (licenses, headers) and quadratic killers — they
+      are excluded from pairing, the standard published mitigation.
+      The exclusion is on DOCUMENT frequency, so it is deterministic
+      and partitioning-independent;
+    - inverted-index self-join on the surviving span keys, id_a <
+      id_b, then one groupBy counting shared spans per pair. Candidate
+      volume is bounded by sum over spans of df^2 <= hot_cap * total
+      span occurrences — linear in corpus size for fixed hot_cap.
+    """
+    spans = with_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("__g")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long").alias("__h"),
+    )
+    dfreq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    cold = spans.join(dfreq.filter(F.col("__df") <= hot_cap), on="__h")
+    a = cold.select(F.col(id_col).alias("id_a"), "__h")
+    b = cold.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, on="__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-token 64-bit hash,
     bit-position vote by token frequency, sign -> fingerprint bit.

@@ -130,6 +130,32 @@ def test_ngram_jaccard_pairs_blocked(spark):
     assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
 
 
+def test_repeated_ngram_pairs(spark):
+    # docs 1/2: distinct documents sharing one verbatim 8-token span
+    # buried mid-text (document-level Jaccard ~0.33 — below any dedup
+    # threshold, exactly the case the substring signal exists for);
+    # doc 3: fully distinct; docs 10..20: a boilerplate 8-token span
+    # in >cap documents must NOT produce pairs (hot-span exclusion)
+    span = "the quick brown fox jumps over the lazy"
+    boiler = "all rights reserved by the example corp inc"
+    rows = [
+        (1, f"alpha beta gamma {span} delta epsilon zeta eta"),
+        (2, f"one two three four {span} five six seven"),
+        (3, "completely different words with no overlap at all here now"),
+    ] + [(10 + i, f"doc{i} body text {boiler} tail{i} words here")
+         for i in range(11)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.repeated_ngram_pairs(df, "doc_id", n=8, hot_cap=8).toPandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in got
+    assert all(a < 10 or b < 10 for a, b in got), got  # no boilerplate pairs
+    assert int(out.loc[(out.id_a == 1) & (out.id_b == 2),
+                       "shared_spans"].iloc[0]) == 1
+    # raising the cap re-admits the boilerplate span: 11 docs -> 55 pairs
+    out2 = dedup.repeated_ngram_pairs(df, "doc_id", n=8, hot_cap=64).toPandas()
+    assert len(out2) == 1 + 55
+
+
 def test_simhash_neardup(spark):
     # simhash stability needs doc length >> 1 changed token: at 200
     # tokens a single substitution flips ~1 fingerprint bit
