@@ -85,3 +85,65 @@ def asof_join_last(
         f"asof_{right_ts}",
         *[f"asof_{c}" for c in value_cols],
     )
+
+
+def _ms(col: Column) -> Column:
+    """Epoch milliseconds; NTZ timestamps go through a session-UTC
+    cast first (the repo-wide convention matching DuckDB's naive
+    epoch_ms — __spark_entry__.py:214)."""
+    return F.unix_millis(col.cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong
+    to the same session while the inter-event gap stays <= ``gap_ms``
+    milliseconds; a larger gap starts a new session.
+
+    One shuffle (the per-key sort), two stacked window passes Catalyst
+    fuses into a single Window node chain: lag -> boundary flag ->
+    running sum = 1-based ``session_seq``.  ``order_cols`` breaks
+    timestamp ties deterministically (default: the key-local ordering
+    is (ts, <first extra col>) — pass e.g. the event id).
+
+    Adds ``session_seq`` (per-key session ordinal) and ``session_id``
+    ("<key>#<seq>").  Aggregate with ``session_stats`` for per-session
+    rows.  At 10^12 events this is the same plan as any keyed window:
+    skewed users split by AQE, nothing driver-side.
+    """
+    order_cols = order_cols or []
+    ordering = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*ordering)
+    ms = _ms(F.col(ts_col))
+    prev = F.lag(ms).over(w)
+    new_sess = F.when(prev.isNull() | ((ms - prev) > gap_ms), F.lit(1)).otherwise(F.lit(0))
+    out = df.withColumn("__new", new_sess)
+    out = out.withColumn(
+        "session_seq",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    ).drop("__new")
+    return out.withColumn(
+        "session_id",
+        F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_seq").cast("string")),
+    )
+
+
+def session_stats(sessions: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Per-session aggregate over a ``sessionize`` result: start/end
+    millis, event count, duration.  One groupBy on (key, session_seq)
+    — the same shuffle key as the sessionize sort, so with matching
+    partitioning Catalyst reuses the exchange."""
+    ms = _ms(F.col(ts_col))
+    return sessions.groupBy(key_col, "session_seq").agg(
+        F.min(ms).alias("start_ms"),
+        F.max(ms).alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ms) - F.min(ms)).alias("duration_ms"),
+    )
