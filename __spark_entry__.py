@@ -4421,6 +4421,123 @@ def _audio_dedup_resolution_oracle() -> str | None:
 
 
 # --------------------------------------------------------------------------
+# sketches / sampling / sessionization (r05 additions)
+
+def q_hll_distinct_events(spark, sf_dir):
+    """HyperLogLog approx-distinct of events.user_id (p=8) — the
+    10^12-row uniqueness SCREEN: one scan, a 256-row register shuffle,
+    no key shuffle (operators/sketches.py).  Emits the exact integer
+    sketch state (v_zero, s_int), the estimate, the exact distinct for
+    reference, and merge_mismatches = register-level diff between the
+    global sketch and the max-merge of four per-quarter sketches
+    (always 0 — max is associative; the mergeability proof rides the
+    entry)."""
+    from menelaus_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    reg = SK.hll_registers(ev, "user_id", p=8)
+    by_q = SK.hll_registers_by(
+        ev.withColumn("q", F.pmod("event_id", F.lit(4))), "q", "user_id", p=8)
+    merged = by_q.groupBy("reg").agg(F.max("rho").alias("rho"))
+    mism = (
+        reg.withColumnRenamed("rho", "rho_g")
+        .join(merged.withColumnRenamed("rho", "rho_m"), "reg", "full")
+        .agg(F.coalesce(
+            F.sum((~(F.col("rho_g").eqNullSafe(F.col("rho_m")))).cast("long")),
+            F.lit(0).cast("long")).alias("merge_mismatches"))
+    )
+    est = SK.hll_estimate_df(reg, p=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(mism))
+
+
+def q_cms_freq_events(spark, sf_dir):
+    """Count-min frequency estimates (d=4, w=64) for the five smallest
+    user_ids vs their true counts — the bounded-state frequency screen
+    (grid <= d*w rows, merges by sum).  est_count >= true_count by
+    construction."""
+    from menelaus_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    grid = SK.cms_counters(ev, "user_id", d=4, w=64)
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(5)
+    est = SK.cms_lookup(grid, probes, "user_id", d=4, w=64)
+    truth = ev.join(F.broadcast(probes), "user_id").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    return est.join(truth, "user_id").select(
+        "user_id", "est_count", "true_count").orderBy("user_id")
+
+
+def q_stratified_sample_events(spark, sf_dir):
+    """Deterministic stratified sample: 5 rows per event_type, ranked
+    by md5 of the event id (operators/sampling.py) — compiles to
+    WindowGroupLimit (partial top-k before the stratum shuffle)."""
+    from menelaus_spark.operators import sampling as SA
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        SA.stratified_sample(ev, "event_type", "event_id", 5)
+        .select("event_type", "event_id", "rk")
+        .orderBy("event_type", "rk")
+    )
+
+
+def q_mix_sample_documents(spark, sf_dir):
+    """Weighted corpus mix: 40 documents apportioned 50/25/15/10 over
+    en/es/de/fr by largest remainder, each language's quota drawn by
+    hash rank (the LLM data-mixing step)."""
+    from menelaus_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SA.mix_sample(docs, "lang", "doc_id",
+                      {"en": 0.5, "es": 0.25, "de": 0.15, "fr": 0.1}, 40)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def q_sessions_events(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the events stream +
+    per-session stats — one keyed sort, two fused window passes
+    (operators/relational.py sessionize)."""
+    from menelaus_spark.operators.relational import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_ms=1_800_000, order_cols=["event_id"])
+    return session_stats(sess, "user_id", "ts").orderBy("user_id", "session_seq")
+
+
+def q_token_psi_documents(spark, sf_dir):
+    """Vocabulary drift: PSI over the full unigram token distribution
+    between even and odd doc_id halves — the text twin of the codec
+    PSI check (explode -> token-frequency join -> one eps-floored
+    log-ratio aggregate; vocabulary-sized shuffle, never row-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.pmod("doc_id", F.lit(2)).alias("half"),
+        F.explode(T.tokens_col(F.col("text"))).alias("tok"),
+    )
+    freqs = toks.groupBy("tok").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("half") == 1).cast("long")).alias("c1"),
+    )
+    tot = freqs.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    eps = 1e-4
+    return (
+        freqs.crossJoin(F.broadcast(tot))
+        .select(
+            F.greatest(F.col("c0") / F.col("t0"), F.lit(eps)).alias("p"),
+            F.greatest(F.col("c1") / F.col("t1"), F.lit(eps)).alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("token_psi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4512,6 +4629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_resolution": q_audio_dedup_resolution,
         "audio_dedup_resolved": q_audio_dedup_resolved,
         "streaming_neardup": q_streaming_neardup,
+        # sketches / sampling / sessionization (r05)
+        "hll_distinct_events": q_hll_distinct_events,
+        "cms_freq_events": q_cms_freq_events,
+        "stratified_sample_events": q_stratified_sample_events,
+        "mix_sample_documents": q_mix_sample_documents,
+        "sessions_events": q_sessions_events,
+        "token_psi_documents": q_token_psi_documents,
     }
 
 
@@ -5175,4 +5299,124 @@ def oracle_sql() -> dict[str, str]:
     out["cdbd_events_value"] = _drift_recurrence_sql(
         _CDBD_EV_VALS, 1, _JS_EXPR)
     out["example_data_profile"] = _example_profile_oracle()
+    # ---- sketches / sampling / sessionization (r05 additions) ----
+    # HLL replayed register-for-register: same md5-lane 60-bit hash,
+    # reg = top 8 bits, rho = leading-zero rank of the 52-bit suffix
+    # via length(bin(w)) (bin/length exist identically in both
+    # engines); S_int stays integer so the single float division is
+    # bit-reproducible.
+    out["hll_distinct_events"] = """
+        WITH h AS (
+          SELECT event_id,
+                 ('0x' || substring(md5('hll|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL),
+        rw AS (
+          SELECT event_id, h // (1::BIGINT << 52) AS reg,
+                 h & ((1::BIGINT << 52) - 1) AS w FROM h),
+        r AS (
+          SELECT reg, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+          FROM rw GROUP BY reg),
+        rq AS (
+          SELECT (event_id % 4) AS q, reg,
+                 max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+          FROM rw GROUP BY 1, 2),
+        m AS (SELECT reg, max(rho) AS rho FROM rq GROUP BY reg),
+        mism AS (
+          SELECT coalesce(sum(CASE WHEN r.rho IS DISTINCT FROM m.rho THEN 1 ELSE 0 END), 0) AS merge_mismatches
+          FROM r FULL JOIN m USING (reg)),
+        agg AS (
+          SELECT count(*) AS nz,
+                 coalesce(sum(1::BIGINT << (53 - rho)), 0) AS s_nz FROM r),
+        est AS (
+          SELECT 256 AS m, (256 - nz)::BIGINT AS v_zero,
+                 (s_nz + (256 - nz)::BIGINT * (1::BIGINT << 53)) AS s_int,
+                 round(CASE WHEN (0.7213/(1+1.079/256) * 256 * 256)
+                                 / ((s_nz + (256 - nz)::BIGINT * (1::BIGINT << 53)) / (1::BIGINT << 53)::DOUBLE) <= 640
+                             AND (256 - nz) > 0
+                            THEN 256.0 * ln(256.0 / (256 - nz))
+                            ELSE (0.7213/(1+1.079/256) * 256 * 256)
+                                 / ((s_nz + (256 - nz)::BIGINT * (1::BIGINT << 53)) / (1::BIGINT << 53)::DOUBLE)
+                       END, 4) AS est_distinct
+          FROM agg),
+        ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+        SELECT est.m, est.v_zero, est.s_int, est.est_distinct,
+               ex.exact_distinct, mism.merge_mismatches
+        FROM est, ex, mism
+    """
+    out["cms_freq_events"] = """
+        WITH lanes AS (
+          SELECT j, user_id,
+                 (('0x' || substring(md5('cms' || j::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT % 64)::INT AS bucket
+          FROM events, (SELECT unnest([0,1,2,3]) AS j) WHERE user_id IS NOT NULL),
+        counters AS (SELECT j AS lane, bucket, count(*) AS cnt FROM lanes GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5),
+        pl AS (
+          SELECT p.user_id, j,
+                 (('0x' || substring(md5('cms' || j::VARCHAR || '|' || p.user_id::VARCHAR), 1, 15))::BIGINT % 64)::INT AS bucket
+          FROM probes p, (SELECT unnest([0,1,2,3]) AS j)),
+        est AS (
+          SELECT pl.user_id, min(coalesce(c.cnt, 0)) AS est_count
+          FROM pl LEFT JOIN counters c ON c.lane = pl.j AND c.bucket = pl.bucket
+          GROUP BY pl.user_id),
+        truth AS (
+          SELECT user_id, count(*) AS true_count FROM events
+          WHERE user_id IN (SELECT user_id FROM probes) GROUP BY user_id)
+        SELECT est.user_id, est.est_count, truth.true_count
+        FROM est JOIN truth USING (user_id) ORDER BY user_id
+    """
+    out["stratified_sample_events"] = """
+        SELECT event_type, event_id, rk FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY md5('samp|' || event_id::VARCHAR), event_id) AS rk
+          FROM events)
+        WHERE rk <= 5 ORDER BY event_type, rk
+    """
+    # largest-remainder allocation of 40 over {en:.5, es:.25, de:.15,
+    # fr:.1} = {en:20, es:10, de:6, fr:4} (exact: 20/10/6/4, no
+    # remainder) — inlined as the quota CASE
+    out["mix_sample_documents"] = """
+        SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5('samp|' || doc_id::VARCHAR), doc_id) AS rk
+          FROM documents WHERE lang IN ('en', 'es', 'de', 'fr'))
+        WHERE rk <= CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 10
+                              WHEN 'de' THEN 6 ELSE 4 END
+        ORDER BY lang, rk
+    """
+    out["sessions_events"] = """
+        WITH o AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+                 lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        f AS (
+          SELECT user_id, ms, event_id,
+                 CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new
+          FROM o),
+        s AS (
+          SELECT user_id, ms,
+                 (sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS session_seq
+          FROM f)
+        SELECT user_id, session_seq, min(ms) AS start_ms, max(ms) AS end_ms,
+               count(*) AS n_events, max(ms) - min(ms) AS duration_ms
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    out["token_psi_documents"] = f"""
+        WITH toks AS (
+          SELECT (doc_id % 2) AS half, unnest({_TOKS_GUARDED}) AS tok
+          FROM documents),
+        freqs AS (
+          SELECT tok,
+                 sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+          FROM toks GROUP BY tok),
+        tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM freqs)
+        SELECT count(*) AS vocab_size,
+               round(sum((q - p) * ln(q / p)), 6) AS token_psi
+        FROM (SELECT greatest(c0 / t0, 1e-4) AS p,
+                     greatest(c1 / t1, 1e-4) AS q
+              FROM freqs, tot)
+    """
     return out

@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "hdddm_lineitem",
     "kdq_lineitem",
     "streaming_traces",
+    "hll_distinct_events",
+    "stratified_sample_events",
+    "sessions_events",
 ]
 
 CLIPS_PER_SF = 160_000  # sf0.1 -> 16k clips
