@@ -98,6 +98,8 @@ class ValidationSuite:
         hdm_params: dict | None = None,
         hdm_input_partitions: int = 8,
         global_uniqueness: bool = True,
+        uniqueness_mode: str = "exact",
+        uniqueness_sketch_p: int = 12,
         neardup_rate_max: float | None = None,
         cps_bounds: tuple | None = None,
         payload_tol: float | None = None,
@@ -199,6 +201,15 @@ class ValidationSuite:
             else None
         )
         self.global_uniqueness = global_uniqueness
+        # "exact": count vs countDistinct (a full key shuffle at
+        # 10^12 rows). "sketch": HyperLogLog screen first (one scan,
+        # a 2^p-row register shuffle, NO key shuffle); the exact pass
+        # runs only when the estimate can't rule duplicates out within
+        # 3-sigma sketch noise — the scale-path default.
+        if uniqueness_mode not in ("exact", "sketch"):
+            raise ValueError(f"uniqueness_mode must be exact|sketch, got {uniqueness_mode!r}")
+        self.uniqueness_mode = uniqueness_mode
+        self.uniqueness_sketch_p = uniqueness_sketch_p
         # payload near-duplicate rate (spectral-fingerprint shingle
         # path, operators/audio_dedup.py): fraction of clips that are a
         # member of at least one near-dup pair. Global like uniqueness
@@ -945,19 +956,79 @@ class ValidationSuite:
     def _global_uniqueness_verdict(self, df: DataFrame):
         """Cross-partition key uniqueness: within-partition dup checks
         cannot see a clip_id repeated in two partitions, so one global
-        (count vs countDistinct) pass covers the whole table. Cheap
-        fast path; the exact dup-group scan only runs on failure.
-        Deterministic, so recomputing per run keeps resumed and
+        pass covers the whole table.
+
+        uniqueness_mode="exact": count vs countDistinct — correct but
+        a full key shuffle. uniqueness_mode="sketch": HyperLogLog
+        screen (operators/sketches.py) — one scan whose shuffle is at
+        most 2^p register rows; only when the estimate sits below the
+        row count by more than 3-sigma sketch noise does the exact
+        pass run (and its verdict is then identical to exact mode).
+        NULL keys ride the same register pass (reg -1) and always
+        escalate — exact mode counts them as duplicates. Both modes
+        are deterministic, so recomputing per run keeps resumed and
         one-shot verdict tables identical."""
+        if self.uniqueness_mode == "sketch":
+            verdict = self._uniqueness_sketch_screen(df)
+            if verdict is not None:
+                return verdict
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(self.key_col).alias("d"),
         ).collect()[0]
         n_dup = int(row["n"]) - int(row["d"])
+        details = {}
+        if self.uniqueness_mode == "sketch":
+            details["mode"] = "sketch+exact"
         return Verdict(
             "__global__", f"unique:{self.key_col}",
             PASS if n_dup == 0 else FAIL,
             statistic=float(n_dup), threshold=0.0, n_rows=int(row["n"]),
+            details=details,
+        ).as_row()
+
+    def _uniqueness_sketch_screen(self, df: DataFrame):
+        """The HLL screen: returns a PASS verdict row when the sketch
+        rules duplicates out within 3-sigma noise, else None (caller
+        escalates to the exact pass). One job; NULL keys are counted
+        in a sentinel register so they force escalation without a
+        second scan."""
+        import math as _math
+
+        from menelaus_spark.operators import sketches as SK
+
+        p = self.uniqueness_sketch_p
+        m = 1 << p
+        key = F.col(self.key_col)
+        h = SK._hash60(key, "hll")
+        regs = (
+            df.select(
+                F.when(key.isNull(), F.lit(-1))
+                .otherwise(F.shiftright(h, SK._HASH_BITS - p).cast("int")).alias("reg"),
+                F.when(key.isNull(), F.lit(0))
+                .otherwise(SK._rho_expr(h, p)).alias("rho"),
+            )
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        n_total = sum(int(r["c"]) for r in regs)
+        n_null = sum(int(r["c"]) for r in regs if r["reg"] == -1)
+        live = [r for r in regs if r["reg"] >= 0]
+        if n_null > 0:
+            return None  # exact mode treats null keys as dups
+        kmax = SK._HASH_BITS - p + 1
+        v_zero = m - len(live)
+        s_int = sum(1 << (kmax - int(r["rho"])) for r in live) + v_zero * (1 << kmax)
+        est = SK._estimate_from(v_zero, s_int, p) if n_total else 0.0
+        noise = 3.0 * 1.04 / _math.sqrt(m)
+        dup_frac_est = 0.0 if n_total == 0 else max(0.0, (n_total - est) / n_total)
+        if dup_frac_est > noise:
+            return None
+        return Verdict(
+            "__global__", f"unique:{self.key_col}", PASS,
+            statistic=dup_frac_est, threshold=noise, n_rows=n_total,
+            details={"mode": "sketch", "est_distinct": f"{est:.2f}", "p": str(p)},
         ).as_row()
 
     def _hotkey_verdicts(self, df: DataFrame) -> list[dict]:

@@ -748,3 +748,60 @@ def test_resume_byte_identical_codec_mixed_corrupt(spark, tmp_path):
     assert states[("3", "metadata_consistency")] == "fail"
     assert states[("3", "decode_integrity")] == "pass"
     df.unpersist()
+
+
+def test_uniqueness_sketch_screen_passes_clean(spark, tmp_path):
+    df = spark.createDataFrame(
+        tables.audio_table(spark, n_rows=400, n_parts=2, drift={}).toPandas()
+    )
+    suite = _suite(spark, tmp_path, "uniq_sketch_clean", kdq_features=False,
+                   uniqueness_mode="sketch")
+    verdicts_df, _ = suite.run(df)
+    [r] = [r.asDict(recursive=True) for r in
+           verdicts_df.filter(
+               (F.col("partition_key") == "__global__")
+               & (F.col("check_name") == "unique:clip_id")).collect()]
+    assert r["state"] == "pass"
+    assert r["details"]["mode"] == "sketch"  # screen ruled dups out, no exact pass
+    est = float(r["details"]["est_distinct"])
+    assert abs(est - 400) / 400 < 0.05  # p=12 -> ~1.6% standard error
+
+
+def test_uniqueness_sketch_escalates_on_dups(spark, tmp_path):
+    df = spark.createDataFrame(
+        tables.audio_table(
+            spark, n_rows=400, n_parts=2, dup_frac=0.2, drift={}
+        ).toPandas()
+    )
+    exact = _suite(spark, tmp_path, "uniq_exact", kdq_features=False)
+    sketch = _suite(spark, tmp_path, "uniq_sketch_dup", kdq_features=False,
+                    uniqueness_mode="sketch")
+    ve, _ = exact.run(df)
+    vs, _ = sketch.run(df)
+
+    def g(vdf):
+        [r] = [r.asDict(recursive=True) for r in
+               vdf.filter((F.col("partition_key") == "__global__")
+                          & (F.col("check_name") == "unique:clip_id")).collect()]
+        return r
+
+    re_, rs = g(ve), g(vs)
+    assert rs["state"] == "fail" and rs["details"]["mode"] == "sketch+exact"
+    # escalated verdict carries the SAME exact dup count as exact mode
+    assert rs["statistic"] == re_["statistic"] and rs["statistic"] > 0
+
+
+def test_uniqueness_sketch_escalates_on_null_keys(spark, tmp_path):
+    import pandas as pd
+
+    base = tables.audio_table(spark, n_rows=200, n_parts=1, drift={}).toPandas()
+    base.loc[base.index[:3], "clip_id"] = None
+    df = spark.createDataFrame(base)
+    suite = _suite(spark, tmp_path, "uniq_sketch_null", kdq_features=False,
+                   uniqueness_mode="sketch")
+    verdicts_df, _ = suite.run(df)
+    [r] = [r.asDict(recursive=True) for r in
+           verdicts_df.filter((F.col("partition_key") == "__global__")
+                              & (F.col("check_name") == "unique:clip_id")).collect()]
+    # null keys force the exact pass, which counts them as duplicates
+    assert r["details"]["mode"] == "sketch+exact" and r["state"] == "fail"
