@@ -63,3 +63,38 @@ def windowed_profile_stream(
             *[f"{s}_{c}" for c in value_cols for s in ("nulls", "min", "max", "mean")],
         )
     )
+
+
+def session_stats_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``relational.sessionize`` + ``session_stats``:
+    per-key gap sessions over an unbounded stream via Spark's built-in
+    ``session_window`` — the engine merges/extends open session state
+    incrementally and the watermark closes a session once no event can
+    extend it, so append mode emits each session exactly once, final.
+
+    Gap semantics: ``session_window`` keeps an event in the session
+    while the gap is STRICTLY below its duration, so passing
+    ``gap_ms + 1`` makes it match the batch operator's inclusive
+    ``gap <= gap_ms`` contract exactly (integer-ms event times) —
+    asserted by the batch/stream differential test.
+
+    State is O(open sessions), never O(stream): at 10^12 events the
+    per-key state is one (start, end, count) triple that merges
+    map-side, the same scale story as the windowed profile."""
+    win = F.session_window(F.col(ts_col), f"{gap_ms + 1} milliseconds")
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(key_col), win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("start_ms"),
+            F.col("n_events"),
+        )
+    )

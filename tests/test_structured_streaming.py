@@ -506,3 +506,57 @@ def test_streaming_neardup_bucket_cap_recall_contract(spark, tmp_path):
     missed = all_pairs - got
     assert missed == {(a, bb) for a, bb in all_pairs
                       if a in unadmitted and bb in unadmitted}
+
+
+def test_session_stats_stream_matches_batch(spark, tmp_path):
+    """Differential: the built-in session_window streaming path emits
+    the SAME (key, session_start, n_events) set as the batch
+    sessionize operator over the same events, including at the
+    exact-gap boundary (the gap_ms+1 strict/inclusive bridge)."""
+    import os
+
+    from menelaus_spark.operators.relational import session_stats, sessionize
+    from menelaus_spark.streaming.windowed import session_stats_stream
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = base + pd.Timedelta(minutes=user)
+        for s in range(3):  # 3 sessions/user
+            for e in range(4):  # 4 events/session, incl. one exact-gap pair
+                gap = pd.Timedelta(minutes=30) if e == 3 else pd.Timedelta(minutes=3)
+                rows.append((user, t, eid)); eid += 1
+                t = t + gap
+            t = t + pd.Timedelta(minutes=31)  # > gap -> session break
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # three micro-batch files in EVENT-TIME order (the ingest pattern;
+    # arrivals later than the watermark delay would be dropped as late
+    # data — that contract is the windowed-profile test's subject)
+    pdf_t = pdf.sort_values("ts").reset_index(drop=True)
+    for i, chunk in enumerate((pdf_t.iloc[:80], pdf_t.iloc[80:160], pdf_t.iloc[160:])):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = session_stats_stream(stream, "user_id", "ts", gap_ms=30 * 60_000)
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {(r["user_id"], r["start_ms"], r["n_events"])
+           for r in spark.sql("select * from sess_out").collect()}
+
+    batch = session_stats(
+        sessionize(spark.createDataFrame(pdf), "user_id", "ts",
+                   gap_ms=30 * 60_000, order_cols=["event_id"]),
+        "user_id", "ts",
+    )
+    want = {(r["user_id"], r["start_ms"], r["n_events"]) for r in batch.collect()}
+    assert got == want and len(want) == 60
