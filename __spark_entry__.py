@@ -4537,6 +4537,22 @@ def q_token_psi_documents(spark, sf_dir):
     )
 
 
+def q_mix_budget_documents(spark, sf_dir):
+    """Budget-based corpus mix: draw documents per language in hash-rank
+    order until each language's n_chars budget fills (en 3000 / de 1200)
+    — the token-budget mixing contract (operators/sampling.py
+    budget_mix_sample; overshoot bounded by one document)."""
+    from menelaus_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SA.budget_mix_sample(docs, "lang", "doc_id", "n_chars",
+                             {"en": 3000, "de": 1200})
+        .select("lang", "doc_id", "rk", "cum_size")
+        .orderBy("lang", "rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -4636,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample_documents": q_mix_sample_documents,
         "sessions_events": q_sessions_events,
         "token_psi_documents": q_token_psi_documents,
+        "mix_budget_documents": q_mix_budget_documents,
     }
 
 
@@ -5418,5 +5435,18 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT greatest(c0 / t0, 1e-4) AS p,
                      greatest(c1 / t1, 1e-4) AS q
               FROM freqs, tot)
+    """
+    out["mix_budget_documents"] = """
+        WITH r AS (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5('samp|' || doc_id::VARCHAR), doc_id) AS rk,
+                 sum(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY md5('samp|' || doc_id::VARCHAR), doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_size
+          FROM documents WHERE lang IN ('de', 'en'))
+        SELECT lang, doc_id, rk, cum_size FROM r
+        WHERE cum_size - n_chars < CASE lang WHEN 'en' THEN 3000 ELSE 1200 END
+        ORDER BY lang, rk
     """
     return out

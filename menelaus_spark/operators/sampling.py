@@ -80,3 +80,36 @@ def mix_sample(df: DataFrame, strata_col: str, id_col: str,
         .withColumn("rk", hash_rank(df, strata_col, id_col, seed))
         .filter(F.col("rk") <= quota)
     )
+
+
+def budget_mix_sample(df: DataFrame, strata_col: str, id_col: str, size_col: str,
+                      budgets: dict[str, int], seed: str = "samp") -> DataFrame:
+    """Budget-based corpus mix: draw rows from each stratum in hash-rank
+    order until the stratum's cumulative ``size_col`` (tokens, chars,
+    bytes) fills its budget — the mixing contract trainers actually
+    specify ("3B tokens of code, 1B of math"), where document-COUNT
+    quotas misallocate whenever size distributions differ by stratum.
+
+    A row is kept while the cumulative size BEFORE it is under the
+    budget, so each stratum either reaches its budget (overshoot
+    bounded by one document) or is exhausted.  Adds ``rk`` (draw
+    order) and ``cum_size`` (cumulative size through the row).  One
+    keyed sort; rank and running sum share it.  Unlike the count-quota
+    path this filter can't be a WindowGroupLimit (the cut depends on
+    the running sum, not the rank) — when a per-document size floor is
+    known, pre-filter with ``stratified_sample(k=budget//floor + 1)``
+    to cap the shuffle before the budget pass."""
+    strata = sorted(budgets)
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    budget = F.lit(0)
+    for s in strata:
+        budget = F.when(F.col(strata_col) == s, F.lit(int(budgets[s]))).otherwise(budget)
+    cum = F.sum(F.col(size_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.filter(F.col(strata_col).isin(strata))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("cum_size", cum)
+        .filter((F.col("cum_size") - F.col(size_col)) < budget)
+    )

@@ -178,3 +178,38 @@ def test_sessionize_tie_ordering_deterministic(spark):
     out = sessionize(df, "user_id", "ts", gap_ms=60_000, order_cols=["event_id"])
     got = {r["event_id"]: (r["session_seq"], r["session_id"]) for r in out.collect()}
     assert got[1] == (1, "1#1") and got[2] == (1, "1#1") and got[3] == (2, "1#2")
+
+
+def test_budget_mix_sample_fills_budget(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"en": 3000, "de": 1200}
+    m = sampling.budget_mix_sample(docs, "lang", "doc_id", "n_chars", budgets)
+    rows = m.select("lang", "doc_id", "n_chars", "rk", "cum_size").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    avail = {r["lang"]: (r["n"], r["tot"]) for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"),
+                                      F.sum("n_chars").alias("tot")).collect()}
+    assert set(by_lang) <= set(budgets)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rk"])
+        total = sum(r["n_chars"] for r in rs)
+        # budget reached (overshoot < last doc) or stratum exhausted
+        if len(rs) < avail[lang][0]:
+            assert total >= budgets[lang]
+            assert total - rs[-1]["n_chars"] < budgets[lang]
+        else:
+            assert total == avail[lang][1]
+        # cum_size is the running sum in draw order
+        c = 0
+        for r in rs:
+            c += r["n_chars"]
+            assert r["cum_size"] == c
+
+
+def test_budget_mix_sample_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sampling.budget_mix_sample(docs, "lang", "doc_id", "n_chars", {"en": 2000})
+    b = sampling.budget_mix_sample(docs, "lang", "doc_id", "n_chars", {"en": 2000})
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
