@@ -58,10 +58,14 @@ def _hash60(col: Column, seed: str) -> Column:
 
 
 def hll_alpha(m: int) -> float:
-    """Flajolet et al. bias-correction constant."""
+    """Flajolet et al. bias-correction constant (m >= 16, i.e. p >= 4
+    — below that HLL's estimator assumptions break down)."""
     if m >= 128:
         return 0.7213 / (1 + 1.079 / m)
-    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    try:
+        return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    except KeyError:
+        raise ValueError(f"HLL needs p >= 4 (m >= 16); got m={m}") from None
 
 
 def _rho_expr(h: Column, p: int) -> Column:
