@@ -4553,6 +4553,23 @@ def q_mix_budget_documents(spark, sf_dir):
     )
 
 
+def q_hll_distinct_by_events(spark, sf_dir):
+    """Per-group HLL distinct: estimated vs exact distinct users per
+    event_type (p=10) — the per-Iceberg-partition distinct profile
+    whose shuffle is n_groups * 2^p register rows, never the keys
+    (sketches.hll_registers_by + hll_estimate_by_df)."""
+    from menelaus_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    reg = SK.hll_registers_by(ev, "event_type", "user_id", p=10)
+    est = SK.hll_estimate_by_df(reg, "event_type", p=10)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "event_type").select(
+        "event_type", "v_zero", "s_int", "est_distinct", "exact_distinct"
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -4653,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_events": q_sessions_events,
         "token_psi_documents": q_token_psi_documents,
         "mix_budget_documents": q_mix_budget_documents,
+        "hll_distinct_by_events": q_hll_distinct_by_events,
     }
 
 
@@ -5448,5 +5466,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, doc_id, rk, cum_size FROM r
         WHERE cum_size - n_chars < CASE lang WHEN 'en' THEN 3000 ELSE 1200 END
         ORDER BY lang, rk
+    """
+    out["hll_distinct_by_events"] = """
+        WITH h AS (
+          SELECT event_type,
+                 ('0x' || substring(md5('hll|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL),
+        r AS (
+          SELECT event_type, h // (1::BIGINT << 50) AS reg,
+                 max(CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                          ELSE 51 - length(bin(h & ((1::BIGINT << 50) - 1))) END) AS rho
+          FROM h GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type, count(*) AS nz,
+                 coalesce(sum(1::BIGINT << (51 - rho)), 0) AS s_nz
+          FROM r GROUP BY event_type),
+        est AS (
+          SELECT event_type, (1024 - nz)::BIGINT AS v_zero,
+                 (s_nz + (1024 - nz)::BIGINT * (1::BIGINT << 51)) AS s_int,
+                 round(CASE WHEN (0.7213/(1+1.079/1024) * 1024 * 1024)
+                                 / ((s_nz + (1024 - nz)::BIGINT * (1::BIGINT << 51)) / (1::BIGINT << 51)::DOUBLE) <= 2560
+                             AND (1024 - nz) > 0
+                            THEN 1024.0 * ln(1024.0 / (1024 - nz))
+                            ELSE (0.7213/(1+1.079/1024) * 1024 * 1024)
+                                 / ((s_nz + (1024 - nz)::BIGINT * (1::BIGINT << 51)) / (1::BIGINT << 51)::DOUBLE)
+                       END, 4) AS est_distinct
+          FROM agg),
+        ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+               FROM events GROUP BY event_type)
+        SELECT est.event_type, est.v_zero, est.s_int, est.est_distinct, ex.exact_distinct
+        FROM est JOIN ex USING (event_type) ORDER BY event_type
     """
     return out

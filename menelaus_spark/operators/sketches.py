@@ -40,6 +40,7 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_estimate_df",
+    "hll_estimate_by_df",
     "cms_counters",
     "cms_lookup",
 ]
@@ -233,4 +234,31 @@ def cms_lookup(counters: DataFrame, probes: DataFrame, col: str, d: int = 4,
         exploded.join(broadcast(counters), on=["lane", "bucket"], how="left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
+    )
+
+
+def hll_estimate_by_df(register_by_df: DataFrame, group_col: str, p: int = 8) -> DataFrame:
+    """Grouped relational estimate: one row per group (group, v_zero,
+    s_int, est_distinct) from a ``hll_registers_by`` table — the
+    per-Iceberg-partition distinct profile in one aggregate over
+    n_groups * 2^p register rows."""
+    m = 1 << p
+    kmax = _HASH_BITS - p + 1
+    agg = register_by_df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.coalesce(F.sum(F.expr(f"shiftleft(cast(1 as bigint), {kmax} - rho)")),
+                   F.lit(0).cast("long")).alias("s_nz"),
+    )
+    v_zero = F.lit(m) - F.col("nz")
+    s_int = F.col("s_nz") + v_zero.cast("long") * F.lit(1 << kmax)
+    sum_inv = s_int.cast("double") / F.lit(float(1 << kmax))
+    e_raw = F.lit(hll_alpha(m) * m * m) / sum_inv
+    est = F.when((e_raw <= 2.5 * m) & (v_zero > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double"))
+                 ).otherwise(e_raw)
+    return agg.select(
+        F.col(group_col),
+        v_zero.cast("long").alias("v_zero"),
+        s_int.alias("s_int"),
+        F.round(est, 4).alias("est_distinct"),
     )

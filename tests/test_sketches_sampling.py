@@ -213,3 +213,15 @@ def test_budget_mix_sample_deterministic(spark, sf_dir):
     a = sampling.budget_mix_sample(docs, "lang", "doc_id", "n_chars", {"en": 2000})
     b = sampling.budget_mix_sample(docs, "lang", "doc_id", "n_chars", {"en": 2000})
     assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+
+
+def test_hll_estimate_by_groups(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reg = sketches.hll_registers_by(ev, "event_type", "user_id", p=10)
+    est = {r["event_type"]: r["est_distinct"]
+           for r in sketches.hll_estimate_by_df(reg, "event_type", p=10).collect()}
+    truth = {r["event_type"]: r["d"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(est) == set(truth)
+    for t, d in truth.items():
+        assert abs(est[t] - d) / max(d, 1) < 0.15  # p=10 -> sigma ~3.3%
