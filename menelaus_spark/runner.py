@@ -953,7 +953,7 @@ class ValidationSuite:
             }
         )
 
-    def _global_uniqueness_verdict(self, df: DataFrame):
+    def _global_uniqueness_verdict(self, df: DataFrame, part_keys: list[str] | None = None):
         """Cross-partition key uniqueness: within-partition dup checks
         cannot see a clip_id repeated in two partitions, so one global
         pass covers the whole table.
@@ -967,9 +967,16 @@ class ValidationSuite:
         NULL keys ride the same register pass (reg -1) and always
         escalate — exact mode counts them as duplicates. Both modes
         are deterministic, so recomputing per run keeps resumed and
-        one-shot verdict tables identical."""
+        one-shot verdict tables identical; in sketch mode the screen's
+        per-partition registers additionally persist as checkpoint
+        sidecars, so a RESUMED run scans only unvisited partitions."""
+        if part_keys is None:
+            part_keys = [
+                str(r[0]) for r in df.select(self.partition_col)
+                .distinct().orderBy(self.partition_col).collect()
+            ]
         if self.uniqueness_mode == "sketch":
-            verdict = self._uniqueness_sketch_screen(df)
+            verdict = self._uniqueness_sketch_screen(df, part_keys)
             if verdict is not None:
                 return verdict
         row = df.agg(
@@ -987,39 +994,102 @@ class ValidationSuite:
             details=details,
         ).as_row()
 
-    def _uniqueness_sketch_screen(self, df: DataFrame):
-        """The HLL screen: returns a PASS verdict row when the sketch
-        rules duplicates out within 3-sigma noise, else None (caller
-        escalates to the exact pass). One job; NULL keys are counted
-        in a sentinel register so they force escalation without a
-        second scan."""
+    def _sketch_path(self, pk: str) -> str:
+        import os
+
+        return os.path.join(self.manifest.dir, "uniq_sketch",
+                            f"partition_key={pk}.json")
+
+    def _uniqueness_sketch_screen(self, df: DataFrame, part_keys: list[str]):
+        """The HLL screen, RESUMABLE: per-partition register sketches
+        persist as sidecar files under the checkpoint dir, so a
+        resumed run scans ONLY partitions whose sketch is missing and
+        max-merges the rest from disk — the uniqueness twin of the
+        manifest's replay contract (a one-shot run and a resumed run
+        merge the identical registers, so the verdict is byte-equal).
+
+        Returns a PASS verdict row when the merged sketch rules
+        duplicates out within 3-sigma noise, else None (caller
+        escalates to the exact pass). One grouped job over the missing
+        partitions only; NULL keys are counted in a sentinel register
+        so they force escalation without a second scan. Sketches
+        written at a different ``p`` are recomputed, not merged."""
+        import json as _json
         import math as _math
+        import os as _os
+        import tempfile as _tempfile
 
         from menelaus_spark.operators import sketches as SK
 
         p = self.uniqueness_sketch_p
         m = 1 << p
-        key = F.col(self.key_col)
-        h = SK._hash60(key, "hll")
-        regs = (
-            df.select(
-                F.when(key.isNull(), F.lit(-1))
-                .otherwise(F.shiftright(h, SK._HASH_BITS - p).cast("int")).alias("reg"),
-                F.when(key.isNull(), F.lit(0))
-                .otherwise(SK._rho_expr(h, p)).alias("rho"),
-            )
-            .groupBy("reg")
-            .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        n_total = sum(int(r["c"]) for r in regs)
-        n_null = sum(int(r["c"]) for r in regs if r["reg"] == -1)
-        live = [r for r in regs if r["reg"] >= 0]
-        if n_null > 0:
-            return None  # exact mode treats null keys as dups
         kmax = SK._HASH_BITS - p + 1
-        v_zero = m - len(live)
-        s_int = sum(1 << (kmax - int(r["rho"])) for r in live) + v_zero * (1 << kmax)
+
+        loaded: dict[str, dict] = {}
+        missing: list[str] = []
+        for pk in part_keys:
+            path = self._sketch_path(pk)
+            rec = None
+            if _os.path.exists(path):
+                with open(path) as f:
+                    rec = _json.load(f)
+                if rec.get("p") != p:
+                    rec = None  # stale sketch at another precision
+            if rec is None:
+                missing.append(pk)
+            else:
+                loaded[pk] = rec
+
+        if missing:
+            key = F.col(self.key_col)
+            h = SK._hash60(key, "hll")
+            rows = (
+                df.filter(F.col(self.partition_col).cast("string").isin(missing))
+                .select(
+                    F.col(self.partition_col).cast("string").alias("__pk"),
+                    F.when(key.isNull(), F.lit(-1))
+                    .otherwise(F.shiftright(h, SK._HASH_BITS - p).cast("int")).alias("reg"),
+                    F.when(key.isNull(), F.lit(0))
+                    .otherwise(SK._rho_expr(h, p)).alias("rho"),
+                )
+                .groupBy("__pk", "reg")
+                .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            fresh = {pk: {"n": 0, "n_null": 0, "regs": bytearray(m)} for pk in missing}
+            for r in rows:
+                d = fresh[r["__pk"]]
+                d["n"] += int(r["c"])
+                if r["reg"] == -1:
+                    d["n_null"] += int(r["c"])
+                elif int(r["rho"]) > d["regs"][r["reg"]]:
+                    d["regs"][r["reg"]] = int(r["rho"])
+            for pk, d in fresh.items():
+                rec = {"partition_key": pk, "p": p, "n": d["n"],
+                       "n_null": d["n_null"], "regs_hex": bytes(d["regs"]).hex()}
+                sdir = _os.path.dirname(self._sketch_path(pk))
+                _os.makedirs(sdir, exist_ok=True)
+                fd, tmp = _tempfile.mkstemp(dir=sdir, suffix=".sketch.tmp")
+                try:
+                    with _os.fdopen(fd, "w") as f:
+                        _json.dump(rec, f, sort_keys=True)
+                    _os.replace(tmp, self._sketch_path(pk))
+                finally:
+                    if _os.path.exists(tmp):
+                        _os.unlink(tmp)
+                loaded[pk] = rec
+
+        n_total = sum(rec["n"] for rec in loaded.values())
+        if sum(rec["n_null"] for rec in loaded.values()) > 0:
+            return None  # exact mode treats null keys as dups
+        regs = bytearray(m)
+        for rec in loaded.values():
+            b = bytes.fromhex(rec["regs_hex"])
+            for i in range(m):
+                if b[i] > regs[i]:
+                    regs[i] = b[i]
+        v_zero = sum(1 for x in regs if x == 0)
+        s_int = sum(1 << (kmax - x) for x in regs if x) + v_zero * (1 << kmax)
         est = SK._estimate_from(v_zero, s_int, p) if n_total else 0.0
         noise = 3.0 * 1.04 / _math.sqrt(m)
         dup_frac_est = 0.0 if n_total == 0 else max(0.0, (n_total - est) / n_total)
@@ -1028,7 +1098,8 @@ class ValidationSuite:
         return Verdict(
             "__global__", f"unique:{self.key_col}", PASS,
             statistic=dup_frac_est, threshold=noise, n_rows=n_total,
-            details={"mode": "sketch", "est_distinct": f"{est:.2f}", "p": str(p)},
+            details={"mode": "sketch", "est_distinct": f"{est:.2f}", "p": str(p),
+                     "partitions_scanned": str(len(missing))},
         ).as_row()
 
     def _hotkey_verdicts(self, df: DataFrame) -> list[dict]:
@@ -1217,7 +1288,7 @@ class ValidationSuite:
             # ones validated just now fingerprinted their own data
             verdict_rows = verdict_rows + self._lineage_verdicts(df, done)
         if self.global_uniqueness:
-            verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df)]
+            verdict_rows = verdict_rows + [self._global_uniqueness_verdict(df, part_keys)]
         if self.neardup_rate_max is not None:
             verdict_rows = verdict_rows + self._neardup_verdicts(df)
         if self.hot_key_max_frac is not None:

@@ -805,3 +805,58 @@ def test_uniqueness_sketch_escalates_on_null_keys(spark, tmp_path):
                               & (F.col("check_name") == "unique:clip_id")).collect()]
     # null keys force the exact pass, which counts them as duplicates
     assert r["details"]["mode"] == "sketch+exact" and r["state"] == "fail"
+
+
+def test_uniqueness_sketch_sidecars_resume(spark, tmp_path):
+    """The sketch screen is checkpoint-resumable: per-partition
+    register sidecars are written on the first run, a rerun scans 0
+    partitions and reproduces the identical verdict, a deleted sidecar
+    is recreated byte-identically, and a tampered sidecar changes the
+    estimate (proving the merge reads sidecars, not the table)."""
+    import json
+    import os
+
+    df = spark.createDataFrame(
+        tables.audio_table(spark, n_rows=400, n_parts=4, drift={}).toPandas()
+    )
+    ck = tmp_path / "uniq_resume"
+
+    def g(vdf):
+        [r] = [r.asDict(recursive=True) for r in
+               vdf.filter((F.col("partition_key") == "__global__")
+                          & (F.col("check_name") == "unique:clip_id")).collect()]
+        return r
+
+    s1 = _suite(spark, ck, "a", kdq_features=False, uniqueness_mode="sketch")
+    r1 = g(s1.run(df)[0])
+    assert r1["state"] == "pass" and r1["details"]["partitions_scanned"] == "4"
+    paths = [s1._sketch_path(str(i)) for i in range(4)]
+    assert all(os.path.exists(p) for p in paths)
+
+    # resumed run: all four sketches come from sidecars, verdict identical
+    s2 = _suite(spark, ck, "a", kdq_features=False, uniqueness_mode="sketch")
+    r2 = g(s2.run(df)[0])
+    assert r2["details"]["partitions_scanned"] == "0"
+    assert {k: v for k, v in r1.items() if k != "details"} == \
+           {k: v for k, v in r2.items() if k != "details"}
+    assert r1["details"]["est_distinct"] == r2["details"]["est_distinct"]
+
+    # deleted sidecar -> only that partition rescanned, byte-identical file
+    before = open(paths[2]).read()
+    os.unlink(paths[2])
+    s3 = _suite(spark, ck, "a", kdq_features=False, uniqueness_mode="sketch")
+    r3 = g(s3.run(df)[0])
+    assert r3["details"]["partitions_scanned"] == "1"
+    assert open(paths[2]).read() == before
+    assert r3["details"]["est_distinct"] == r1["details"]["est_distinct"]
+
+    # tampered sidecar shifts the merged estimate -> the screen reads disk
+    rec = json.loads(before)
+    regs = bytearray(bytes.fromhex(rec["regs_hex"]))
+    regs[0] = 48  # implausibly deep rho inflates the register
+    rec["regs_hex"] = bytes(regs).hex()
+    with open(paths[2], "w") as f:
+        json.dump(rec, f, sort_keys=True)
+    s4 = _suite(spark, ck, "a", kdq_features=False, uniqueness_mode="sketch")
+    r4 = g(s4.run(df)[0])
+    assert r4["details"]["est_distinct"] != r1["details"]["est_distinct"]
