@@ -4524,16 +4524,25 @@ def q_token_psi_documents(spark, sf_dir):
     )
     tot = freqs.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
     eps = 1e-4
-    return (
-        freqs.crossJoin(F.broadcast(tot))
-        .select(
-            F.greatest(F.col("c0") / F.col("t0"), F.lit(eps)).alias("p"),
-            F.greatest(F.col("c1") / F.col("t1"), F.lit(eps)).alias("q"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("vocab_size"),
-            F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("token_psi"),
-        )
+    contrib = freqs.crossJoin(F.broadcast(tot)).select(
+        F.col("tok"),
+        F.greatest(F.col("c0") / F.col("t0"), F.lit(eps)).alias("p"),
+        F.greatest(F.col("c1") / F.col("t1"), F.lit(eps)).alias("q"),
+    ).select(
+        "tok",
+        F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 9).alias("contrib"),
+    )
+    # localization rides the same vocabulary frame: the argmax token,
+    # deterministic tie-break on the token string (struct max), mirrors
+    # the suite's PSI drift localization (runner top-category details)
+    return contrib.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.sum("contrib"), 6).alias("token_psi"),
+        F.max(F.struct(F.col("contrib"), F.col("tok"))).alias("__top"),
+    ).select(
+        "vocab_size", "token_psi",
+        F.col("__top.tok").alias("top_token"),
+        F.round(F.col("__top.contrib"), 6).alias("top_contrib"),
     )
 
 
@@ -5447,12 +5456,20 @@ def oracle_sql() -> dict[str, str]:
                  sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
                  sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
           FROM toks GROUP BY tok),
-        tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM freqs)
-        SELECT count(*) AS vocab_size,
-               round(sum((q - p) * ln(q / p)), 6) AS token_psi
-        FROM (SELECT greatest(c0 / t0, 1e-4) AS p,
-                     greatest(c1 / t1, 1e-4) AS q
-              FROM freqs, tot)
+        tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM freqs),
+        contrib AS (
+          SELECT tok, round((q - p) * ln(q / p), 9) AS contrib
+          FROM (SELECT tok, greatest(c0 / t0, 1e-4) AS p,
+                       greatest(c1 / t1, 1e-4) AS q
+                FROM freqs, tot)),
+        top AS (
+          SELECT tok, contrib FROM contrib
+          ORDER BY contrib DESC, tok DESC LIMIT 1)
+        SELECT (SELECT count(*) FROM contrib) AS vocab_size,
+               (SELECT round(sum(contrib), 6) FROM contrib) AS token_psi,
+               top.tok AS top_token,
+               round(top.contrib, 6) AS top_contrib
+        FROM top
     """
     out["mix_budget_documents"] = """
         WITH r AS (
