@@ -4579,6 +4579,76 @@ def q_hll_distinct_by_events(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_image_features_table(spark, sf_dir):
+    """Multimodal image pass: synthetic 24-bit BMP table (64 images,
+    two corrupt payloads with lying metadata) decoded +
+    feature-extracted in one Arrow pass (operators/media.py) — the
+    image twin of the audio decode pipeline. Oracle: driver-side twin
+    regenerates the identical pixels from the shared function and
+    inlines the expected rows."""
+    from menelaus_spark.operators import media
+
+    _ensure_workers_can_import(spark)
+    df = media.image_table(spark, n_rows=64, n_parts=4, corrupt_ids=(7, 13))
+    return media.image_features(df).orderBy("image_id")
+
+
+def q_video_frame_stats_table(spark, sf_dir):
+    """Multimodal video pass: synthetic y4m table (24 videos x 8
+    frames, one truncated payload), frame-SAMPLED luma stats (stride
+    3; skipped frames never materialized — direct offset seeks)."""
+    from menelaus_spark.operators import media
+
+    _ensure_workers_can_import(spark)
+    df = media.video_table(spark, n_rows=24, n_parts=4, corrupt_ids=(3,))
+    return media.video_frame_stats(df, stride=3).orderBy("video_id", "frame_idx")
+
+
+def _media_values_oracle() -> dict[str, str]:
+    """Driver-side twins: regenerate the image/video payloads from the
+    SAME pixel functions the Spark generator uses, recompute the
+    features in numpy, and inline them as typed VALUES."""
+    from menelaus_spark.operators import media
+
+    def d(v):
+        return "CAST(NULL AS DOUBLE)" if v is None else f"CAST({v!r} AS DOUBLE)"
+
+    img_rows = []
+    for iid in range(64):
+        if iid in (7, 13):
+            img_rows.append(
+                f"({iid}, false, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+                f"{d(None)}, {d(None)}, {d(None)}, {d(None)}, {d(None)})")
+        else:
+            r = media.image_feature_row(media.image_pixels(iid))
+            img_rows.append(
+                f"({iid}, true, {r['height']}, {r['width']}, {d(r['mean_r'])}, "
+                f"{d(r['mean_g'])}, {d(r['mean_b'])}, {d(r['luma_mean'])}, "
+                f"{d(r['luma_std'])})")
+    image_sql = (
+        "SELECT * FROM (VALUES " + ", ".join(img_rows) + ") AS t(image_id, ok, "
+        "height, width, mean_r, mean_g, mean_b, luma_mean, luma_std) "
+        "ORDER BY image_id"
+    )
+
+    vid_rows = []
+    for vid in range(24):
+        if vid == 3:
+            vid_rows.append(f"({vid}, -1, false, {d(None)}, {d(None)})")
+            continue
+        frames = media.video_frames_y(vid, 8)
+        for idx in range(0, 8, 3):
+            r = media.frame_stat_row(frames[idx])
+            vid_rows.append(
+                f"({vid}, {idx}, true, {d(r['y_mean'])}, {d(r['y_std'])})")
+    video_sql = (
+        "SELECT * FROM (VALUES " + ", ".join(vid_rows) + ") AS t(video_id, "
+        "frame_idx, ok, y_mean, y_std) ORDER BY video_id, frame_idx"
+    )
+    return {"image_features_table": image_sql,
+            "video_frame_stats_table": video_sql}
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -4680,6 +4750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_psi_documents": q_token_psi_documents,
         "mix_budget_documents": q_mix_budget_documents,
         "hll_distinct_by_events": q_hll_distinct_by_events,
+        # multimodal image / video (r05)
+        "image_features_table": q_image_features_table,
+        "video_frame_stats_table": q_video_frame_stats_table,
     }
 
 
@@ -5514,4 +5587,5 @@ def oracle_sql() -> dict[str, str]:
         SELECT est.event_type, est.v_zero, est.s_int, est.est_distinct, ex.exact_distinct
         FROM est JOIN ex USING (event_type) ORDER BY event_type
     """
+    out.update(_media_values_oracle())
     return out

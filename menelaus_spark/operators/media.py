@@ -1,0 +1,330 @@
+"""Multimodal image / video columns: opaque ``binary`` payloads with
+typed metadata, decoded and feature-extracted in Arrow-batched
+``mapInPandas`` passes — the image/video twins of the audio pipeline
+(audio.py): same schema discipline (bytes column isolated to the
+decode stage), same fault surface (corrupt payloads become null
+feature rows, never UDF crashes), same determinism contract (both the
+generator and the driver-side oracle twin share the pixel functions
+in this module).
+
+Containers are REAL, numpy-only formats, not stubs:
+
+- images: 24-bit uncompressed BMP (BITMAPFILEHEADER +
+  BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the one
+  mainstream raster format decodable with pure byte math.
+- video: YUV4MPEG2 (y4m) with C420 frames — a textual header plus
+  fixed-size FRAME blocks, so frame N is a direct offset seek: frame
+  SAMPLING never reads the frames it skips.
+
+Compressed formats (png/jpeg/h264...) raise NotImplementedError in
+the decoders — the image/audio codec libraries aren't available
+here; the Spark-side plumbing (schema, batching, fault routing) is
+identical for them, as the audio module's mu-law/ADPCM paths show.
+
+No reference counterpart (mitre/menelaus is tabular-only); these are
+north-star additions for the multimodal training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "encode_bmp", "decode_bmp", "image_pixels", "image_feature_row",
+    "image_table", "image_features", "image_thumbnails", "resize_nn",
+    "encode_y4m", "y4m_header", "y4m_frame_y", "video_frames_y",
+    "video_table", "video_frame_stats", "frame_stat_row",
+]
+
+
+# --------------------------------------------------------------------------
+# BMP container (24-bit uncompressed)
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BMP bytes (BGR order, bottom-up
+    rows, rows padded to 4 bytes — the format spec)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB. Only the 24-bit uncompressed
+    layout is implemented; anything else (png/jpeg magic, compressed
+    BMP, other bit depths) raises NotImplementedError, which the
+    feature pass routes to a null row."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", b, 26)
+    if hdr_size < 40 or bpp != 24 or comp != 0 or h <= 0 or w <= 0:
+        raise NotImplementedError("unsupported BMP variant")
+    row_bytes = (w * 3 + 3) & ~3
+    need = offset + row_bytes * h
+    if len(b) < need:
+        raise NotImplementedError("truncated BMP payload")
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h,
+                         offset=offset).reshape(h, row_bytes)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def resize_nn(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — the deterministic thumbnail kernel
+    (index map floor(i * in/out), pure integer arithmetic)."""
+    h, w = arr.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return arr[ri][:, ci]
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic pixels (shared by generator AND oracle twin)
+
+def image_pixels(image_id: int, h: int = 24, w: int = 32) -> np.ndarray:
+    """The synthetic image for ``image_id``: a per-id-phased gradient
+    plus a seeded texture — deterministic, so the oracle twin
+    regenerates the identical array without touching Spark."""
+    rng = np.random.default_rng(1000 + image_id)
+    rr, cc = np.mgrid[0:h, 0:w]
+    base = np.stack([
+        (rr * 5 + image_id * 17) % 256,
+        (cc * 7 + image_id * 29) % 256,
+        (rr * 3 + cc * 3 + image_id * 41) % 256,
+    ], axis=-1)
+    noise = rng.integers(0, 32, size=(h, w, 3))
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+def image_feature_row(arr: np.ndarray) -> dict:
+    """Per-image features from the decoded array — one definition used
+    by the Spark pass and the oracle twin (ITU-R 601 luma)."""
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    return {
+        "height": int(arr.shape[0]), "width": int(arr.shape[1]),
+        "mean_r": round(float(f[:, :, 0].mean()), 4),
+        "mean_g": round(float(f[:, :, 1].mean()), 4),
+        "mean_b": round(float(f[:, :, 2].mean()), 4),
+        "luma_mean": round(float(luma.mean()), 4),
+        "luma_std": round(float(luma.std()), 4),
+    }
+
+
+IMAGE_FEATURE_SCHEMA = ("image_id long, ok boolean, height int, width int, "
+                        "mean_r double, mean_g double, mean_b double, "
+                        "luma_mean double, luma_std double")
+
+
+def image_table(spark, n_rows: int, n_parts: int = 4, h: int = 24, w: int = 32,
+                corrupt_ids: tuple[int, ...] = ()) -> DataFrame:
+    """Synthetic image table (image_id, part, fmt, width, height,
+    bytes) — BMP payloads generated executor-side from the shared
+    pixel function; ``corrupt_ids`` get their magic smashed with the
+    metadata left claiming a good image (the lying-payload fault
+    class)."""
+    corrupt = set(corrupt_ids)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                b = encode_bmp(image_pixels(int(i), h, w))
+                if int(i) in corrupt:
+                    b = b"XX" + b[2:]
+                payloads.append(b)
+            yield pd.DataFrame({
+                "image_id": ids,
+                "part": ids % n_parts,
+                "fmt": "bmp",
+                "width": w, "height": h,
+                "bytes": payloads,
+            })
+
+    return spark.range(0, n_rows, 1, n_parts).mapInPandas(
+        gen, schema="image_id long, part long, fmt string, width int, "
+                    "height int, bytes binary")
+
+
+def image_features(df: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """One Arrow pass: decode + feature-extract every image; corrupt
+    or unsupported payloads yield ok=False null rows (the audio
+    decode_integrity contract)."""
+    def extract(it):
+        for pdf in it:
+            out = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    row = image_feature_row(decode_bmp(bytes(b)))
+                    row.update({"image_id": int(i), "ok": True})
+                except NotImplementedError:
+                    row = {"image_id": int(i), "ok": False, "height": None,
+                           "width": None, "mean_r": None, "mean_g": None,
+                           "mean_b": None, "luma_mean": None, "luma_std": None}
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def image_thumbnails(df: DataFrame, out_h: int, out_w: int,
+                     id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Nearest-neighbor thumbnails re-encoded as BMP, one Arrow pass;
+    undecodable payloads carry a null thumb."""
+    def thumbs(it):
+        for pdf in it:
+            ids, blobs = [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(int(i))
+                try:
+                    blobs.append(encode_bmp(resize_nn(decode_bmp(bytes(b)), out_h, out_w)))
+                except NotImplementedError:
+                    blobs.append(None)
+            yield pd.DataFrame({"image_id": ids, "thumb": blobs})
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        thumbs, schema="image_id long, thumb binary")
+
+
+# --------------------------------------------------------------------------
+# Y4M container (YUV4MPEG2, C420)
+
+def encode_y4m(frames_y: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w) uint8 luma frames -> y4m bytes with flat 128 chroma
+    (C420). h and w must be even."""
+    n, h, w = frames_y.shape
+    assert h % 2 == 0 and w % 2 == 0
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    parts = [head]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames_y[i].tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def y4m_header(b: bytes) -> dict:
+    """Parse the stream header; returns w/h/fps plus the fixed frame
+    block size and count, so any frame is one offset computation."""
+    if not b.startswith(b"YUV4MPEG2 "):
+        raise NotImplementedError("not a y4m payload")
+    nl = b.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    for tok in b[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = (int(num), int(den))
+        elif tok[:1] == b"C" and tok != b"C420":
+            raise NotImplementedError("only C420 implemented")
+    if not w or not h:
+        raise NotImplementedError("missing y4m geometry")
+    frame_bytes = 6 + h * w + 2 * (h // 2) * (w // 2)  # FRAME\n + YUV420
+    n_frames = (len(b) - (nl + 1)) // frame_bytes
+    if n_frames <= 0 or (len(b) - (nl + 1)) % frame_bytes != 0:
+        raise NotImplementedError("truncated y4m payload")
+    return {"w": w, "h": h, "fps": fps, "data_off": nl + 1,
+            "frame_bytes": frame_bytes, "n_frames": n_frames}
+
+
+def y4m_frame_y(b: bytes, hdr: dict, idx: int) -> np.ndarray:
+    """Direct-seek read of frame ``idx``'s luma plane — skipped frames
+    are never touched (the frame-SAMPLING contract)."""
+    off = hdr["data_off"] + idx * hdr["frame_bytes"]
+    if b[off:off + 6] != b"FRAME\n":
+        raise NotImplementedError("bad frame marker")
+    y = np.frombuffer(b, dtype=np.uint8, count=hdr["h"] * hdr["w"], offset=off + 6)
+    return y.reshape(hdr["h"], hdr["w"])
+
+
+def video_frames_y(video_id: int, n_frames: int = 8, h: int = 16,
+                   w: int = 16) -> np.ndarray:
+    """Deterministic synthetic luma frames: a drifting gradient whose
+    phase advances per frame — shared by generator and oracle twin."""
+    rng = np.random.default_rng(5000 + video_id)
+    rr, cc = np.mgrid[0:h, 0:w]
+    out = np.empty((n_frames, h, w), dtype=np.uint8)
+    for t in range(n_frames):
+        base = (rr * 4 + cc * 6 + video_id * 13 + t * 31) % 256
+        out[t] = ((base + rng.integers(0, 16, size=(h, w))) % 256).astype(np.uint8)
+    return out
+
+
+def frame_stat_row(y: np.ndarray) -> dict:
+    f = y.astype(np.float64)
+    return {"y_mean": round(float(f.mean()), 4), "y_std": round(float(f.std()), 4)}
+
+
+def video_table(spark, n_rows: int, n_parts: int = 4, n_frames: int = 8,
+                h: int = 16, w: int = 16,
+                corrupt_ids: tuple[int, ...] = ()) -> DataFrame:
+    """Synthetic video table (video_id, part, fmt, n_frames, width,
+    height, bytes) with y4m payloads; ``corrupt_ids`` get a truncated
+    final frame with metadata still claiming ``n_frames``."""
+    corrupt = set(corrupt_ids)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                b = encode_y4m(video_frames_y(int(i), n_frames, h, w))
+                if int(i) in corrupt:
+                    b = b[:-7]  # sever the tail mid-frame
+                payloads.append(b)
+            yield pd.DataFrame({
+                "video_id": ids, "part": ids % n_parts, "fmt": "y4m",
+                "n_frames": n_frames, "width": w, "height": h,
+                "bytes": payloads,
+            })
+
+    return spark.range(0, n_rows, 1, n_parts).mapInPandas(
+        gen, schema="video_id long, part long, fmt string, n_frames int, "
+                    "width int, height int, bytes binary")
+
+
+def video_frame_stats(df: DataFrame, stride: int, id_col: str = "video_id",
+                      bytes_col: str = "bytes") -> DataFrame:
+    """Frame-sampled per-frame luma stats (frames 0, stride, 2*stride,
+    ...) in one Arrow pass; the seek arithmetic means unsampled frames
+    are never materialized. Corrupt payloads emit a single ok=False
+    row so the fault is visible, not silent."""
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(b)
+                try:
+                    hdr = y4m_header(b)
+                    for idx in range(0, hdr["n_frames"], stride):
+                        row = frame_stat_row(y4m_frame_y(b, hdr, idx))
+                        row.update({"video_id": int(i), "frame_idx": idx, "ok": True})
+                        rows.append(row)
+                except NotImplementedError:
+                    rows.append({"video_id": int(i), "frame_idx": -1, "ok": False,
+                                 "y_mean": None, "y_std": None})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        stats, schema="video_id long, frame_idx int, ok boolean, "
+                      "y_mean double, y_std double")

@@ -1,0 +1,81 @@
+"""Image/video multimodal plumbing: real BMP + y4m containers, Arrow
+feature passes, fault routing, determinism vs the shared pixel twins."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from menelaus_spark.operators import media
+
+
+def test_bmp_roundtrip_exact():
+    for iid, h, w in [(0, 24, 32), (3, 17, 5), (9, 2, 2)]:
+        arr = media.image_pixels(iid, h, w)
+        assert np.array_equal(media.decode_bmp(media.encode_bmp(arr)), arr)
+
+
+def test_bmp_rejects_non_bmp_and_truncated():
+    with pytest.raises(NotImplementedError):
+        media.decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 100)
+    good = media.encode_bmp(media.image_pixels(1))
+    with pytest.raises(NotImplementedError):
+        media.decode_bmp(good[:60])
+
+
+def test_resize_nn_shapes_and_identity():
+    arr = media.image_pixels(2, 24, 32)
+    t = media.resize_nn(arr, 6, 8)
+    assert t.shape == (6, 8, 3)
+    assert np.array_equal(media.resize_nn(arr, 24, 32), arr)
+
+
+def test_image_features_match_twin(spark):
+    df = media.image_table(spark, n_rows=40, n_parts=4, corrupt_ids=(7, 13))
+    rows = {r["image_id"]: r.asDict() for r in media.image_features(df).collect()}
+    assert len(rows) == 40
+    for iid in range(40):
+        r = rows[iid]
+        if iid in (7, 13):
+            assert r["ok"] is False and r["luma_mean"] is None
+            continue
+        want = media.image_feature_row(media.image_pixels(iid))
+        assert r["ok"] is True
+        for k, v in want.items():
+            assert r[k] == v, (iid, k)
+
+
+def test_image_thumbnails_decode_back(spark):
+    df = media.image_table(spark, n_rows=8, corrupt_ids=(5,))
+    out = {r["image_id"]: r["thumb"] for r in
+           media.image_thumbnails(df, 6, 8).collect()}
+    assert out[5] is None
+    arr = media.decode_bmp(bytes(out[2]))
+    assert np.array_equal(arr, media.resize_nn(media.image_pixels(2), 6, 8))
+
+
+def test_y4m_roundtrip_and_seek():
+    frames = media.video_frames_y(4, n_frames=6)
+    b = media.encode_y4m(frames)
+    hdr = media.y4m_header(b)
+    assert (hdr["n_frames"], hdr["w"], hdr["h"]) == (6, 16, 16)
+    for i in (0, 3, 5):
+        assert np.array_equal(media.y4m_frame_y(b, hdr, i), frames[i])
+    with pytest.raises(NotImplementedError):
+        media.y4m_header(b[:-5])  # truncated mid-frame
+    with pytest.raises(NotImplementedError):
+        media.y4m_header(b"RIFF" + b"\x00" * 64)
+
+
+def test_video_frame_stats_sampled(spark):
+    df = media.video_table(spark, n_rows=10, n_frames=8, corrupt_ids=(3,))
+    out = media.video_frame_stats(df, stride=3).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_vid[0], key=lambda r: r["frame_idx"])] == [0, 3, 6]
+    [bad] = by_vid[3]
+    assert bad["ok"] is False and bad["frame_idx"] == -1
+    frames = media.video_frames_y(1, 8)
+    want = media.frame_stat_row(frames[3])
+    got = [r for r in by_vid[1] if r["frame_idx"] == 3][0]
+    assert got["y_mean"] == want["y_mean"] and got["y_std"] == want["y_std"]
