@@ -4649,6 +4649,67 @@ def _media_values_oracle() -> dict[str, str]:
             "video_frame_stats_table": video_sql}
 
 
+def q_video_neardup(spark, sf_dir):
+    """Video near-duplicate pairs: brightness-invariant 64-bit frame
+    codes -> 2-frame shingles -> the repo's shared MinHash/LSH kernel
+    (same plan as text and audio near-dup) -> exact Jaccard verify.
+    Fixture: 20 sources + 5 brightness copies + 5 head-trim copies
+    (operators/media.py)."""
+    from menelaus_spark.operators import media
+
+    _ensure_workers_can_import(spark)
+    df = media.video_neardup_table(spark, n_videos=20)
+    return media.video_neardup_pairs(df).orderBy("id_a", "id_b")
+
+
+def _video_neardup_oracle() -> str:
+    """Shingle sets from the shared pixel/code twin (the decode has no
+    SQL analog — the audio_neardup precedent); the matching pipeline —
+    md5-lane minhash, 8x2 banding, bucket join, Jaccard verify — is
+    recomputed independently in DuckDB."""
+    from menelaus_spark.operators import media
+
+    rows = []
+    for vid in range(30):
+        frames = media.video_neardup_frames(vid, 20)
+        for sh in media.video_shingle_set(frames):
+            rows.append(f"('v{vid:04d}', '{sh}')")
+    k = 16
+    mins = ", ".join(
+        f"min(('0x' || substring(md5(concat('{i // 2}|', shingle)), "
+        f"{1 if i % 2 == 0 else 17}, 15))::BIGINT) as h{i}"
+        for i in range(k)
+    )
+    band_arms = "\n              UNION ALL\n".join(
+        f"              SELECT video_id, {b} AS band, "
+        f"md5(h{2 * b} || ',' || h{2 * b + 1}) AS bhash FROM sig"
+        for b in range(8)
+    )
+    return f"""
+        WITH shrows(video_id, shingle) AS (VALUES {", ".join(rows)}),
+        shingles AS (
+          SELECT video_id, list(DISTINCT shingle) AS sh
+          FROM shrows GROUP BY video_id),
+        sig AS (
+          SELECT video_id, {mins} FROM shrows GROUP BY video_id),
+        banded AS (
+{band_arms}),
+        cands AS (
+          SELECT DISTINCT a.video_id AS id_a, b.video_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.video_id < b.video_id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+          FROM cands c
+          JOIN shingles sa ON sa.video_id = c.id_a
+          JOIN shingles sb ON sb.video_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM scored
+        WHERE jaccard >= 0.35 ORDER BY id_a, id_b
+    """
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -4753,6 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal image / video (r05)
         "image_features_table": q_image_features_table,
         "video_frame_stats_table": q_video_frame_stats_table,
+        "video_neardup": q_video_neardup,
     }
 
 
@@ -5588,4 +5650,5 @@ def oracle_sql() -> dict[str, str]:
         FROM est JOIN ex USING (event_type) ORDER BY event_type
     """
     out.update(_media_values_oracle())
+    out["video_neardup"] = _video_neardup_oracle()
     return out

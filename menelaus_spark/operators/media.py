@@ -328,3 +328,128 @@ def video_frame_stats(df: DataFrame, stride: int, id_col: str = "video_id",
     return df.select(id_col, bytes_col).mapInPandas(
         stats, schema="video_id long, frame_idx int, ok boolean, "
                       "y_mean double, y_std double")
+
+
+# --------------------------------------------------------------------------
+# video near-duplicate detection (the shared MinHash/LSH plan, third
+# modality: text shingles / audio fingerprint shingles / frame-code
+# shingles all feed the same dedup kernel)
+
+FRAME_SHINGLE_WINDOW = 2
+
+
+def frame_code_hex(y: np.ndarray) -> str:
+    """64-bit perceptual frame code: sign of each 8x8-block mean vs
+    the frame mean. A global brightness shift moves every block mean
+    and the frame mean by the same amount, so (unclipped) brightness
+    copies produce IDENTICAL codes."""
+    f = y.astype(np.float64)
+    h, w = f.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = f[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > f.mean()).astype(np.uint8).ravel()
+    return np.packbits(bits).tobytes().hex()
+
+
+def video_shingle_set(frames_y: np.ndarray,
+                      window: int = FRAME_SHINGLE_WINDOW) -> list[str]:
+    """Sorted unique shingles of ``window`` consecutive frame codes —
+    per-frame codes make head/tail TRIMS set-overlaps, exactly like
+    the audio fingerprint shingles."""
+    codes = [frame_code_hex(frames_y[t]) for t in range(frames_y.shape[0])]
+    if len(codes) < window:
+        return sorted(set(codes))  # shorter than one window: code-level set
+    return sorted({",".join(codes[i:i + window])
+                   for i in range(len(codes) - window + 1)})
+
+
+def video_neardup_frames(video_id: int, n_videos: int = 20, n_frames: int = 8,
+                         h: int = 16, w: int = 16) -> np.ndarray:
+    """Deterministic near-dup fixture (shared by table generator and
+    oracle twin): ids < n_videos are sources with pixels bounded to
+    [0, 224) so copies can shift brightness without clipping; the next
+    n_videos//4 ids are +16 brightness copies of sources 0..; the
+    following n_videos//4 are head-trimmed (2 frames) copies of the
+    next sources."""
+    n_b = n_videos // 4
+    if video_id < n_videos:
+        return (video_frames_y(video_id, n_frames, h, w) % 224).astype(np.uint8)
+    if video_id < n_videos + n_b:
+        src = video_id - n_videos
+        return (video_neardup_frames(src, n_videos, n_frames, h, w) + 16).astype(np.uint8)
+    src = n_b + (video_id - n_videos - n_b)
+    return video_neardup_frames(src, n_videos, n_frames, h, w)[2:]
+
+
+def video_neardup_table(spark, n_videos: int = 20, n_parts: int = 4,
+                        n_frames: int = 8, h: int = 16, w: int = 16) -> DataFrame:
+    """y4m table of n_videos sources + n_videos//2 injected copies
+    (brightness-shifted and head-trimmed)."""
+    total = n_videos + n_videos // 2
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            payloads = [encode_y4m(video_neardup_frames(int(i), n_videos,
+                                                        n_frames, h, w))
+                        for i in ids]
+            yield pd.DataFrame({"video_id": [f"v{int(i):04d}" for i in ids],
+                                "part": ids % n_parts, "fmt": "y4m",
+                                "bytes": payloads})
+
+    return spark.range(0, total, 1, n_parts).mapInPandas(
+        gen, schema="video_id string, part long, fmt string, bytes binary")
+
+
+def video_shingles(df: DataFrame, id_col: str = "video_id",
+                   bytes_col: str = "bytes",
+                   window: int = FRAME_SHINGLE_WINDOW) -> DataFrame:
+    """(id, shingles) from one Arrow decode pass — the video analog of
+    audio_dedup.audio_fingerprints; undecodable payloads yield empty
+    sets (they can never pair)."""
+    def work(it):
+        for pdf in it:
+            ids, sets = [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(i)
+                try:
+                    b = bytes(b)
+                    hdr = y4m_header(b)
+                    frames = np.stack([y4m_frame_y(b, hdr, t)
+                                       for t in range(hdr["n_frames"])])
+                    sets.append(video_shingle_set(frames, window))
+                except NotImplementedError:
+                    sets.append([])
+            yield pd.DataFrame({id_col: ids, "shingles": sets})
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        work, schema=f"{id_col} string, shingles array<string>")
+
+
+def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
+                        bytes_col: str = "bytes", threshold: float = 0.35,
+                        k: int = 16, bands: int = 8, rows: int = 2) -> DataFrame:
+    """Near-duplicate video pairs (id_a, id_b, jaccard): frame-code
+    shingles -> the repo's ONE shared MinHash/LSH kernel
+    (dedup.minhash_from_shingles + lsh_candidate_pairs, the same plan
+    text and audio near-dup compile to) -> exact Jaccard verify on
+    candidates only."""
+    from menelaus_spark.operators.dedup import (lsh_candidate_pairs,
+                                                minhash_from_shingles)
+
+    assert bands * rows == k
+    sh = video_shingles(df, id_col, bytes_col)
+    sigs = minhash_from_shingles(sh, id_col, "shingles", k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("shingles").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

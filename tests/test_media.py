@@ -79,3 +79,35 @@ def test_video_frame_stats_sampled(spark):
     want = media.frame_stat_row(frames[3])
     got = [r for r in by_vid[1] if r["frame_idx"] == 3][0]
     assert got["y_mean"] == want["y_mean"] and got["y_std"] == want["y_std"]
+
+
+def test_frame_code_brightness_invariant_and_trim_overlap():
+    base = (media.video_frames_y(7, 8) % 224).astype(np.uint8)
+    bright = (base + 16).astype(np.uint8)  # no clipping by construction
+    assert [media.frame_code_hex(f) for f in base] == \
+           [media.frame_code_hex(f) for f in bright]
+    sh_base = media.video_shingle_set(base)
+    sh_trim = media.video_shingle_set(base[2:])
+    inter = set(sh_base) & set(sh_trim)
+    assert len(inter) == len(sh_trim)  # trimmed shingles all in source
+    j = len(inter) / len(set(sh_base) | set(sh_trim))
+    assert j > 0.5
+
+
+def test_video_neardup_pairs_find_injected_copies(spark):
+    df = media.video_neardup_table(spark, n_videos=20)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in media.video_neardup_pairs(df).collect()}
+    # +16-brightness copies of sources 0..4 -> exact shingle equality
+    for s in range(5):
+        key = (f"v{s:04d}", f"v{20 + s:04d}")
+        assert pairs[key] == 1.0, key
+    # head-trimmed copies of sources 5..9 -> high-but-partial overlap
+    for s in range(5):
+        key = (f"v{5 + s:04d}", f"v{25 + s:04d}")
+        assert 0.35 <= pairs[key] < 1.0, (key, pairs.get(key))
+    # no cross-source false pairs
+    for (a, b), j in pairs.items():
+        sa, sb = int(a[1:]), int(b[1:])
+        src = {20 + s: s for s in range(5)} | {25 + s: 5 + s for s in range(5)}
+        assert src.get(sb) == sa, (a, b, j)
