@@ -4710,6 +4710,46 @@ def _video_neardup_oracle() -> str:
     """
 
 
+def q_image_neardup(spark, sf_dir):
+    """Image near-duplicate pairs: 64-bit perceptual hash (8x8
+    block-sign luma grid; invariant to unclipped brightness shifts and
+    integer nearest-neighbor rescales) -> 4x16-bit band blocking
+    (recall-exact for Hamming <= 3 by pigeonhole) -> pure-JVM
+    xor/bit_count verify. Fixture: 20 sources + 5 brightness copies +
+    5 2x-upscale copies (operators/media.py)."""
+    from menelaus_spark.operators import media
+
+    _ensure_workers_can_import(spark)
+    df = media.image_neardup_table(spark, n_images=20)
+    return media.image_neardup_pairs(df).orderBy("id_a", "id_b")
+
+
+def _image_neardup_oracle() -> str:
+    """Phash codes from the shared pixel twin; banding + Hamming
+    verify recomputed independently in DuckDB (arithmetic shift +
+    16-bit mask gives engine-identical bands for negative codes)."""
+    from menelaus_spark.operators import media
+
+    rows = [f"('i{i:04d}', CAST({media.image_phash(media.image_neardup_pixels(i, 20))} AS BIGINT))"
+            for i in range(30)]
+    return f"""
+        WITH ph(image_id, phash) AS (VALUES {", ".join(rows)}),
+        banded AS (
+          SELECT image_id, phash, b AS band,
+                 (phash >> (16 * b)) & 65535 AS bval
+          FROM ph, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        cands AS (
+          SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                 a.phash AS ph_a, b.phash AS ph_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bval = b.bval
+           AND a.image_id < b.image_id)
+        SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
+        FROM cands WHERE bit_count(xor(ph_a, ph_b)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 # --------------------------------------------------------------------------
 # driver contract
 
@@ -4815,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_table": q_image_features_table,
         "video_frame_stats_table": q_video_frame_stats_table,
         "video_neardup": q_video_neardup,
+        "image_neardup": q_image_neardup,
     }
 
 
@@ -5651,4 +5692,5 @@ def oracle_sql() -> dict[str, str]:
     """
     out.update(_media_values_oracle())
     out["video_neardup"] = _video_neardup_oracle()
+    out["image_neardup"] = _image_neardup_oracle()
     return out

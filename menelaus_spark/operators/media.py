@@ -453,3 +453,106 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# image near-duplicate detection (perceptual hash + the SimHash-style
+# Hamming banding path — the fourth modality on shared dedup plans)
+
+def image_phash(arr: np.ndarray) -> int:
+    """64-bit perceptual hash of an RGB image: ITU-R 601 luma ->
+    8x8-block-mean signs vs the global mean (the frame-code kernel).
+    Invariant to unclipped brightness shifts and to integer-factor
+    nearest-neighbor resizes (block means are preserved exactly);
+    returned as a signed int64 (Spark/DuckDB BIGINT)."""
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    h, w = luma.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > luma.mean()).astype(np.uint8).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def image_phashes(df: DataFrame, id_col: str = "image_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """(id, phash) in one Arrow decode pass; undecodable payloads get
+    a null phash (never pair)."""
+    def work(it):
+        for pdf in it:
+            ids, hs = [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(i)
+                try:
+                    hs.append(image_phash(decode_bmp(bytes(b))))
+                except NotImplementedError:
+                    hs.append(None)
+            yield pd.DataFrame({id_col: ids, "phash": pd.array(hs, dtype="Int64")})
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        work, schema=f"{id_col} string, phash long")
+
+
+def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
+                        bytes_col: str = "bytes",
+                        max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs (id_a, id_b, hamming <= max_hamming) via
+    4x16-bit band blocking over the phash — by pigeonhole any pair
+    within Hamming 3 of 64 bits agrees on at least one full band, so
+    the blocked join is recall-exact for the threshold; the full
+    popcount verify runs on candidates only (pure JVM xor/bit_count,
+    same plan as dedup.simhash_neardup_pairs)."""
+    ph = image_phashes(df, id_col, bytes_col).filter(F.col("phash").isNotNull())
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 (F.shiftright(F.col("phash"), 16 * b)
+                  .bitwiseAND(F.lit(65535))).alias("bval"))
+        for b in range(4)
+    ])
+    banded = ph.select(id_col, "phash", F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col("phash"),
+        F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = banded.select("band", "bval", F.col(id_col).alias("id_a"),
+                      F.col("phash").alias("ph_a"))
+    b = banded.select("band", "bval", F.col(id_col).alias("id_b"),
+                      F.col("phash").alias("ph_b"))
+    return (
+        a.join(b, on=["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_neardup_pixels(image_id: int, n_images: int = 20) -> np.ndarray:
+    """Near-dup fixture twin: ids < n_images are sources bounded to
+    [0, 224); next quarter are +16 brightness copies; next quarter are
+    2x nearest-neighbor upscales — both phash-exact copy classes."""
+    n_b = n_images // 4
+    if image_id < n_images:
+        return (image_pixels(image_id) % 224).astype(np.uint8)
+    if image_id < n_images + n_b:
+        src = image_id - n_images
+        return (image_neardup_pixels(src, n_images) + 16).astype(np.uint8)
+    src = n_b + (image_id - n_images - n_b)
+    base = image_neardup_pixels(src, n_images)
+    return resize_nn(base, base.shape[0] * 2, base.shape[1] * 2)
+
+
+def image_neardup_table(spark, n_images: int = 20, n_parts: int = 4) -> DataFrame:
+    total = n_images + n_images // 2
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame({
+                "image_id": [f"i{int(i):04d}" for i in ids],
+                "part": ids % n_parts,
+                "bytes": [encode_bmp(image_neardup_pixels(int(i), n_images))
+                          for i in ids],
+            })
+
+    return spark.range(0, total, 1, n_parts).mapInPandas(
+        gen, schema="image_id string, part long, bytes binary")

@@ -111,3 +111,39 @@ def test_video_neardup_pairs_find_injected_copies(spark):
         sa, sb = int(a[1:]), int(b[1:])
         src = {20 + s: s for s in range(5)} | {25 + s: 5 + s for s in range(5)}
         assert src.get(sb) == sa, (a, b, j)
+
+
+def test_image_phash_invariances():
+    base = media.image_neardup_pixels(3)
+    bright = (base + 16).astype(np.uint8)
+    up = media.resize_nn(base, base.shape[0] * 2, base.shape[1] * 2)
+    h0 = media.image_phash(base)
+    assert media.image_phash(bright) == h0
+    assert media.image_phash(up) == h0
+    other = media.image_neardup_pixels(4)
+    assert bin(h0 ^ media.image_phash(other)).count("1") > 3
+
+
+def test_image_neardup_pairs_find_copies(spark):
+    df = media.image_neardup_table(spark, n_images=20)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in media.image_neardup_pairs(df).collect()}
+    for s in range(5):  # brightness copies of 0..4
+        assert pairs[(f"i{s:04d}", f"i{20 + s:04d}")] == 0
+    for s in range(5):  # 2x upscales of 5..9
+        assert pairs[(f"i{5 + s:04d}", f"i{25 + s:04d}")] == 0
+    # EVERY reported pair (including genuine source near-collisions of
+    # the 64-bit phash and their copies) matches the Python twin's
+    # exact Hamming distance, and nothing within the threshold that
+    # shares a band is missed
+    twin = {i: media.image_phash(media.image_neardup_pixels(i, 20))
+            for i in range(30)}
+    def hd(x, y):  # 64-bit popcount of xor (mask off Python's sign extension)
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for (a, b), hm in pairs.items():
+        assert hm == hd(twin[int(a[1:])], twin[int(b[1:])]) and hm <= 3
+    for i in range(30):
+        for j in range(i + 1, 30):
+            if hd(twin[i], twin[j]) <= 3:
+                assert (f"i{i:04d}", f"i{j:04d}") in pairs, (i, j)
