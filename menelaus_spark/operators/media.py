@@ -123,7 +123,7 @@ def image_feature_row(arr: np.ndarray) -> dict:
     }
 
 
-IMAGE_FEATURE_SCHEMA = ("image_id long, ok boolean, height int, width int, "
+IMAGE_FEATURE_FIELDS = ("ok boolean, height int, width int, "
                         "mean_r double, mean_g double, mean_b double, "
                         "luma_mean double, luma_std double")
 
@@ -164,21 +164,24 @@ def image_features(df: DataFrame, id_col: str = "image_id",
     """One Arrow pass: decode + feature-extract every image; corrupt
     or unsupported payloads yield ok=False null rows (the audio
     decode_integrity contract)."""
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+
     def extract(it):
         for pdf in it:
             out = []
             for i, b in zip(pdf[id_col], pdf[bytes_col]):
                 try:
                     row = image_feature_row(decode_bmp(bytes(b)))
-                    row.update({"image_id": int(i), "ok": True})
+                    row.update({id_col: i, "ok": True})
                 except NotImplementedError:
-                    row = {"image_id": int(i), "ok": False, "height": None,
+                    row = {id_col: i, "ok": False, "height": None,
                            "width": None, "mean_r": None, "mean_g": None,
                            "mean_b": None, "luma_mean": None, "luma_std": None}
                 out.append(row)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, bytes_col).mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+    return df.select(id_col, bytes_col).mapInPandas(
+        extract, schema=f"{id_col} {id_type}, {IMAGE_FEATURE_FIELDS}")
 
 
 def image_thumbnails(df: DataFrame, out_h: int, out_w: int,
@@ -309,6 +312,8 @@ def video_frame_stats(df: DataFrame, stride: int, id_col: str = "video_id",
     ...) in one Arrow pass; the seek arithmetic means unsampled frames
     are never materialized. Corrupt payloads emit a single ok=False
     row so the fault is visible, not silent."""
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+
     def stats(it):
         for pdf in it:
             rows = []
@@ -318,15 +323,15 @@ def video_frame_stats(df: DataFrame, stride: int, id_col: str = "video_id",
                     hdr = y4m_header(b)
                     for idx in range(0, hdr["n_frames"], stride):
                         row = frame_stat_row(y4m_frame_y(b, hdr, idx))
-                        row.update({"video_id": int(i), "frame_idx": idx, "ok": True})
+                        row.update({id_col: i, "frame_idx": idx, "ok": True})
                         rows.append(row)
                 except NotImplementedError:
-                    rows.append({"video_id": int(i), "frame_idx": -1, "ok": False,
+                    rows.append({id_col: i, "frame_idx": -1, "ok": False,
                                  "y_mean": None, "y_std": None})
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col).mapInPandas(
-        stats, schema="video_id long, frame_idx int, ok boolean, "
+        stats, schema=f"{id_col} {id_type}, frame_idx int, ok boolean, "
                       "y_mean double, y_std double")
 
 
