@@ -4710,6 +4710,122 @@ def _video_neardup_oracle() -> str:
     """
 
 
+# audio processing-pipeline entry (resample / frame-sample / VAD /
+# loudness — the four ops that were unit-test-only through r04)
+AUDIO_PROC_DRIFT = {2: {"silence_frac": 1.0}, 3: {"gain": 6.0}}
+AUDIO_PROC_CORRUPT = (
+    "clip_corrupt0", b"NOTARIFF--truncated-payload", 8000, 100, "pcm", None, 3,
+)
+
+
+def q_audio_processing_table(spark, sf_dir):
+    """Audio processing-pipeline ops over one deterministic
+    THREE-physical-codec table (plus one injected corrupt payload):
+    resample_clips(8 kHz) / frame_sample / vad_segments /
+    normalize_loudness — each ONE Arrow-batched pass over the bytes
+    column — joined to one row per clip. Silent clips (part 2)
+    exercise the no-voiced-span and silent-loudness branches; the
+    gain-saturated part 3 exercises clipping; the corrupt row
+    exercises the undecodable pass-through of all four ops. Oracle:
+    driver-side twin regenerates the clips via tables._gen_rows and
+    calls the SAME importable numpy kernels (resample_pcm, vad_spans,
+    decode_batch) — validating the Spark plumbing (Arrow batching,
+    aggregation, null fan-out), with the kernel math itself covered
+    by tests/test_audio.py."""
+    from menelaus_spark import audio as A
+    from menelaus_spark import tables
+
+    _ensure_workers_can_import(spark)
+    df = tables.audio_table(
+        spark, n_rows=160, n_parts=4, drift=AUDIO_PROC_DRIFT,
+        null_frac=0.0, real_codecs="full",
+    ).unionByName(
+        spark.createDataFrame([AUDIO_PROC_CORRUPT], schema=tables.AUDIO_SCHEMA)
+    )
+    rs = A.resample_clips(df, 8000).select(
+        "clip_id", F.col("sr_hz").alias("rs_sr"),
+        F.col("dur_ms").alias("rs_dur_ms"))
+    fs = A.frame_sample(df, n_frames=4, frame_ms=50).groupBy("clip_id").agg(
+        F.count("*").alias("n_frames"), F.max("start_ms").alias("last_start_ms"))
+    vd = A.vad_segments(df).groupBy("clip_id").agg(
+        F.count("*").alias("n_segments"),
+        F.min("start_ms").alias("vad_start_ms"),
+        F.max("end_ms").alias("vad_end_ms"))
+    ln = A.normalize_loudness(df, -20.0).select("clip_id", "gain_db")
+    return (df.select("clip_id")
+              .join(rs, "clip_id", "left").join(fs, "clip_id", "left")
+              .join(vd, "clip_id", "left").join(ln, "clip_id", "left")
+              .orderBy("clip_id"))
+
+
+def _audio_processing_oracle() -> str | None:
+    """Twin for q_audio_processing_table: regenerate the 160 clips with
+    the numpy generator twin, decode with the shared kernels, and
+    replay each op's arithmetic driver-side (bit-identical float64
+    paths); inline as typed VALUES."""
+    import numpy as np
+
+    from menelaus_spark import audio as A
+    from menelaus_spark import tables as _tables
+
+    try:
+        pdf = _tables._gen_rows(
+            np.arange(160), 42, 4, 40, AUDIO_PROC_DRIFT,
+            0.0, 0.0, 6.6, 0.5, (200, 3000), True, 0.0,
+            ("gain", "resample"), "full",
+        )
+    except Exception:
+        return None
+
+    def i(v):
+        return "CAST(NULL AS INTEGER)" if v is None else str(int(v))
+
+    def bi(v):
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({int(v)} AS BIGINT)"
+
+    def d(v):
+        return "CAST(NULL AS DOUBLE)" if v is None else f"CAST({float(v)!r} AS DOUBLE)"
+
+    decoded = A.decode_batch(pdf["bytes"].tolist(), pdf["codec"].tolist())
+    recs = list(zip(pdf["clip_id"], decoded)) + [(AUDIO_PROC_CORRUPT[0], None)]
+    rows = []
+    for cid, dec in recs:
+        if dec is None:
+            rows.append(
+                f"('{cid}', {i(None)}, {i(None)}, {bi(None)}, {i(None)}, "
+                f"{bi(None)}, {i(None)}, {i(None)}, {d(None)})")
+            continue
+        sr, pcm = dec
+        out = A.resample_pcm(pcm, sr, 8000)
+        rs_sr, rs_dur = 8000, int(round(1000.0 * out.size / 8000))
+        w = max(1, int(sr * 50 / 1000))
+        if pcm.size < w:
+            n_frames = last_start = None
+        else:
+            span = pcm.size - w
+            n_frames = 4
+            last_start = int(round(1000.0 * (span * 3 // 3) / sr))
+        spans = A.vad_spans(pcm, sr)
+        n_seg = len(spans) if spans else None
+        v_start = min(s for s, _ in spans) if spans else None
+        v_end = max(e for _, e in spans) if spans else None
+        x = np.asarray(pcm, dtype=np.float64)
+        rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+        if rms == 0.0:
+            gain = None
+        else:
+            g = (10.0 ** (-20.0 / 20.0)) / rms
+            gain = 20.0 * np.log10(g)
+        rows.append(
+            f"('{cid}', {i(rs_sr)}, {i(rs_dur)}, {bi(n_frames)}, {i(last_start)}, "
+            f"{bi(n_seg)}, {i(v_start)}, {i(v_end)}, {d(gain)})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(clip_id, rs_sr, "
+        "rs_dur_ms, n_frames, last_start_ms, n_segments, vad_start_ms, "
+        "vad_end_ms, gain_db) ORDER BY clip_id"
+    )
+
+
 def q_image_neardup(spark, sf_dir):
     """Image near-duplicate pairs: 64-bit perceptual hash (8x8
     block-sign luma grid; invariant to unclipped brightness shifts and
@@ -4856,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats_table": q_video_frame_stats_table,
         "video_neardup": q_video_neardup,
         "image_neardup": q_image_neardup,
+        "audio_processing_table": q_audio_processing_table,
     }
 
 
@@ -5693,4 +5810,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_media_values_oracle())
     out["video_neardup"] = _video_neardup_oracle()
     out["image_neardup"] = _image_neardup_oracle()
+    ap = _audio_processing_oracle()
+    if ap is not None:
+        out["audio_processing_table"] = ap
     return out

@@ -817,6 +817,27 @@ def frame_sample(df, n_frames: int = 4, frame_ms: int = 100,
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
 
+def vad_spans(pcm: np.ndarray, sr: int, min_speech_ms: int = 100,
+              sil_rms: float = SILENCE_RMS) -> list[tuple[int, int]]:
+    """Pure VAD kernel: contiguous voiced (start_ms, end_ms) spans on
+    the FRAME/HOP frame-RMS grid, spans shorter than ``min_speech_ms``
+    dropped. Shared by the ``vad_segments`` Arrow pass and the
+    driver-side oracle twin — both sides call THIS function."""
+    x = np.asarray(pcm, dtype=np.float64)
+    voiced = _frame_rms(x) >= sil_rms
+    if not voiced.any():
+        return []
+    # run boundaries on the padded mask diff
+    edges = np.flatnonzero(np.diff(np.r_[0, voiced.view(np.int8), 0]))
+    spans = []
+    for a, b in zip(edges[::2], edges[1::2]):
+        start_ms = int(round(1000.0 * a * HOP / sr))
+        end_ms = int(round(1000.0 * min((b - 1) * HOP + FRAME, x.size) / sr))
+        if end_ms - start_ms >= min_speech_ms:
+            spans.append((start_ms, end_ms))
+    return spans
+
+
 def vad_segments(df, key_col: str = "clip_id", bytes_col: str = "bytes",
                  codec_col: str = "codec", min_speech_ms: int = 100,
                  sil_rms: float = SILENCE_RMS):
@@ -842,19 +863,9 @@ def vad_segments(df, key_col: str = "clip_id", bytes_col: str = "bytes",
                 if dec is None:
                     continue
                 sr, pcm = dec
-                x = np.asarray(pcm, dtype=np.float64)
-                voiced = _frame_rms(x) >= sil_rms
-                if not voiced.any():
-                    continue
-                # run boundaries on the padded mask diff
-                edges = np.flatnonzero(np.diff(np.r_[0, voiced.view(np.int8), 0]))
-                seg = 0
-                for a, b in zip(edges[::2], edges[1::2]):
-                    start_ms = int(round(1000.0 * a * HOP / sr))
-                    end_ms = int(round(1000.0 * min((b - 1) * HOP + FRAME, x.size) / sr))
-                    if end_ms - start_ms >= min_speech_ms:
-                        rows.append((key, seg, start_ms, end_ms))
-                        seg += 1
+                for seg, (start_ms, end_ms) in enumerate(
+                        vad_spans(pcm, sr, min_speech_ms, sil_rms)):
+                    rows.append((key, seg, start_ms, end_ms))
             yield pd.DataFrame(rows, columns=[key_col, "seg_idx", "start_ms", "end_ms"])
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)

@@ -500,13 +500,27 @@ def image_phashes(df: DataFrame, id_col: str = "image_id",
 
 def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
                         bytes_col: str = "bytes",
-                        max_hamming: int = 3) -> DataFrame:
+                        max_hamming: int = 3,
+                        band_cap: int = 1024) -> DataFrame:
     """Image near-dup pairs (id_a, id_b, hamming <= max_hamming) via
     4x16-bit band blocking over the phash — by pigeonhole any pair
     within Hamming 3 of 64 bits agrees on at least one full band, so
     the blocked join is recall-exact for the threshold; the full
     popcount verify runs on candidates only (pure JVM xor/bit_count,
-    same plan as dedup.simhash_neardup_pairs)."""
+    same plan as dedup.simhash_neardup_pairs).
+
+    A 16-bit band is LOW-entropy blocking (unlike the md5-of-signature
+    LSH buckets, whose size tracks the true duplicate-class size), so
+    hot (band, bval) buckets can grow far past any real duplicate
+    class and the in-bucket join goes quadratic in bucket size.
+    Buckets hotter than ``band_cap`` are therefore skipped — the
+    candidate join is bounded at O(buckets x band_cap^2) — and their
+    phash-EXACT pairs are restored by a separate equi-join on the full
+    phash (linear blocking; its output is quadratic only in true
+    duplicate-class size, i.e. in the answer). Recall contract: a pair
+    with 1 <= hamming <= max_hamming whose EVERY agreeing band is
+    hotter than ``band_cap`` is missed; hamming = 0 pairs are always
+    exact."""
     ph = image_phashes(df, id_col, bytes_col).filter(F.col("phash").isNotNull())
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -517,18 +531,32 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
     banded = ph.select(id_col, "phash", F.explode(bands).alias("bb")).select(
         F.col(id_col), F.col("phash"),
         F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a = banded.select("band", "bval", F.col(id_col).alias("id_a"),
-                      F.col("phash").alias("ph_a"))
-    b = banded.select("band", "bval", F.col(id_col).alias("id_b"),
-                      F.col("phash").alias("ph_b"))
-    return (
+    cold = banded.join(
+        banded.groupBy("band", "bval").count()
+        .filter(F.col("count") <= band_cap).select("band", "bval"),
+        on=["band", "bval"],
+    )
+    a = cold.select("band", "bval", F.col(id_col).alias("id_a"),
+                    F.col("phash").alias("ph_a"))
+    b = cold.select("band", "bval", F.col(id_col).alias("id_b"),
+                    F.col("phash").alias("ph_b"))
+    near = (
         a.join(b, on=["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # BEFORE dedup: the distinct
+        # shuffle carries only true pairs, not every in-bucket candidate
     )
+    pa = ph.select("phash", F.col(id_col).alias("id_a"))
+    pb = ph.select("phash", F.col(id_col).alias("id_b"))
+    exact = (
+        pa.join(pb, on="phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return (near.unionByName(exact)
+            .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
 
 def image_neardup_pixels(image_id: int, n_images: int = 20) -> np.ndarray:

@@ -447,3 +447,54 @@ def test_decode_batch_bit_equal_to_per_clip():
             n_ok += 1
             seen_adpcm |= codec == "adpcm"
     assert seen_adpcm and n_ok > 100 and n_fail > 10
+
+
+def test_vad_spans_kernel_matches_segments(spark):
+    # the pure kernel IS the op: vad_segments rows == vad_spans output
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    tone = 0.4 * np.sin(2 * np.pi * 440 * t)
+    pcm = np.concatenate([np.zeros(sr // 2), tone, np.zeros(sr // 4), tone])
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["a"],
+                      "bytes": [audio.wav_encode(pcm * 32767, sr)],
+                      "codec": ["pcm"]}))
+    got = sorted((r["seg_idx"], r["start_ms"], r["end_ms"])
+                 for r in audio.vad_segments(df).collect())
+    srd, dec = audio.decode_clip(audio.wav_encode(pcm * 32767, sr), "pcm")
+    want = [(i, s, e) for i, (s, e) in enumerate(audio.vad_spans(dec, srd))]
+    assert got == want and len(got) == 2
+
+
+def test_processing_ops_fault_fanout(spark):
+    # corrupt + silent branch behavior of all four processing ops on
+    # one codec-mixed table (the q_audio_processing_table contract)
+    from menelaus_spark import tables
+
+    df = tables.audio_table(
+        spark, n_rows=40, n_parts=4, drift={2: {"silence_frac": 1.0}},
+        null_frac=0.0, real_codecs="full",
+    ).unionByName(spark.createDataFrame(
+        [("clip_corrupt0", b"NOTARIFF", 8000, 100, "pcm", None, 3)],
+        schema=tables.AUDIO_SCHEMA))
+    rs = {r["clip_id"]: r for r in audio.resample_clips(df, 8000).collect()}
+    assert rs["clip_corrupt0"]["bytes"] is None
+    assert rs["clip_corrupt0"]["sr_hz"] is None
+    ok_rs = [r for r in rs.values() if r["sr_hz"] is not None]
+    assert ok_rs and all(r["sr_hz"] == 8000 for r in ok_rs)
+    fs_ids = {r["clip_id"] for r in audio.frame_sample(df, 4, 50).collect()}
+    assert "clip_corrupt0" not in fs_ids and len(fs_ids) == 40
+    vad_ids = {r["clip_id"] for r in audio.vad_segments(df).collect()}
+    silent_ids = {r["clip_id"] for r in df.filter("part = 2").collect()}
+    assert silent_ids and not (vad_ids & silent_ids)  # silence: no spans
+    assert "clip_corrupt0" not in vad_ids
+    ln = {r["clip_id"]: r for r in audio.normalize_loudness(df).collect()}
+    assert ln["clip_corrupt0"]["gain_db"] is None
+    # exactly-zero silence (PCM16 containers) -> no gain; compander/
+    # ADPCM silence may decode to a tiny nonzero residue, so those
+    # silent clips legitimately carry a (huge) finite gain instead
+    pcm_silent = {r["clip_id"] for r in
+                  df.filter("part = 2 and codec in ('pcm', 'flac')").collect()}
+    assert pcm_silent and all(ln[c]["gain_db"] is None for c in pcm_silent)
+    assert all(ln[c]["gain_db"] is not None
+               for c in fs_ids - silent_ids)

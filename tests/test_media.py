@@ -147,3 +147,17 @@ def test_image_neardup_pairs_find_copies(spark):
         for j in range(i + 1, 30):
             if hd(twin[i], twin[j]) <= 3:
                 assert (f"i{i:04d}", f"i{j:04d}") in pairs, (i, j)
+
+
+def test_image_neardup_band_cap_contract(spark):
+    # band_cap recall contract: hot (band, bval) buckets are skipped,
+    # but phash-EXACT pairs are always restored by the exact equi-join
+    df = media.image_neardup_table(spark, n_images=20)
+    full = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in media.image_neardup_pairs(df).collect()}
+    # cap=1 skips EVERY shared band -> the banded path yields nothing;
+    # what survives is exactly the hamming=0 subset, via exact recovery
+    capped = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in media.image_neardup_pairs(df, band_cap=1).collect()}
+    assert capped == {p: h for p, h in full.items() if h == 0}
+    assert any(h == 0 for h in full.values())  # the fixture has exact copies
