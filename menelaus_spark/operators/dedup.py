@@ -410,21 +410,43 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                          max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+                          max_hamming: int = 3, prefix_bits: int = 16,
+                          block_cap: int = 4096) -> DataFrame:
     """SimHash near-dup pairs blocked on the top ``prefix_bits`` bits
     (candidates must agree on the prefix — cheap LSH-ish blocking),
-    verified by full Hamming distance."""
+    verified by full Hamming distance.
+
+    A bit-prefix is LOW-entropy blocking (block size is not bounded by
+    the true duplicate-class size), so the in-block join is capped:
+    blocks hotter than ``block_cap`` are skipped and their
+    simhash-EXACT pairs restored by a linear equi-join on the full
+    hash, same contract as media.image_neardup_pairs — a 1..max_hamming
+    pair inside an over-cap block is missed; hamming = 0 pairs are
+    always exact."""
     s = simhash64(df, id_col, text_col).select(id_col, "simhash")
     s = s.withColumn("blk", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
-    a = s.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = s.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    return (
+    cold = s.join(
+        s.groupBy("blk").count().filter(F.col("count") <= block_cap).select("blk"),
+        on="blk",
+    )
+    a = cold.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = cold.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    near = (
         a.join(b, on="blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    pa = s.select("simhash", F.col(id_col).alias("id_a"))
+    pb = s.select("simhash", F.col(id_col).alias("id_b"))
+    exact = (
+        pa.join(pb, on="simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return (near.unionByName(exact)
+            .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
 
 def cosine_cols(a: Column, b: Column) -> Column:
