@@ -223,6 +223,40 @@ def main():
     run_noop(audio_dedup_resolution(df, fp=fp))
     fp.unpersist()
     timings["audio_dedup_resolution"] = round(time.time() - t0, 3)
+
+    # audio processing ops (resample / frame-sample / VAD / loudness):
+    # four Arrow-batched passes over the codec-mixed table — the
+    # per-clip transform cost of a training-data prep pipeline
+    from menelaus_spark import audio as audio_mod
+
+    t0 = time.time()
+    run_noop(audio_mod.resample_clips(df_codecs, 8000))
+    run_noop(audio_mod.frame_sample(df_codecs, n_frames=4, frame_ms=100))
+    run_noop(audio_mod.vad_segments(df_codecs))
+    run_noop(audio_mod.normalize_loudness(df_codecs))
+    timings["audio_processing"] = round(time.time() - t0, 3)
+
+    # multimodal image/video at sf scale: decode + features + near-dup
+    # (generation excluded — tables written to parquet first, like the
+    # audio fixtures above)
+    from menelaus_spark.operators import media
+
+    n_images = max(600, int(20_000 * sf / 0.1))
+    n_videos = max(120, int(4_000 * sf / 0.1))
+    ipath, vpath = os.path.join(work, "images"), os.path.join(work, "videos")
+    media.image_neardup_table(spark, n_images=n_images, n_parts=cpus,
+                              texture="random").write.mode("overwrite").parquet(ipath)
+    media.video_neardup_table(spark, n_videos=n_videos,
+                              n_parts=cpus).write.mode("overwrite").parquet(vpath)
+    imgs, vids = spark.read.parquet(ipath), spark.read.parquet(vpath)
+    t0 = time.time()
+    run_noop(media.image_features(imgs))
+    run_noop(media.image_neardup_pairs(imgs))
+    timings["image_ops"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    run_noop(media.video_frame_stats(vids, stride=3))
+    run_noop(media.video_neardup_pairs(vids))
+    timings["video_ops"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

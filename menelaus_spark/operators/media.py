@@ -559,22 +559,34 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
             .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
 
-def image_neardup_pixels(image_id: int, n_images: int = 20) -> np.ndarray:
+def image_neardup_pixels(image_id: int, n_images: int = 20,
+                         texture: str = "gradient") -> np.ndarray:
     """Near-dup fixture twin: ids < n_images are sources bounded to
     [0, 224); next quarter are +16 brightness copies; next quarter are
-    2x nearest-neighbor upscales — both phash-exact copy classes."""
+    2x nearest-neighbor upscales — both phash-exact copy classes.
+
+    ``texture="gradient"`` (the oracle fixture) derives sources from
+    image_pixels — at large n_images their phashes COLLAPSE onto few
+    block-sign patterns (giant duplicate classes, quadratic true
+    output). ``texture="random"`` draws id-seeded uniform pixels, so
+    source phashes are ~distinct and the duplicate topology matches a
+    real corpus (classes of size ~2-3): the scaling-witness fixture."""
     n_b = n_images // 4
     if image_id < n_images:
+        if texture == "random":
+            rng = np.random.default_rng([777, image_id])
+            return rng.integers(0, 224, size=(24, 32, 3)).astype(np.uint8)
         return (image_pixels(image_id) % 224).astype(np.uint8)
     if image_id < n_images + n_b:
         src = image_id - n_images
-        return (image_neardup_pixels(src, n_images) + 16).astype(np.uint8)
+        return (image_neardup_pixels(src, n_images, texture) + 16).astype(np.uint8)
     src = n_b + (image_id - n_images - n_b)
-    base = image_neardup_pixels(src, n_images)
+    base = image_neardup_pixels(src, n_images, texture)
     return resize_nn(base, base.shape[0] * 2, base.shape[1] * 2)
 
 
-def image_neardup_table(spark, n_images: int = 20, n_parts: int = 4) -> DataFrame:
+def image_neardup_table(spark, n_images: int = 20, n_parts: int = 4,
+                        texture: str = "gradient") -> DataFrame:
     total = n_images + n_images // 2
 
     def gen(it):
@@ -583,7 +595,7 @@ def image_neardup_table(spark, n_images: int = 20, n_parts: int = 4) -> DataFram
             yield pd.DataFrame({
                 "image_id": [f"i{int(i):04d}" for i in ids],
                 "part": ids % n_parts,
-                "bytes": [encode_bmp(image_neardup_pixels(int(i), n_images))
+                "bytes": [encode_bmp(image_neardup_pixels(int(i), n_images, texture))
                           for i in ids],
             })
 

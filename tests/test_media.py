@@ -161,3 +161,14 @@ def test_image_neardup_band_cap_contract(spark):
               for r in media.image_neardup_pairs(df, band_cap=1).collect()}
     assert capped == {p: h for p, h in full.items() if h == 0}
     assert any(h == 0 for h in full.values())  # the fixture has exact copies
+
+
+def test_image_neardup_random_texture(spark):
+    # witness fixture: id-seeded random sources are phash-distinct
+    # (realistic duplicate topology), copy classes still found exactly
+    df = media.image_neardup_table(spark, n_images=20, texture="random")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in media.image_neardup_pairs(df).collect()}
+    for s in range(5):
+        assert pairs[(f"i{s:04d}", f"i{20 + s:04d}")] == 0     # brightness
+        assert pairs[(f"i{5 + s:04d}", f"i{25 + s:04d}")] == 0  # 2x upscale

@@ -24,7 +24,8 @@ from menelaus_spark.session import get_spark
 from menelaus_spark.operators import media
 spark = get_spark(cores=32, shuffle_partitions=32, app_name="mediagen")
 t0 = time.time()
-media.image_neardup_table(spark, n_images={n_images}, n_parts=64).write.mode(
+media.image_neardup_table(spark, n_images={n_images}, n_parts=64,
+                          texture="random").write.mode(
     "overwrite").parquet({ipath!r})
 media.video_neardup_table(spark, n_videos={n_videos}, n_parts=64).write.mode(
     "overwrite").parquet({vpath!r})
