@@ -4710,6 +4710,63 @@ def _video_neardup_oracle() -> str:
     """
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """Image duplicate-cluster RESOLUTION: phash near-dup pairs ->
+    alternating-star connected components -> audit frame (id,
+    cluster_id = component-min image_id, cluster_size,
+    is_representative) — the same clusters kernel text and audio
+    resolution ride, closing the modality matrix."""
+    from menelaus_spark.operators import media
+    from menelaus_spark.operators.clusters import (
+        cluster_members,
+        connected_components,
+    )
+
+    _ensure_workers_can_import(spark)
+    df = media.image_neardup_table(spark, n_images=20)
+    cc = connected_components(media.image_neardup_pairs(df))
+    return cluster_members(cc).orderBy("id")
+
+
+def _image_dedup_clusters_oracle() -> str:
+    """Twin: full 30x30 Hamming <= 3 pair set from the shared pixel
+    functions (the banding is recall-exact at this threshold), plain
+    union-find, component-min representatives, inline VALUES."""
+    from menelaus_spark.operators import media
+
+    ids = [f"i{i:04d}" for i in range(30)]
+    ph = {ids[i]: media.image_phash(media.image_neardup_pixels(i, 20))
+          for i in range(30)}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(30):
+        for j in range(i + 1, 30):
+            a, b = ids[i], ids[j]
+            if bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[str]] = {}
+    for x in ids:
+        comps.setdefault(find(x), []).append(x)
+    rows = []
+    for root, members in comps.items():
+        if len(members) < 2:
+            continue  # singletons never appear in connected_components
+        cid = min(members)
+        for m in members:
+            rows.append(f"('{m}', '{cid}', CAST({len(members)} AS BIGINT), "
+                        f"{str(m == cid).lower()})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(id, "
+            "cluster_id, cluster_size, is_representative) ORDER BY id")
+
+
 # audio processing-pipeline entry (resample / frame-sample / VAD /
 # loudness — the four ops that were unit-test-only through r04)
 AUDIO_PROC_DRIFT = {2: {"silence_frac": 1.0}, 3: {"gain": 6.0}}
@@ -4973,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "image_neardup": q_image_neardup,
         "audio_processing_table": q_audio_processing_table,
+        "image_dedup_clusters": q_image_dedup_clusters,
     }
 
 
@@ -5813,4 +5871,5 @@ def oracle_sql() -> dict[str, str]:
     ap = _audio_processing_oracle()
     if ap is not None:
         out["audio_processing_table"] = ap
+    out["image_dedup_clusters"] = _image_dedup_clusters_oracle()
     return out

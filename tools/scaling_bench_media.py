@@ -41,6 +41,7 @@ from menelaus_spark.operators import media
 spark = get_spark(cores={cores}, shuffle_partitions=4 * {cores}, app_name="media{cores}")
 imgs = spark.read.parquet({ipath!r})
 vids = spark.read.parquet({vpath!r})
+spark.range(0, 1_000_000, 1, {cores}).count()  # JVM/codegen warmup
 steps = {{}}
 t0 = time.time(); t = t0
 n_feat = media.image_features(imgs).filter("ok").count()
@@ -54,7 +55,10 @@ steps["vid_neardup"] = round(time.time() - t, 2)
 dt = time.time() - t0
 n_rows = imgs.count() + vids.count()
 t = time.time()
-spark.range(0, 8_000_000_000, 1, {cores}).selectExpr("bit_xor(id)").collect()
+# 32G rows: big enough that codegen-compile + job-submit fixed cost
+# is noise at BOTH parallelism levels (8G reads ~0.3 s of fixed cost
+# into the 4N wall and understates the ceiling)
+spark.range(0, 32_000_000_000, 1, {cores}).selectExpr("bit_xor(id)").collect()
 cal = round(time.time() - t, 2)
 print("RESULT " + json.dumps({{
     "cores": {cores}, "sec": round(dt, 2),
