@@ -34,6 +34,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from menelaus_spark.operators.dedup import OwnedCache
+
+# one-slot internal pins (dedup.OwnedCache semantics): repeated calls
+# hold at most ONE cached decode-derived frame per owner
+_PHASH_CACHE = OwnedCache()
+_VIDEO_SHINGLE_CACHE = OwnedCache()
+
 __all__ = [
     "encode_bmp", "decode_bmp", "image_pixels", "image_feature_row",
     "image_table", "image_features", "image_thumbnails", "resize_nn",
@@ -443,7 +450,10 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
                                                 minhash_from_shingles)
 
     assert bands * rows == k
-    sh = video_shingles(df, id_col, bytes_col)
+    # the shingle frame is read THREE ways (signatures + both verify
+    # sides) — without the pin each reference would re-decode every
+    # y4m payload (verified in the plan: 3x MapInPandas decode)
+    sh = _VIDEO_SHINGLE_CACHE.persist(video_shingles(df, id_col, bytes_col))
     sigs = minhash_from_shingles(sh, id_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -521,7 +531,12 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
     with 1 <= hamming <= max_hamming whose EVERY agreeing band is
     hotter than ``band_cap`` is missed; hamming = 0 pairs are always
     exact."""
-    ph = image_phashes(df, id_col, bytes_col).filter(F.col("phash").isNotNull())
+    # the phash frame is read FOUR ways (two banded join sides + two
+    # exact-recovery sides) — without the pin each reference would
+    # re-decode every BMP payload (verified in the plan: 4x
+    # MapInPandas decode). The frame is (id, phash) only — tiny.
+    ph = _PHASH_CACHE.persist(
+        image_phashes(df, id_col, bytes_col).filter(F.col("phash").isNotNull()))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  (F.shiftright(F.col("phash"), 16 * b)
