@@ -1641,23 +1641,53 @@ def q_hdddm_lineitem(spark, sf_dir):
 
 
 def q_kdq_lineitem(spark, sf_dir):
-    """kdq-tree drift over lineitem year-batches."""
+    """kdq-tree drift over lineitem year-batches.
+
+    Vectorized-over-batches (r06): the sequential protocol's per-year
+    distributed fill jobs collapse into ONE grouped leaf-count pass per
+    tree (the ValidationSuite's _kdq_counts_by_part plan) — a fresh
+    fill pass is needed only when a drift event installs a new
+    reference tree, and it recounts only the not-yet-decided years.
+    Leaf counts are exact integers and the tree build is row-order
+    independent (min/ptp/np.unique), so every (kl, critical) value is
+    bit-identical to the r05 per-batch loop — same oracle hash."""
     from menelaus_spark.checks.kdqtree import KdqTreeBatch
 
     proj, years = _lineitem_year_proj(spark, sf_dir)
     det = KdqTreeBatch(count_ubound=100, bootstrap_samples=100, seed=42)
-    rows = []
-    for i, yr in enumerate(years):
-        batch = proj.filter(F.col("yr") == yr).drop("yr")
-        if i == 0:
-            det.set_reference(batch)
-            rows.append((str(yr), "reference", None, None))
-        else:
-            state = det.update(batch)
-            # 6-dp rounding on both engines: cross-engine float-sum
-            # order differs at ~1e-13 relative, far under this grain
-            rows.append((str(yr), state or "pass",
-                         round(det.test_dist, 6), round(det._critical_dist, 6)))
+
+    from menelaus_spark.checks.kdqtree import distributed_leaf_counts_by_group
+
+    def counts_for(tree, scope_years):
+        return distributed_leaf_counts_by_group(
+            proj, "yr", list(_LI_DRIFT_COLS), tree, scope_years, det.n_salt
+        )
+
+    def build_from(yr):
+        ary, _n = det._collect_build_sample(proj.filter(F.col("yr") == yr).drop("yr"))
+        return det.build_tree_from_sample(ary)
+
+    det._input_cols = list(_LI_DRIFT_COLS)
+    tree = build_from(years[0])
+    counts = counts_for(tree, years)
+    det.install_reference(tree, counts[years[0]])
+    rows = [(str(years[0]), "reference", None, None)]
+    ref_yr = years[0]
+    for i, yr in enumerate(years[1:], start=1):
+        if det.drift_state == "drift":
+            # the sequential protocol rebuilds from the drifted batch
+            # (set_reference(ref_data)) before scoring the next one
+            tree = build_from(ref_yr)
+            scope = [ref_yr] + years[i:]
+            counts.update(counts_for(tree, scope))
+            det.install_reference(tree, counts[ref_yr])
+        state = det.observe_counts(counts[yr])
+        if state == "drift":
+            ref_yr = yr
+        # 6-dp rounding on both engines: cross-engine float-sum
+        # order differs at ~1e-13 relative, far under this grain
+        rows.append((str(yr), state or "pass",
+                     round(det.test_dist, 6), round(det._critical_dist, 6)))
     return spark.createDataFrame(
         rows, schema="year string, state string, kl double, critical double"
     )

@@ -252,6 +252,40 @@ def distributed_leaf_counts(
     return counts
 
 
+def distributed_leaf_counts_by_group(
+    df: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    tree: KDQTreePartitioner,
+    groups: list,
+    n_salt: int = 16,
+) -> dict:
+    """Leaf counts for MANY batches in ONE grouped pass: broadcast the
+    flat tree arrays, assign leaves in an Arrow-batched pandas UDF,
+    salted (group, leaf) count, return {group: dense count vector}.
+    The per-batch twin of :func:`distributed_leaf_counts` — identical
+    exact counts, one Spark job for any number of batches."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(tree.tree_arrays())
+
+    @F.pandas_udf("long")
+    def leaf_udf(*cols: pd.Series) -> pd.Series:
+        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        return pd.Series(KDQTreePartitioner.assign_leaves_arrays(X, *bc.value))
+
+    from menelaus_spark.operators.histograms import salted_count
+
+    leaves = df.filter(F.col(group_col).isin(list(groups))).select(
+        F.col(group_col).alias("__g"),
+        leaf_udf(*[F.col(c) for c in feature_cols]).alias("leaf"),
+    )
+    rows = salted_count(leaves, ["__g", "leaf"], n_salt=n_salt).collect()
+    out = {g: np.zeros(tree.n_leaves, dtype=np.int64) for g in groups}
+    for r in rows:
+        out[r["__g"]][int(r["leaf"])] = int(r["count"])
+    return out
+
+
 def bootstrap_critical_kld(
     ref_counts: np.ndarray,
     sample_size: int,

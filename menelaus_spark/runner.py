@@ -1471,6 +1471,32 @@ class ValidationSuite:
         pv = [self._pk_value(df, pk) for pk in todo]
         scoped = df.filter(F.col(self.partition_col).isin(pv))
 
+        # The decode pass (pass 3) is independent of passes 1-2, and it
+        # is the wall-clock floor of the suite (the only pass that reads
+        # the binary column). Kick its materialization off on a driver
+        # thread so the constraint aggregation and the summary pass run
+        # WHILE the decode occupies the executors — Spark schedules
+        # concurrent jobs FIFO and back-fills idle slots, so the two
+        # metadata scans hide under the decode instead of following it
+        # (spark_optimization_guide §2.6). Same jobs, same results; only
+        # the submission order changes.
+        feats = None
+        feats_future = None
+        pool = None
+        if self.kdq is not None or self._quality_active():
+            from concurrent.futures import ThreadPoolExecutor
+
+            feats = audio.features_df(
+                scoped, key_col=self.key_col,
+                carry_cols=self._feats_carry_cols(with_part=True),
+                quality=self.quality_rules is not None,
+                byte_len=self._payload_in_decode(),
+                header=self.meta_rules is not None,
+            ).persist()
+            self._feats_cache = feats
+            pool = ThreadPoolExecutor(max_workers=1)
+            feats_future = pool.submit(feats.count)
+
         # global pass 1: all constraint stats + min/max, one shuffle
         stat_rows = scoped.groupBy(self.partition_col).agg(*self._constraint_aggs()).collect()
         stats_by = {str(r[self.partition_col]): r.asDict() for r in stat_rows}
@@ -1490,20 +1516,14 @@ class ValidationSuite:
             kspsi_by, hdm_sum_by = self._global_summary_pass(scoped, todo, ranges)
 
         # global pass 3 (the only pandas stage): decode + features +
-        # quality metrics for ALL partitions; small output cached for
-        # kdq fills + rebuild + the quality aggregation
-        feats = None
+        # quality metrics for ALL partitions, already running on the
+        # background thread — join it before any feats-dependent action
+        # so the cache is never materialized twice concurrently
         counts_by: dict = {}
         qcounts_by: dict = {}
-        if self.kdq is not None or self._quality_active():
-            feats = audio.features_df(
-                scoped, key_col=self.key_col,
-                carry_cols=self._feats_carry_cols(with_part=True),
-                quality=self.quality_rules is not None,
-                byte_len=self._payload_in_decode(),
-                header=self.meta_rules is not None,
-            ).persist()
-            self._feats_cache = feats
+        if feats_future is not None:
+            feats_future.result()
+            pool.shutdown(wait=False)
         if self.kdq is not None:
             clean = feats.filter(_f0_clean())
             if self.kdq._tree is None:

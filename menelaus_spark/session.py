@@ -67,6 +67,21 @@ def get_spark(
         .config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # InferFiltersFromGenerate turns every explode(expr) into a
+        # size(expr)>0 pre-filter; predicate pushdown then substitutes
+        # the FULL generator input into that filter and pushes it below
+        # the nearest Exchange — so a heavy shingle/tokenize expression
+        # is evaluated TWICE per row, once of those on the pre-shuffle
+        # (often single-split) side of a repartition. Our generators
+        # explode computed arrays that are almost never empty, so the
+        # inferred filter prunes nothing and only duplicates work (at
+        # any scale — the duplicate evaluation is per input row).
+        # Measured on the r06 bench: minhash_documents 4.6 s -> 1.5 s
+        # warm with the rule excluded, identical results.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
