@@ -4965,8 +4965,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is a correctness-coverage decision: the driver's
+    # gate records the FIRST 50 entries, so entries that have never
+    # produced a driver row lead (r06 reorder, VERDICT r05 task 1),
+    # followed by entries last checked in r04, then the 50 entries
+    # hash-verified in CORRECTNESS_r05 (two consecutive green rounds).
+    # Nothing is added or removed — same 88 entries, same oracle SQL.
     return {
-        # relational core
+        # --- never driver-checked before r06 (registry head) ---
+        "audio_suite_ulaw": q_audio_suite_ulaw,
+        "audio_suite_codecs": q_audio_suite_codecs,
+        "audio_suite_corrupt": q_audio_suite_corrupt,
+        "audio_suite_qc": q_audio_suite_qc,
+        "audio_suite_drift2": q_audio_suite_drift2,
+        "audio_suite_metalies": q_audio_suite_metalies,
+        "audio_suite_lineage": q_audio_suite_lineage,
+        "audio_neardup_trim": q_audio_neardup_trim,
+        "audio_neardup_pad": q_audio_neardup_pad,
+        "audio_neardup_speed": q_audio_neardup_speed,
+        "audio_neardup_noise": q_audio_neardup_noise,
+        "audio_transcript_neardup": q_audio_transcript_neardup,
+        "audio_transcode_neardup": q_audio_transcode_neardup,
+        "audio_dedup_resolution": q_audio_dedup_resolution,
+        "audio_dedup_resolved": q_audio_dedup_resolved,
+        "streaming_neardup": q_streaming_neardup,
+        "hll_distinct_events": q_hll_distinct_events,
+        "cms_freq_events": q_cms_freq_events,
+        "stratified_sample_events": q_stratified_sample_events,
+        "mix_sample_documents": q_mix_sample_documents,
+        "sessions_events": q_sessions_events,
+        "token_psi_documents": q_token_psi_documents,
+        "mix_budget_documents": q_mix_budget_documents,
+        "hll_distinct_by_events": q_hll_distinct_by_events,
+        "image_features_table": q_image_features_table,
+        "video_frame_stats_table": q_video_frame_stats_table,
+        "video_neardup": q_video_neardup,
+        "image_neardup": q_image_neardup,
+        "audio_processing_table": q_audio_processing_table,
+        "image_dedup_clusters": q_image_dedup_clusters,
+        # --- last driver-checked in r04 ---
+        "streaming_cusum_traces": q_streaming_cusum_traces,
+        "streaming_ensemble_events": q_streaming_ensemble_events,
+        "cdbd_example_confidence": q_cdbd_example_confidence,
+        "nndvi_lineitem": q_nndvi_lineitem,
+        "example_data_profile": q_example_data_profile,
+        "audio_suite_relational": q_audio_suite_relational,
+        "audio_suite": q_audio_suite,
+        "audio_neardup": q_audio_neardup,
+        # --- hash-green in CORRECTNESS_r05 (relational core first) ---
         "pricing_summary": q_pricing_summary,
         "profile_lineitem": q_profile_lineitem,
         "profile_events_by_type": q_profile_events_by_type,
@@ -5021,46 +5067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdddm_lineitem": q_hdddm_lineitem,
         "kdq_lineitem": q_kdq_lineitem,
         "streaming_traces": q_streaming_traces,
-        "streaming_cusum_traces": q_streaming_cusum_traces,
-        "streaming_ensemble_events": q_streaming_ensemble_events,
-        "cdbd_example_confidence": q_cdbd_example_confidence,
-        "nndvi_lineitem": q_nndvi_lineitem,
-        "example_data_profile": q_example_data_profile,
-        "audio_suite_relational": q_audio_suite_relational,
-        "audio_suite": q_audio_suite,
-        "audio_suite_ulaw": q_audio_suite_ulaw,
-        "audio_suite_codecs": q_audio_suite_codecs,
-        "audio_suite_corrupt": q_audio_suite_corrupt,
-        "audio_suite_qc": q_audio_suite_qc,
-        "audio_suite_drift2": q_audio_suite_drift2,
-        "audio_suite_metalies": q_audio_suite_metalies,
-        "audio_suite_lineage": q_audio_suite_lineage,
-        "audio_neardup": q_audio_neardup,
-        "audio_neardup_trim": q_audio_neardup_trim,
-        "audio_neardup_pad": q_audio_neardup_pad,
-        "audio_neardup_speed": q_audio_neardup_speed,
-        "audio_neardup_noise": q_audio_neardup_noise,
-        "audio_transcript_neardup": q_audio_transcript_neardup,
-        "audio_transcode_neardup": q_audio_transcode_neardup,
-        "audio_dedup_resolution": q_audio_dedup_resolution,
-        "audio_dedup_resolved": q_audio_dedup_resolved,
-        "streaming_neardup": q_streaming_neardup,
-        # sketches / sampling / sessionization (r05)
-        "hll_distinct_events": q_hll_distinct_events,
-        "cms_freq_events": q_cms_freq_events,
-        "stratified_sample_events": q_stratified_sample_events,
-        "mix_sample_documents": q_mix_sample_documents,
-        "sessions_events": q_sessions_events,
-        "token_psi_documents": q_token_psi_documents,
-        "mix_budget_documents": q_mix_budget_documents,
-        "hll_distinct_by_events": q_hll_distinct_by_events,
-        # multimodal image / video (r05)
-        "image_features_table": q_image_features_table,
-        "video_frame_stats_table": q_video_frame_stats_table,
-        "video_neardup": q_video_neardup,
-        "image_neardup": q_image_neardup,
-        "audio_processing_table": q_audio_processing_table,
-        "image_dedup_clusters": q_image_dedup_clusters,
     }
 
 

@@ -42,10 +42,18 @@ from menelaus_spark.operators.dedup import (
     jaccard_col,
     lsh_candidate_pairs,
     minhash_from_shingles,
+    minhash_sig_py,
 )
 
 
 FP_HEADS = 4  # time-order head shingles emitted for prefix-trim buckets
+# MinHash width baked into the decode pass (r06): the per-clip
+# signature is computed in Python WHILE the shingles are still in
+# numpy, so the downstream pipeline starts from a per-row sig column
+# instead of an explode -> groupBy(k min-aggs) shuffle. Identical md5
+# family and values (dedup.minhash_sig_py twin, asserted in tests);
+# callers requesting a different k fall back to the frame kernel.
+FP_MINHASH_K = 16
 
 
 def shingle_hex(shingles: np.ndarray) -> list[str]:
@@ -61,14 +69,18 @@ def audio_shingles(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
 ) -> DataFrame:
-    """(key, shingles array<string>) in one Arrow-batched pass.
-    Undecodable or too-short clips yield an empty set — they can never
-    pair, and the decode-integrity check owns reporting them."""
-    schema = f"{key_col} string, shingles array<string>, heads array<string>"
+    """(key, shingles array<string>, heads, sig) in one Arrow-batched
+    pass — the MinHash signature rides the decode (minhash_sig_py, the
+    exact md5 twin of the frame kernel), so downstream LSH starts from
+    a per-row column with zero extra shuffle. Undecodable or too-short
+    clips yield an empty set — they can never pair, and the
+    decode-integrity check owns reporting them."""
+    schema = (f"{key_col} string, shingles array<string>, "
+              f"heads array<string>, sig array<long>")
 
     def work(batches):
         for pdf in batches:
-            keys, shl, hds = [], [], []
+            keys, shl, hds, sg = [], [], [], []
             decoded = decode_batch(pdf[bytes_col].tolist(),
                                    pdf[codec_col].tolist())
             for key, dec in zip(pdf[key_col], decoded):
@@ -78,11 +90,14 @@ def audio_shingles(
                         raise ValueError("undecodable payload")
                     sr, pcm = dec
                     packed = pack_shingles(fingerprint_codes(pcm, sr)[0])
-                    shl.append(shingle_hex(np.unique(packed)))
+                    sh = shingle_hex(np.unique(packed))
+                    shl.append(sh)
                     hds.append(shingle_hex(packed[:FP_HEADS]))
+                    sg.append(minhash_sig_py(sh, FP_MINHASH_K))
                 except Exception:
-                    shl.append([]); hds.append([])
-            yield pd.DataFrame({key_col: keys, "shingles": shl, "heads": hds})
+                    shl.append([]); hds.append([]); sg.append([])
+            yield pd.DataFrame({key_col: keys, "shingles": shl, "heads": hds,
+                                "sig": sg})
 
     return df.select(key_col, bytes_col, codec_col).mapInPandas(work, schema=schema)
 
@@ -100,12 +115,13 @@ def audio_fingerprints(
     and pass it to each; the binary column is then read exactly once
     for the whole dedup suite."""
     schema = (f"{key_col} string, shingles array<string>, heads array<string>, "
+              f"sig array<long>, "
               f"codes array<int>, masks array<int>, peaks array<double>, "
               f"n_fp int")
 
     def work(batches):
         for pdf in batches:
-            keys, shl, hds, cs, ms, ps, nf = [], [], [], [], [], [], []
+            keys, shl, hds, sg, cs, ms, ps, nf = [], [], [], [], [], [], [], []
             decoded = decode_batch(pdf[bytes_col].tolist(),
                                    pdf[codec_col].tolist())
             for key, dec in zip(pdf[key_col], decoded):
@@ -116,16 +132,19 @@ def audio_fingerprints(
                     sr, pcm = dec
                     c, m, p = fingerprint_codes(pcm, sr)
                     packed = pack_shingles(c)
-                    shl.append(shingle_hex(np.unique(packed)))
+                    sh = shingle_hex(np.unique(packed))
+                    shl.append(sh)
                     hds.append(shingle_hex(packed[:FP_HEADS]))
+                    sg.append(minhash_sig_py(sh, FP_MINHASH_K))
                     cs.append(c.astype(np.int32))
                     ms.append(m.astype(np.int32))
                     ps.append(p)
                     nf.append(fp_sample_count(pcm.size, sr))
                 except Exception:
-                    shl.append([]); hds.append([])
+                    shl.append([]); hds.append([]); sg.append([])
                     cs.append([]); ms.append([]); ps.append([]); nf.append(0)
             yield pd.DataFrame({key_col: keys, "shingles": shl, "heads": hds,
+                                "sig": sg,
                                 "codes": cs, "masks": ms, "peaks": ps,
                                 "n_fp": nf})
 
@@ -169,7 +188,8 @@ def audio_neardup_pairs(
     — is not trim evidence), keeping the union linear."""
     assert bands * rows == k
     if fp is not None:
-        sh = fp.select(key_col, "shingles", "heads")
+        keep = [c for c in ("shingles", "heads", "sig") if c in fp.columns]
+        sh = fp.select(key_col, *keep)
     else:
         # decoded once, read three ways (signatures + both verify
         # sides). The cache is OWNED by this module: persisting without
@@ -180,7 +200,11 @@ def audio_neardup_pairs(
         # should pass a managed fp (audio_fingerprints(df).persist())
         # and unpersist it themselves, as audio_dedup_resolution does.
         sh = _SHINGLE_CACHE.persist(audio_shingles(df, key_col, bytes_col, codec_col))
-    sigs = minhash_from_shingles(sh, key_col, "shingles", k)
+    if "sig" in sh.columns and k == FP_MINHASH_K:
+        # decode-pass signature: per-row column, no explode/groupBy
+        sigs = sh.select(key_col, "sig")
+    else:
+        sigs = minhash_from_shingles(sh, key_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
     if containment_threshold is not None:
         pfx = sh.select(

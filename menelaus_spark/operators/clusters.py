@@ -35,6 +35,7 @@ the floor for an inherently sequential iteration, not 2 jobs
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -60,11 +61,50 @@ def _checkpoint_with_signature(edges: DataFrame) -> tuple[DataFrame, tuple[int, 
     return ck, _signature(ck)
 
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list — the small-graph fast
+    path. Identical output contract to the distributed loop: every
+    node that appears in an edge maps to the MINIMUM id of its
+    component (Python ``min`` and Spark ``min``/``least`` agree on
+    both long and lexicographic string ids). One collect job instead
+    of one job per star half-round; the caller gates entry on the
+    exact edge count, so this never sees more than ``driver_cap``
+    edges."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        for x in (u, v):
+            if x not in parent:
+                parent[x] = x
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id: the smaller root stays the root, so the
+            # final root of every node is its component minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    id_type = edges.schema[0].dataType
+    out_schema = T.StructType([
+        T.StructField("id", id_type), T.StructField("cluster_id", id_type)
+    ])
+    return edges.sparkSession.createDataFrame(rows, schema=out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 50,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node that appears in ``pairs``, where
     ``cluster_id`` is the minimum id in the node's connected component
@@ -83,6 +123,14 @@ def connected_components(
     )
     if sig[0] == 0:
         return edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    if sig[0] <= driver_cap:
+        # small-graph fast path: the signature job already paid for the
+        # exact edge count; under the cap (16 MB of id pairs at the
+        # default) a driver union-find replaces the O(log^2 n)
+        # one-job-per-half-round star loop with ONE collect — identical
+        # component minima (r06). Corpus-scale edge sets exceed the cap
+        # and take the distributed loop below.
+        return _driver_components(edges)
 
     prev_frame = None
     for _ in range(max_rounds):

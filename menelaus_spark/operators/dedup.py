@@ -123,13 +123,15 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard).
     """
-    sh = with_shingles(df, id_col, text_col, n)
-    if block_col is not None:
-        sh = sh.join(df.select(id_col, block_col), on=id_col).withColumnRenamed(
-            block_col, "__blk"
-        )
-    else:
-        sh = sh.withColumn("__blk", F.lit(0))
+    # block column rides the shingle projection directly — the former
+    # id-equi-join of two projections of the same scan was a pure-waste
+    # exchange (r06)
+    blk = F.col(block_col) if block_col is not None else F.lit(0)
+    sh = df.select(
+        F.col(id_col),
+        blk.alias("__blk"),
+        shingles_col(tokens_col(F.col(text_col)), n).alias("shingles"),
+    )
 
     # Shingle the text ONCE into compact 64-bit key sets (~8 bytes per
     # shingle, ~1% of the raw text) and pin them: every downstream
@@ -264,6 +266,35 @@ def minhash_from_shingles(
         F.col(id_col),
         F.coalesce(F.col("sig"), F.array().cast("array<long>")).alias("sig"),
     )
+
+
+def minhash_sig_py(shingles, k: int = 32) -> list[int]:
+    """Pure-Python twin of :func:`minhash_from_shingles` for ONE
+    document's shingle-string set: identical md5 two-lane family
+    (hex chars 1-15 and 17-31 of md5('j|'||s)), identical mins —
+    asserted equal in tests. Lets an Arrow pass that already holds the
+    shingles in Python (audio/video decode kernels) emit the signature
+    as a per-row column, removing the explode -> groupBy(k min-aggs)
+    shuffle from those pipelines. Empty sets yield an empty signature,
+    matching the frame kernel's left-join contract."""
+    import hashlib
+
+    if not shingles:
+        return []
+    n_md5 = (k + 1) // 2
+    mins = [None] * k
+    for s in shingles:
+        b = s.encode("utf-8")
+        for j in range(n_md5):
+            hexd = hashlib.md5(b"%d|" % j + b).hexdigest()
+            for lane in (0, 1):
+                i = 2 * j + lane
+                if i >= k:
+                    break
+                v = int(hexd[16 * lane:16 * lane + 15], 16)
+                if mins[i] is None or v < mins[i]:
+                    mins[i] = v
+    return mins
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 8, rows: int = 4) -> DataFrame:

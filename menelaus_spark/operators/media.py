@@ -195,19 +195,21 @@ def image_thumbnails(df: DataFrame, out_h: int, out_w: int,
                      id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
     """Nearest-neighbor thumbnails re-encoded as BMP, one Arrow pass;
     undecodable payloads carry a null thumb."""
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+
     def thumbs(it):
         for pdf in it:
             ids, blobs = [], []
             for i, b in zip(pdf[id_col], pdf[bytes_col]):
-                ids.append(int(i))
+                ids.append(i)
                 try:
                     blobs.append(encode_bmp(resize_nn(decode_bmp(bytes(b)), out_h, out_w)))
                 except NotImplementedError:
                     blobs.append(None)
-            yield pd.DataFrame({"image_id": ids, "thumb": blobs})
+            yield pd.DataFrame({id_col: ids, "thumb": blobs})
 
     return df.select(id_col, bytes_col).mapInPandas(
-        thumbs, schema="image_id long, thumb binary")
+        thumbs, schema=f"{id_col} {id_type}, thumb binary")
 
 
 # --------------------------------------------------------------------------
@@ -348,6 +350,10 @@ def video_frame_stats(df: DataFrame, stride: int, id_col: str = "video_id",
 # shingles all feed the same dedup kernel)
 
 FRAME_SHINGLE_WINDOW = 2
+# MinHash width baked into the video decode pass (r06) — see
+# audio_dedup.FP_MINHASH_K for the contract; a caller requesting a
+# different k falls back to the frame kernel.
+VIDEO_MINHASH_K = 16
 
 
 def frame_code_hex(y: np.ndarray) -> str:
@@ -416,12 +422,18 @@ def video_neardup_table(spark, n_videos: int = 20, n_parts: int = 4,
 def video_shingles(df: DataFrame, id_col: str = "video_id",
                    bytes_col: str = "bytes",
                    window: int = FRAME_SHINGLE_WINDOW) -> DataFrame:
-    """(id, shingles) from one Arrow decode pass — the video analog of
-    audio_dedup.audio_fingerprints; undecodable payloads yield empty
-    sets (they can never pair)."""
+    """(id, shingles, sig) from one Arrow decode pass — the video
+    analog of audio_dedup.audio_fingerprints; the MinHash signature
+    rides the decode (dedup.minhash_sig_py, the exact md5 twin of the
+    frame kernel), so downstream LSH starts from a per-row column.
+    Undecodable payloads yield empty sets (they can never pair)."""
+    from menelaus_spark.operators.dedup import minhash_sig_py
+
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+
     def work(it):
         for pdf in it:
-            ids, sets = [], []
+            ids, sets, sigs = [], [], []
             for i, b in zip(pdf[id_col], pdf[bytes_col]):
                 ids.append(i)
                 try:
@@ -429,13 +441,15 @@ def video_shingles(df: DataFrame, id_col: str = "video_id",
                     hdr = y4m_header(b)
                     frames = np.stack([y4m_frame_y(b, hdr, t)
                                        for t in range(hdr["n_frames"])])
-                    sets.append(video_shingle_set(frames, window))
+                    sh = video_shingle_set(frames, window)
                 except NotImplementedError:
-                    sets.append([])
-            yield pd.DataFrame({id_col: ids, "shingles": sets})
+                    sh = []
+                sets.append(sh)
+                sigs.append(minhash_sig_py(sh, VIDEO_MINHASH_K))
+            yield pd.DataFrame({id_col: ids, "shingles": sets, "sig": sigs})
 
     return df.select(id_col, bytes_col).mapInPandas(
-        work, schema=f"{id_col} string, shingles array<string>")
+        work, schema=f"{id_col} {id_type}, shingles array<string>, sig array<long>")
 
 
 def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
@@ -454,7 +468,11 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
     # sides) — without the pin each reference would re-decode every
     # y4m payload (verified in the plan: 3x MapInPandas decode)
     sh = _VIDEO_SHINGLE_CACHE.persist(video_shingles(df, id_col, bytes_col))
-    sigs = minhash_from_shingles(sh, id_col, "shingles", k)
+    if "sig" in sh.columns and k == VIDEO_MINHASH_K:
+        # decode-pass signature: per-row column, no explode/groupBy
+        sigs = sh.select(id_col, "sig")
+    else:
+        sigs = minhash_from_shingles(sh, id_col, "shingles", k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -493,6 +511,8 @@ def image_phashes(df: DataFrame, id_col: str = "image_id",
                   bytes_col: str = "bytes") -> DataFrame:
     """(id, phash) in one Arrow decode pass; undecodable payloads get
     a null phash (never pair)."""
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+
     def work(it):
         for pdf in it:
             ids, hs = [], []
@@ -505,7 +525,7 @@ def image_phashes(df: DataFrame, id_col: str = "image_id",
             yield pd.DataFrame({id_col: ids, "phash": pd.array(hs, dtype="Int64")})
 
     return df.select(id_col, bytes_col).mapInPandas(
-        work, schema=f"{id_col} string, phash long")
+        work, schema=f"{id_col} {id_type}, phash long")
 
 
 def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",

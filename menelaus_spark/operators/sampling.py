@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_rank", "stratified_sample", "largest_remainder", "mix_sample"]
+__all__ = ["hash_rank", "stratified_sample", "largest_remainder", "mix_sample",
+           "budget_mix_sample"]
 
 
 def hash_rank(df: DataFrame, strata_col: str, id_col: str, seed: str = "samp"):

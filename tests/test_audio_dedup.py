@@ -392,3 +392,50 @@ def test_full_codec_transcode_neardup_detected(spark):
 
     got_t = {(r.id_a, r.id_b) for r in transcript_blocked_neardup(df).collect()}
     assert got_t == injected
+
+
+def test_decode_pass_sig_matches_frame_kernel(spark):
+    """The per-row signature computed inside the decode pass
+    (dedup.minhash_sig_py) must equal the explode->groupBy frame
+    kernel's signature bit-for-bit — the r06 fusion is a plan change,
+    not a value change."""
+    from menelaus_spark.operators.audio_dedup import FP_MINHASH_K
+    from menelaus_spark.operators.dedup import minhash_from_shingles
+
+    df = tables.audio_table(
+        spark, n_rows=40, n_parts=2, drift={}, neardup_frac=0.25, null_frac=0.1
+    )
+    sh = audio_shingles(df).persist()
+    try:
+        embedded = {r["clip_id"]: list(r["sig"]) for r in sh.collect()}
+        kernel = {
+            r["clip_id"]: list(r["sig"])
+            for r in minhash_from_shingles(sh, "clip_id", "shingles",
+                                           FP_MINHASH_K).collect()
+        }
+        assert embedded == kernel
+    finally:
+        sh.unpersist()
+
+
+def test_minhash_sig_py_matches_kernel_on_text_shingles(spark):
+    from menelaus_spark.operators.dedup import (
+        minhash_from_shingles,
+        minhash_sig_py,
+        with_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, ""), (4, "one two")],
+        "doc_id long, text string",
+    )
+    sh = with_shingles(docs, "doc_id", "text", 3).persist()
+    try:
+        kernel = {r["doc_id"]: list(r["sig"])
+                  for r in minhash_from_shingles(sh, "doc_id", "shingles", 8).collect()}
+        for r in sh.collect():
+            assert minhash_sig_py(list(r["shingles"]), 8) == kernel[r["doc_id"]]
+    finally:
+        sh.unpersist()

@@ -115,5 +115,21 @@ def test_cluster_members_and_resolution(spark):
 
 def test_max_rounds_guard(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    # driver_cap=0 forces the distributed star loop even on a tiny graph
     with pytest.raises(RuntimeError):
-        connected_components(df, max_rounds=0)
+        connected_components(df, max_rounds=0, driver_cap=0)
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    """The under-cap union-find fast path and the distributed star loop
+    must return the identical (id, cluster_id) set — chains, merged
+    stars, string and long ids."""
+    cases = [
+        ([("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"),
+        ([(5, 4), (4, 3), (3, 2), (10, 11), (11, 2)], "id_a long, id_b long"),
+    ]
+    for pairs, schema in cases:
+        df = spark.createDataFrame(pairs, schema)
+        fast = sorted(map(tuple, connected_components(df).collect()))
+        slow = sorted(map(tuple, connected_components(df, driver_cap=0).collect()))
+        assert fast == slow
