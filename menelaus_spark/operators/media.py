@@ -382,25 +382,41 @@ def video_shingle_set(frames_y: np.ndarray,
 
 
 def video_neardup_frames(video_id: int, n_videos: int = 20, n_frames: int = 8,
-                         h: int = 16, w: int = 16) -> np.ndarray:
+                         h: int = 16, w: int = 16,
+                         texture: str = "gradient") -> np.ndarray:
     """Deterministic near-dup fixture (shared by table generator and
     oracle twin): ids < n_videos are sources with pixels bounded to
     [0, 224) so copies can shift brightness without clipping; the next
     n_videos//4 ids are +16 brightness copies of sources 0..; the
     following n_videos//4 are head-trimmed (2 frames) copies of the
-    next sources."""
+    next sources.
+
+    ``texture="gradient"`` (the oracle fixture) derives sources from
+    video_frames_y — at large n_videos their 64-bit frame codes
+    COLLAPSE onto few block-sign patterns (measured r06: the hottest
+    shingle appears in 11% of 3000 sampled sources at n=300k), so LSH
+    buckets go quadratic — a degenerate topology, exactly the image
+    fixture's r05 story. ``texture="random"`` draws id-seeded uniform
+    frames so source codes are ~distinct and the duplicate topology
+    matches a real corpus: the scaling-witness fixture (the video twin
+    of image_neardup_pixels(texture="random"))."""
     n_b = n_videos // 4
     if video_id < n_videos:
+        if texture == "random":
+            rng = np.random.default_rng([888, video_id])
+            return rng.integers(0, 224, size=(n_frames, h, w)).astype(np.uint8)
         return (video_frames_y(video_id, n_frames, h, w) % 224).astype(np.uint8)
     if video_id < n_videos + n_b:
         src = video_id - n_videos
-        return (video_neardup_frames(src, n_videos, n_frames, h, w) + 16).astype(np.uint8)
+        return (video_neardup_frames(src, n_videos, n_frames, h, w,
+                                     texture) + 16).astype(np.uint8)
     src = n_b + (video_id - n_videos - n_b)
-    return video_neardup_frames(src, n_videos, n_frames, h, w)[2:]
+    return video_neardup_frames(src, n_videos, n_frames, h, w, texture)[2:]
 
 
 def video_neardup_table(spark, n_videos: int = 20, n_parts: int = 4,
-                        n_frames: int = 8, h: int = 16, w: int = 16) -> DataFrame:
+                        n_frames: int = 8, h: int = 16, w: int = 16,
+                        texture: str = "gradient") -> DataFrame:
     """y4m table of n_videos sources + n_videos//2 injected copies
     (brightness-shifted and head-trimmed)."""
     total = n_videos + n_videos // 2
@@ -409,7 +425,7 @@ def video_neardup_table(spark, n_videos: int = 20, n_parts: int = 4,
         for pdf in it:
             ids = pdf["id"].to_numpy()
             payloads = [encode_y4m(video_neardup_frames(int(i), n_videos,
-                                                        n_frames, h, w))
+                                                        n_frames, h, w, texture))
                         for i in ids]
             yield pd.DataFrame({"video_id": [f"v{int(i):04d}" for i in ids],
                                 "part": ids % n_parts, "fmt": "y4m",

@@ -133,6 +133,10 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
     oracle)."""
     B = np.uint64(1000003)
     MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # hash_j = sum_k b[j+k] * B^(window-1-k) — constant across rows,
+    # hoisted out of the per-row loop (r06)
+    POWERS = np.array([B ** np.uint64(window - 1 - k) for k in range(window)],
+                      dtype=np.uint64)
 
     @F.pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
@@ -146,11 +150,7 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
                     h = (h * B + ch) & MASK
                 out[i] = np.int64(h)
                 continue
-            # rolling hash of every window-length substring, vectorized:
-            # hash_j = sum_k b[j+k] * B^(window-1-k)
-            powers = np.array([B ** np.uint64(window - 1 - k) for k in range(window)],
-                              dtype=np.uint64)
-            n_win = b.size - window + 1
+            powers = POWERS
             windows = np.lib.stride_tricks.sliding_window_view(b, window)
             hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
             out[i] = np.int64(hashes.min())

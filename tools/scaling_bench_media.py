@@ -27,7 +27,8 @@ t0 = time.time()
 media.image_neardup_table(spark, n_images={n_images}, n_parts=64,
                           texture="random").write.mode(
     "overwrite").parquet({ipath!r})
-media.video_neardup_table(spark, n_videos={n_videos}, n_parts=64).write.mode(
+media.video_neardup_table(spark, n_videos={n_videos}, n_parts=64,
+                          texture="random").write.mode(
     "overwrite").parquet({vpath!r})
 print("GEN_SECONDS", round(time.time() - t0, 1))
 spark.stop()
