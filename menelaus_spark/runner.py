@@ -964,6 +964,16 @@ class ValidationSuite:
         most 2^p register rows; only when the estimate sits below the
         row count by more than 3-sigma sketch noise does the exact
         pass run (and its verdict is then identical to exact mode).
+
+        CONTRACT of a sketch-mode PASS (ADVICE r05): the screen can
+        only rule out LARGE duplication, not certify uniqueness — a
+        sketch PASS means dup_frac <= 3 * 1.04 / sqrt(2^p) (~4.9%
+        relative at the default p=12), NOT dup_frac == 0. The verdict
+        row makes the weaker guarantee machine-readable: statistic =
+        the estimated dup fraction, threshold = the exact bound it was
+        compared against, details.mode = "sketch". Consumers needing
+        the zero-duplicates guarantee must use exact mode (or treat
+        details.mode == "sketch" as advisory).
         NULL keys ride the same register pass (reg -1) and always
         escalate — exact mode counts them as duplicates. Both modes
         are deterministic, so recomputing per run keeps resumed and
@@ -1025,6 +1035,15 @@ class ValidationSuite:
         m = 1 << p
         kmax = SK._HASH_BITS - p + 1
 
+        # sidecars are keyed by (partition, p) AND pinned to the
+        # partition fingerprint recorded in the manifest (n, key_hash)
+        # — a resumed run whose partition was rewritten underneath the
+        # checkpoint recomputes that partition's sketch instead of
+        # silently merging stale registers (ADVICE r05), mirroring the
+        # lineage contract. Pre-fingerprint sidecars (no "fp" field)
+        # and partitions without a manifest record are treated stale.
+        manifest_fp = {r["partition_key"]: r.get("fingerprint")
+                       for r in self.manifest.records}
         loaded: dict[str, dict] = {}
         missing: list[str] = []
         for pk in part_keys:
@@ -1035,6 +1054,10 @@ class ValidationSuite:
                     rec = _json.load(f)
                 if rec.get("p") != p:
                     rec = None  # stale sketch at another precision
+                elif rec is not None:
+                    want = manifest_fp.get(pk)
+                    if want is None or rec.get("fp") != want:
+                        rec = None  # partition changed (or unknown) since sketching
             if rec is None:
                 missing.append(pk)
             else:
@@ -1066,7 +1089,8 @@ class ValidationSuite:
                     d["regs"][r["reg"]] = int(r["rho"])
             for pk, d in fresh.items():
                 rec = {"partition_key": pk, "p": p, "n": d["n"],
-                       "n_null": d["n_null"], "regs_hex": bytes(d["regs"]).hex()}
+                       "n_null": d["n_null"], "regs_hex": bytes(d["regs"]).hex(),
+                       "fp": manifest_fp.get(pk)}
                 sdir = _os.path.dirname(self._sketch_path(pk))
                 _os.makedirs(sdir, exist_ok=True)
                 fd, tmp = _tempfile.mkstemp(dir=sdir, suffix=".sketch.tmp")

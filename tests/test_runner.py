@@ -860,3 +860,46 @@ def test_uniqueness_sketch_sidecars_resume(spark, tmp_path):
     s4 = _suite(spark, ck, "a", kdq_features=False, uniqueness_mode="sketch")
     r4 = g(s4.run(df)[0])
     assert r4["details"]["est_distinct"] != r1["details"]["est_distinct"]
+
+
+def test_uniqueness_sketch_sidecar_invalidated_by_changed_partition(spark, tmp_path):
+    """A resumed run whose partition data changed must NOT reuse that
+    partition's persisted sketch sidecar (ADVICE r05): the sidecar is
+    pinned to the manifest's partition fingerprint and recomputed on
+    mismatch."""
+    import json as _json
+    import os as _os
+
+    df = spark.createDataFrame(
+        tables.audio_table(spark, n_rows=400, n_parts=2, drift={}).toPandas()
+    ).persist()
+    suite = _suite(spark, tmp_path, "uniq_sketch_stale",
+                   kdq_features=False, uniqueness_mode="sketch")
+    suite.run(df)
+    sdir = _os.path.join(suite.manifest.dir, "uniq_sketch")
+    recs = {fn: _json.load(open(_os.path.join(sdir, fn)))
+            for fn in _os.listdir(sdir) if fn.endswith(".json")}
+    # every sidecar carries the manifest fingerprint it was built from
+    assert all(r.get("fp") and "key_hash" in r["fp"] for r in recs.values())
+    # simulate a rewritten partition underneath the checkpoint: poison
+    # one sidecar's registers but keep its p — without the fingerprint
+    # pin the stale registers would be merged silently
+    fn0 = sorted(recs)[0]
+    bad = dict(recs[fn0])
+    bad["fp"] = {"n": -1, "key_hash": 0}
+    with open(_os.path.join(sdir, fn0), "w") as f:
+        _json.dump(bad, f)
+    suite2 = _suite(spark, tmp_path, "uniq_sketch_stale",
+                    kdq_features=False, uniqueness_mode="sketch")
+    verdicts_df, _ = suite2.run(df)
+    [r] = [x.asDict(recursive=True) for x in verdicts_df.filter(
+        (F.col("partition_key") == "__global__")
+        & (F.col("check_name") == "unique:clip_id")).collect()]
+    # the mismatching partition was re-scanned (partitions_scanned >= 1)
+    # and the verdict is the same clean PASS as a fresh run
+    assert r["state"] == "pass" and r["details"]["mode"] == "sketch"
+    assert int(r["details"]["partitions_scanned"]) >= 1
+    # the rewritten sidecar is healed back to the true fingerprint
+    healed = _json.load(open(_os.path.join(sdir, fn0)))
+    assert healed["fp"] == recs[fn0]["fp"]
+    df.unpersist()
