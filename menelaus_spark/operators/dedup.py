@@ -97,6 +97,105 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _blockwise_intersections(
+    hdoc: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact pairwise intersection counts WITHIN each block, computed
+    by one Arrow ``applyInPandas`` kernel per block over the already-
+    hashed shingle sets: sort the block's (hash, doc) postings once,
+    emit C(df,2) pair increments per shared hash via numpy, count
+    pairs with ``np.unique`` — the inverted-index join done where it is
+    cheap, with zero candidate shuffle. Returns
+    (id_a, id_b, sz_a, sz_b, inter) for pairs whose intersection can
+    clear ``threshold`` (a small slack keeps this a candidate
+    SUPERSET; the caller recomputes the exact rounded Jaccard in JVM,
+    so results are bit-identical to the AllPairs path). Only safe for
+    CAPPED blocks — one block is one task's memory."""
+    id_dtype = hdoc.schema[id_col].dataType.simpleString()
+    out_schema = (f"id_a {id_dtype}, id_b {id_dtype}, "
+                  "sz_a int, sz_b int, inter int")
+    slack = 1e-9
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        szs = pdf["__sz"].to_numpy()
+        hs_list = pdf["__hs"].tolist()
+        n_docs = len(ids)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sz_a": [],
+                              "sz_b": [], "inter": []})
+        if n_docs < 2:
+            return empty
+        lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64,
+                           count=n_docs)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        all_h = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hs_list if len(h)])
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        order = np.argsort(all_h, kind="stable")
+        h_sorted, d_sorted = all_h[order], doc_idx[order]
+        starts = np.flatnonzero(np.r_[True, h_sorted[1:] != h_sorted[:-1]])
+        ends = np.r_[starts[1:], h_sorted.size]
+        dfs = ends - starts
+        # Dense upper-triangle count matrix + CHUNKED scatter-adds:
+        # memory is bounded at O(n_docs^2 + chunk) no matter how hot an
+        # in-block shingle is (a universal bigram in a cap-sized block
+        # contributes C(cap, 2) increments — materializing all
+        # increments at once would not be bounded).
+        mat = np.zeros((n_docs, n_docs), dtype=np.int32)
+        chunk_lo: list = []
+        chunk_hi: list = []
+        chunk_n = 0
+        CHUNK = 4_000_000
+
+        def flush():
+            nonlocal chunk_n
+            if chunk_n:
+                np.add.at(mat, (np.concatenate(chunk_lo),
+                                np.concatenate(chunk_hi)), 1)
+                chunk_lo.clear()
+                chunk_hi.clear()
+                chunk_n = 0
+
+        # df == 2 groups (the common case) fully vectorized
+        two = starts[dfs == 2]
+        if two.size:
+            a = d_sorted[two]
+            b = d_sorted[two + 1]
+            chunk_lo.append(np.minimum(a, b))
+            chunk_hi.append(np.maximum(a, b))
+            chunk_n += two.size
+        for s, e in zip(starts[dfs > 2], ends[dfs > 2]):
+            docs = np.sort(d_sorted[s:e])
+            i, j = np.triu_indices(docs.size, k=1)
+            chunk_lo.append(docs[i])
+            chunk_hi.append(docs[j])
+            chunk_n += i.size
+            if chunk_n >= CHUNK:
+                flush()
+        flush()
+        ia, ib = np.nonzero(mat)
+        if ia.size == 0:
+            return empty
+        inter = mat[ia, ib].astype(np.int64)
+        union = szs[ia] + szs[ib] - inter
+        keep = inter >= (threshold - slack) * np.maximum(union, 1)
+        ia, ib, inter = ia[keep], ib[keep], inter[keep]
+        swap = ids[ia] > ids[ib]  # emit id_a < id_b by VALUE
+        a_idx = np.where(swap, ib, ia)
+        b_idx = np.where(swap, ia, ib)
+        return pd.DataFrame({
+            "id_a": ids[a_idx], "id_b": ids[b_idx],
+            "sz_a": szs[a_idx].astype(np.int32),
+            "sz_b": szs[b_idx].astype(np.int32),
+            "inter": inter.astype(np.int32),
+        })
+
+    return hdoc.select(id_col, "__blk", "__hs", "__sz").groupBy(
+        "__blk").applyInPandas(kernel, out_schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -104,6 +203,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    kernel_block_rows: int = 4096,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (optionally
     restricted to within-``block_col`` pairs), via EXACT prefix-filter
@@ -120,6 +220,19 @@ def ngram_jaccard_pairs(
       runs on candidates only. No recall loss — output is identical to
       an all-pairs join, so this replaces the previous within-block
       all-pairs plan without changing any result.
+
+    Hybrid execution (r06): blocks with <= ``kernel_block_rows``
+    documents skip the whole prefix machinery — their exact pairwise
+    intersection counts come from ONE block-local Arrow kernel over
+    the already-hashed sets (_blockwise_intersections: sort the
+    block's (hash, doc) postings, emit C(df,2) pair increments per
+    shared hash, np.unique-count), so the candidate set never
+    materializes in a shuffle and the verify joins never ship the hash
+    arrays. Blocks past the cap (the 100-TB regime, where one block
+    cannot be one task) take the unchanged AllPairs path. Both paths
+    recompute the SAME rounded-Jaccard expression in JVM from exact
+    integer (inter, sizes), so the output is bit-identical either way
+    (asserted in tests + the DuckDB oracle).
 
     Returns (id_a, id_b, jaccard).
     """
@@ -149,7 +262,42 @@ def ngram_jaccard_pairs(
         ).withColumn("__sz", F.size("__hs"))
     )
 
-    tok = hdoc.select(F.col(id_col), "__blk", "__sz", F.explode("__hs").alias("__h"))
+    # per-block row counts gate the two execution paths. ONE tiny
+    # collect (a row per block) decides the split driver-side, so the
+    # common all-under-cap case plans ONLY the kernel path (a blind
+    # two-path union would carry the whole AllPairs subtree's codegen
+    # for an empty input); the collect doubles as the materializing
+    # action for the pinned hdoc frame, which every path needs anyway.
+    size_rows = hdoc.groupBy("__blk").agg(
+        F.count(F.lit(1)).alias("__bn")).collect()
+    over = [r["__blk"] for r in size_rows if int(r["__bn"]) > kernel_block_rows]
+    under = [r["__blk"] for r in size_rows
+             if int(r["__bn"]) <= kernel_block_rows]
+
+    jacc = F.round(
+        F.when(F.col("__union") == 0, F.lit(0.0))
+        .otherwise(F.col("__inter") / F.col("__union")), 6)
+
+    def kernel_pairs(frame):
+        return (
+            _blockwise_intersections(frame, id_col, threshold)
+            .withColumn("__inter", F.col("inter"))
+            .withColumn("__union",
+                        F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            .withColumn("jaccard", jacc)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if not over:
+        return kernel_pairs(hdoc)
+    hdoc_big = hdoc.filter(F.col("__blk").isin(over))
+    small_pairs = (
+        kernel_pairs(hdoc.filter(~F.col("__blk").isin(over)))
+        if under else None
+    )
+
+    tok = hdoc_big.select(F.col(id_col), "__blk", "__sz", F.explode("__hs").alias("__h"))
     dfreq = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc prefix of the (df, key)-ascending order:
     # len = |X| - ceil(t*|X|) + 1
@@ -185,15 +333,15 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter
-    return (
+    big_pairs = (
         cands.join(
-            hdoc.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("hs_a"),
-                        F.col("__sz").alias("sz_a")),
+            hdoc_big.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("hs_a"),
+                            F.col("__sz").alias("sz_a")),
             on="id_a",
         )
         .join(
-            hdoc.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("hs_b"),
-                        F.col("__sz").alias("sz_b")),
+            hdoc_big.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("hs_b"),
+                            F.col("__sz").alias("sz_b")),
             on="id_b",
         )
         .withColumn(
@@ -205,6 +353,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # blocks are disjoint and pairs never cross blocks, so the union
+    # is a partition of the exact result set
+    if small_pairs is None:
+        return big_pairs
+    return small_pairs.unionByName(big_pairs)
 
 
 def _md5_hash64(i: int, s: Column) -> Column:

@@ -496,3 +496,35 @@ def test_pq_production_fanout(spark):
     for c in range(3):
         got = pdf[pdf["query_id"] == f"q{c}"]["vec_id"]
         assert len(got) == 10 and (got % 8 == c).all()
+
+
+def test_ngram_jaccard_hybrid_paths_bit_equal(spark):
+    """The r06 block-local intersection kernel and the AllPairs prefix
+    pipeline must return the identical pair set with identical rounded
+    jaccard values — the cap only picks the execution plan."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d e f g h", "x"), (2, "a b c d e f g z", "x"),
+        (3, "p q r s t u v w", "x"), (4, "p q r s t u v w", "x"),
+        (5, "one two three four five", "y"), (6, "one two three four six", "y"),
+        (7, "", "y"), (8, "solo", "y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    kernel = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.3, block_col="blk",
+        kernel_block_rows=10_000).collect()))
+    allpairs = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.3, block_col="blk",
+        kernel_block_rows=0).collect()))
+    assert kernel == allpairs and len(kernel) >= 2
+    # string ids too (id_a < id_b ordering is by VALUE in both paths)
+    sdocs = docs.select(F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"),
+                        "text", "blk")
+    k2 = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        sdocs, "doc_id", "text", n=2, threshold=0.3, block_col="blk",
+        kernel_block_rows=10_000).collect()))
+    a2 = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        sdocs, "doc_id", "text", n=2, threshold=0.3, block_col="blk",
+        kernel_block_rows=0).collect()))
+    assert k2 == a2 and len(k2) == len(kernel)
