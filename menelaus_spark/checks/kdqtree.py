@@ -227,24 +227,64 @@ class KDQTreePartitioner:
         return df
 
 
-def distributed_leaf_counts(
-    df: DataFrame, feature_cols: list[str], tree: KDQTreePartitioner, n_salt: int = 16
-) -> np.ndarray:
-    """Distributed fill: broadcast the flat tree arrays, assign leaves
-    in an Arrow-batched pandas UDF, count with a salted two-stage
-    aggregation, return the dense O(leaves) vector."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(tree.tree_arrays())
+# Trees up to this many nodes compile to a pure-JVM CASE expression
+# (leaf_assign_col): no ArrowEvalPython node, no tree broadcast, no
+# Python workers in the leaf-count job. Bigger trees would bloat the
+# expression tree / codegen, so they keep the Arrow-batched pandas UDF
+# kernel. Both paths are bit-identical (asserted in tests).
+LEAF_EXPR_MAX_NODES = 4096
+
+
+def leaf_assign_col(tree: KDQTreePartitioner, feature_cols: list[str]):
+    """Compile the flat-array tree descent into a nested JVM CASE
+    expression over ``feature_cols`` — semantically identical to
+    :meth:`KDQTreePartitioner.assign_leaves_arrays`: numpy's
+    ``vals > mid`` sends NaN LEFT (False), but Spark orders NaN above
+    every double, so the comparison carries an explicit ``~isnan``
+    guard; NULLs fall to the otherwise (left) branch on both paths."""
+    axis_arr, mid_arr, left_arr, right_arr, leaf_id_arr = tree.tree_arrays()
+
+    def rec(i: int):
+        a = int(axis_arr[i])
+        if a < 0:
+            return F.lit(int(leaf_id_arr[i]))
+        col = F.col(feature_cols[a])
+        cond = (col > F.lit(float(mid_arr[i]))) & ~F.isnan(col)
+        return F.when(cond, rec(int(right_arr[i]))).otherwise(rec(int(left_arr[i])))
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        return rec(0).cast("long")
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+
+def _leaf_col_or_udf(df: DataFrame, feature_cols: list[str],
+                     tree: KDQTreePartitioner):
+    """The leaf-ordinal Column for a frame: JVM CASE expression under
+    the node cap, Arrow-batched pandas UDF above it."""
+    if len(tree.axis_arr) <= LEAF_EXPR_MAX_NODES:
+        return leaf_assign_col(tree, feature_cols)
+    bc = df.sparkSession.sparkContext.broadcast(tree.tree_arrays())
 
     @F.pandas_udf("long")
     def leaf_udf(*cols: pd.Series) -> pd.Series:
         X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
-        arrays = bc.value
-        return pd.Series(KDQTreePartitioner.assign_leaves_arrays(X, *arrays))
+        return pd.Series(KDQTreePartitioner.assign_leaves_arrays(X, *bc.value))
 
+    return leaf_udf(*[F.col(c) for c in feature_cols])
+
+
+def distributed_leaf_counts(
+    df: DataFrame, feature_cols: list[str], tree: KDQTreePartitioner, n_salt: int = 16
+) -> np.ndarray:
+    """Distributed fill: assign leaves via the compiled JVM expression
+    (pandas-UDF fallback above LEAF_EXPR_MAX_NODES), count with a
+    salted two-stage aggregation, return the dense O(leaves) vector."""
     from menelaus_spark.operators.histograms import salted_count
 
-    leaves = df.select(leaf_udf(*[F.col(c) for c in feature_cols]).alias("leaf"))
+    leaves = df.select(_leaf_col_or_udf(df, feature_cols, tree).alias("leaf"))
     counts_df = salted_count(leaves, ["leaf"], n_salt=n_salt)
     counts = np.zeros(tree.n_leaves, dtype=np.int64)
     for row in counts_df.collect():
@@ -265,19 +305,11 @@ def distributed_leaf_counts_by_group(
     salted (group, leaf) count, return {group: dense count vector}.
     The per-batch twin of :func:`distributed_leaf_counts` — identical
     exact counts, one Spark job for any number of batches."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(tree.tree_arrays())
-
-    @F.pandas_udf("long")
-    def leaf_udf(*cols: pd.Series) -> pd.Series:
-        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
-        return pd.Series(KDQTreePartitioner.assign_leaves_arrays(X, *bc.value))
-
     from menelaus_spark.operators.histograms import salted_count
 
     leaves = df.filter(F.col(group_col).isin(list(groups))).select(
         F.col(group_col).alias("__g"),
-        leaf_udf(*[F.col(c) for c in feature_cols]).alias("leaf"),
+        _leaf_col_or_udf(df, feature_cols, tree).alias("leaf"),
     )
     rows = salted_count(leaves, ["__g", "leaf"], n_salt=n_salt).collect()
     out = {g: np.zeros(tree.n_leaves, dtype=np.int64) for g in groups}

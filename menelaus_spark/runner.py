@@ -1359,22 +1359,15 @@ class ValidationSuite:
 
     def _kdq_counts_by_part(self, clean_feats: DataFrame, tree, pks: list[str]) -> dict:
         """Distributed leaf counts for MANY partitions in one pass:
-        broadcast tree, assign leaves in the (already cached) feature
-        frame, salted groupBy (partition, leaf)."""
-        from menelaus_spark.checks.kdqtree import KDQTreePartitioner
+        assign leaves in the (already cached) feature frame via the
+        compiled JVM tree expression (pandas-UDF fallback above the
+        node cap), salted groupBy (partition, leaf)."""
+        from menelaus_spark.checks.kdqtree import _leaf_col_or_udf
 
-        spark = clean_feats.sparkSession
-        bc = spark.sparkContext.broadcast(tree.tree_arrays())
         fcols = [f"f{i}" for i in range(audio.N_FEATURES)]
-
-        @F.pandas_udf("long")
-        def leaf_udf(*cols: pd.Series) -> pd.Series:
-            X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
-            return pd.Series(KDQTreePartitioner.assign_leaves_arrays(X, *bc.value))
-
         leaves = clean_feats.select(
             F.col(self.partition_col).cast("string").alias("__pk"),
-            leaf_udf(*[F.col(c) for c in fcols]).alias("leaf"),
+            _leaf_col_or_udf(clean_feats, fcols, tree).alias("leaf"),
         )
         rows = H.salted_count(leaves, ["__pk", "leaf"]).collect()
         out = {pk: np.zeros(tree.n_leaves, dtype=np.int64) for pk in pks}
@@ -1425,17 +1418,33 @@ class ValidationSuite:
             .select("__pk", "kk.kind", "kk.key")
             .filter(F.col("key").isNotNull())
         )
-        agg = H.salted_count(exploded, ["__pk", "kind", "key"]).persist()
-        try:
+        agg = H.salted_count(exploded, ["__pk", "kind", "key"])
+        if hdm_cols:
+            # ONE action enforces the HDM driver cap inline (the old
+            # shape paid a separate count() job first): non-HDM rows
+            # ride unlimited, HDM rows pass through LIMIT cap+1 — if
+            # cap+1 survive, the cap is blown and the HDM side falls
+            # back to its own per-batch jobs. persist() so the single
+            # union action materializes the aggregation once for both
+            # branches; the extra driver transfer is bounded by cap.
+            cap = int(self.hdm.driver_value_cap)
+            agg = agg.persist()
+            try:
+                is_hdm = F.col("kind").startswith("hdm:")
+                rows = (
+                    agg.filter(~is_hdm)
+                    .unionByName(agg.filter(is_hdm).limit(cap + 1))
+                    .toPandas()
+                )
+            finally:
+                agg.unpersist()
+            hdm_rows = rows["kind"].str.startswith("hdm:")
+            hdm_ok = int(hdm_rows.sum()) <= cap
+            if not hdm_ok:
+                rows = rows[~hdm_rows]
+        else:
             hdm_ok = True
-            if hdm_cols:
-                n_hdm = agg.filter(F.col("kind").startswith("hdm:")).count()
-                hdm_ok = n_hdm <= self.hdm.driver_value_cap
-            rows = (
-                agg if hdm_ok else agg.filter(~F.col("kind").startswith("hdm:"))
-            ).toPandas()
-        finally:
-            agg.unpersist()
+            rows = agg.toPandas()
 
         kspsi_by: dict = {}
         hdm_sum_by: dict = {
@@ -1504,12 +1513,12 @@ class ValidationSuite:
         # metadata scans hide under the decode instead of following it
         # (spark_optimization_guide §2.6). Same jobs, same results; only
         # the submission order changes.
+        from concurrent.futures import ThreadPoolExecutor
+
         feats = None
         feats_future = None
-        pool = None
+        pool = ThreadPoolExecutor(max_workers=2)
         if self.kdq is not None or self._quality_active():
-            from concurrent.futures import ThreadPoolExecutor
-
             feats = audio.features_df(
                 scoped, key_col=self.key_col,
                 carry_cols=self._feats_carry_cols(with_part=True),
@@ -1518,12 +1527,32 @@ class ValidationSuite:
                 header=self.meta_rules is not None,
             ).persist()
             self._feats_cache = feats
-            pool = ThreadPoolExecutor(max_workers=1)
             feats_future = pool.submit(feats.count)
 
-        # global pass 1: all constraint stats + min/max, one shuffle
-        stat_rows = scoped.groupBy(self.partition_col).agg(*self._constraint_aggs()).collect()
-        stats_by = {str(r[self.partition_col]): r.asDict() for r in stat_rows}
+        # global pass 1: all constraint stats + min/max, one shuffle.
+        # Pass 2 needs ONLY the KS bin ranges from it (fresh runs: the
+        # reference partition's min/max), so those come from a tiny
+        # dedicated min/max job instead — passes 1 and 2 then run
+        # CONCURRENTLY on driver threads (guide §2.6), both hiding
+        # under the decode pass, instead of strictly sequentially.
+        run_summary = bool(self.ks_cols or self.psi_col or self.hdm is not None)
+        ranges: dict = {}
+        if run_summary and self.ks_cols and not self._ks_ref:
+            mm = scoped.filter(
+                F.col(self.partition_col) == self._pk_value(df, todo[0])
+            ).agg(*[
+                a for c in self.ks_cols for a in (
+                    F.min(F.col(c).cast("double")).alias(f"__mm_lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__mm_hi_{c}"),
+                )
+            ]).collect()[0].asDict()
+            ranges = {c: (mm[f"__mm_lo_{c}"], mm[f"__mm_hi_{c}"])
+                      for c in self.ks_cols}
+        elif run_summary and (self.ks_cols or self.psi_col):
+            ranges = self._ks_psi_ranges({})
+        stat_future = pool.submit(
+            scoped.groupBy(self.partition_col).agg(*self._constraint_aggs()).collect
+        )
 
         # global pass 2: KS histograms + PSI frequencies + HDM
         # distinct-value summaries for every partition, all in ONE
@@ -1533,11 +1562,10 @@ class ValidationSuite:
         # keeping the suite's job count O(1) in the partition count
         kspsi_by: dict = {}
         hdm_sum_by: dict = {}
-        ranges: dict = {}
-        if self.ks_cols or self.psi_col or self.hdm is not None:
-            if self.ks_cols or self.psi_col:
-                ranges = self._ks_psi_ranges(stats_by[todo[0]])
+        if run_summary:
             kspsi_by, hdm_sum_by = self._global_summary_pass(scoped, todo, ranges)
+        stat_rows = stat_future.result()
+        stats_by = {str(r[self.partition_col]): r.asDict() for r in stat_rows}
 
         # global pass 3 (the only pandas stage): decode + features +
         # quality metrics for ALL partitions, already running on the
@@ -1547,7 +1575,13 @@ class ValidationSuite:
         qcounts_by: dict = {}
         if feats_future is not None:
             feats_future.result()
-            pool.shutdown(wait=False)
+        # the quality-count aggregation depends only on the (now
+        # materialized) feats cache — run it on the driver thread pool
+        # WHILE the kdq build-sample collect + leaf-count job run, so
+        # the two independent jobs back-fill each other's idle slots
+        qcounts_future = None
+        if self._quality_active():
+            qcounts_future = pool.submit(self._quality_counts_by_part, feats, todo)
         if self.kdq is not None:
             clean = feats.filter(_f0_clean())
             if self.kdq._tree is None:
@@ -1562,10 +1596,9 @@ class ValidationSuite:
             else:
                 counts_by = self._kdq_counts_by_part(clean, self.kdq._tree, todo)
                 self._kdq_fresh_ref = False
-        if self._quality_active():
-            # one grouped aggregation covers every partition's quality
-            # violation counts (violation rows materialize lazily below)
-            qcounts_by = self._quality_counts_by_part(feats, todo)
+        if qcounts_future is not None:
+            qcounts_by = qcounts_future.result()
+        pool.shutdown(wait=False)
         nan_by: dict = {}
         if feats is not None and self.kdq is None:
             # no kdq leaf totals to derive decode failures from — one

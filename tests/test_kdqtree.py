@@ -146,3 +146,46 @@ def test_kdq_state_roundtrip(spark):
     det2.set_state(state, ref_data=in_df)
     assert det2.update(drift_df) == "drift"
     assert det2.test_dist == pytest.approx(det.update(drift_df) and det.test_dist)
+
+
+def test_leaf_expr_matches_numpy_kernel(spark):
+    """The compiled JVM CASE expression (leaf_assign_col) is
+    bit-identical to the numpy descent, including NaN rows (numpy's
+    `> mid` is False for NaN -> left; Spark orders NaN above every
+    double, guarded by ~isnan) and NULL rows (left on both paths)."""
+    from pyspark.sql import functions as F
+
+    from menelaus_spark.checks.kdqtree import (
+        LEAF_EXPR_MAX_NODES,
+        distributed_leaf_counts_by_group,
+        leaf_assign_col,
+    )
+
+    np.random.seed(7)
+    data = np.random.sample((500, 3)) * 10 - 5
+    data[::97, 1] = np.nan
+    kp = KDQTreePartitioner(count_ubound=10, cutpoint_proportion_lbound=2e-10)
+    kp.build(np.random.sample((400, 3)))
+    assert len(kp.axis_arr) <= LEAF_EXPR_MAX_NODES
+    local = kp.assign_leaves(data)
+    pdf = pd.DataFrame(data, columns=["f0", "f1", "f2"])
+    df = spark.createDataFrame(pdf).repartition(3)
+    got = (
+        df.select(leaf_assign_col(kp, ["f0", "f1", "f2"]).alias("leaf"),
+                  *[F.col(c) for c in ("f0", "f1", "f2")])
+        .toPandas().sort_values(["f0", "f1", "f2"]).reset_index(drop=True)
+    )
+    order = pdf.sort_values(["f0", "f1", "f2"]).index
+    assert got["leaf"].to_numpy().tolist() == local[order].tolist()
+    # grouped counts: expression path vs forced pandas-UDF path agree
+    gdf = df.withColumn("g", (F.col("f0") > 0).cast("int"))
+    expr_counts = distributed_leaf_counts_by_group(gdf, "g", ["f0", "f1", "f2"], kp, [0, 1])
+    import menelaus_spark.checks.kdqtree as kmod
+    cap = kmod.LEAF_EXPR_MAX_NODES
+    kmod.LEAF_EXPR_MAX_NODES = 0  # force the UDF fallback
+    try:
+        udf_counts = distributed_leaf_counts_by_group(gdf, "g", ["f0", "f1", "f2"], kp, [0, 1])
+    finally:
+        kmod.LEAF_EXPR_MAX_NODES = cap
+    for g in (0, 1):
+        assert expr_counts[g].tolist() == udf_counts[g].tolist()
