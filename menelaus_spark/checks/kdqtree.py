@@ -229,10 +229,13 @@ class KDQTreePartitioner:
 
 # Trees up to this many nodes compile to a pure-JVM CASE expression
 # (leaf_assign_col): no ArrowEvalPython node, no tree broadcast, no
-# Python workers in the leaf-count job. Bigger trees would bloat the
-# expression tree / codegen, so they keep the Arrow-batched pandas UDF
-# kernel. Both paths are bit-identical (asserted in tests).
-LEAF_EXPR_MAX_NODES = 4096
+# Python workers in the leaf-count job. Bigger trees keep the
+# Arrow-batched pandas UDF kernel: a nested CASE beyond a few hundred
+# branches blows up Catalyst planning/codegen (measured: a ~1700-node
+# lineitem tree took the kdq entry from 2.2 s to 25 s before this cap
+# was tightened from 4096). Both paths are bit-identical (asserted in
+# tests).
+LEAF_EXPR_MAX_NODES = 256
 
 
 def leaf_assign_col(tree: KDQTreePartitioner, feature_cols: list[str]):

@@ -1322,7 +1322,10 @@ class ValidationSuite:
 
         viol_root = os.path.join(self.manifest.dir, "violations")
         if os.path.isdir(viol_root) and any(os.scandir(viol_root)):
-            violations_df = self.spark.read.parquet(
+            # schema is known by construction (every violation write
+            # uses the VIOLATION_SCHEMA shape) — passing it skips the
+            # footer-sampling schema-inference pass over the sink dirs
+            violations_df = self.spark.read.schema(VIOLATION_SCHEMA).parquet(
                 *[os.path.join(viol_root, d) for d in sorted(os.listdir(viol_root))]
             )
         else:
@@ -1515,26 +1518,11 @@ class ValidationSuite:
         # the submission order changes.
         from concurrent.futures import ThreadPoolExecutor
 
-        feats = None
-        feats_future = None
-        pool = ThreadPoolExecutor(max_workers=2)
-        if self.kdq is not None or self._quality_active():
-            feats = audio.features_df(
-                scoped, key_col=self.key_col,
-                carry_cols=self._feats_carry_cols(with_part=True),
-                quality=self.quality_rules is not None,
-                byte_len=self._payload_in_decode(),
-                header=self.meta_rules is not None,
-            ).persist()
-            self._feats_cache = feats
-            feats_future = pool.submit(feats.count)
-
-        # global pass 1: all constraint stats + min/max, one shuffle.
-        # Pass 2 needs ONLY the KS bin ranges from it (fresh runs: the
-        # reference partition's min/max), so those come from a tiny
-        # dedicated min/max job instead — passes 1 and 2 then run
-        # CONCURRENTLY on driver threads (guide §2.6), both hiding
-        # under the decode pass, instead of strictly sequentially.
+        # Pass 2 needs ONLY the KS bin ranges from pass 1 (fresh runs:
+        # the reference partition's min/max), so those come from a tiny
+        # dedicated min/max job run FIRST — before the decode job is
+        # submitted, since a FIFO scheduler would otherwise queue its
+        # tasks behind the whole decode and stall pass 2 by seconds.
         run_summary = bool(self.ks_cols or self.psi_col or self.hdm is not None)
         ranges: dict = {}
         if run_summary and self.ks_cols and not self._ks_ref:
@@ -1550,6 +1538,25 @@ class ValidationSuite:
                       for c in self.ks_cols}
         elif run_summary and (self.ks_cols or self.psi_col):
             ranges = self._ks_psi_ranges({})
+
+        feats = None
+        feats_future = None
+        pool = ThreadPoolExecutor(max_workers=2)
+        if self.kdq is not None or self._quality_active():
+            feats = audio.features_df(
+                scoped, key_col=self.key_col,
+                carry_cols=self._feats_carry_cols(with_part=True),
+                quality=self.quality_rules is not None,
+                byte_len=self._payload_in_decode(),
+                header=self.meta_rules is not None,
+            ).persist()
+            self._feats_cache = feats
+            feats_future = pool.submit(feats.count)
+
+        # global pass 1: all constraint stats + min/max, one shuffle —
+        # submitted on a driver thread so it runs CONCURRENTLY with
+        # pass 2 (guide §2.6), both hiding under the decode pass,
+        # instead of strictly sequentially.
         stat_future = pool.submit(
             scoped.groupBy(self.partition_col).agg(*self._constraint_aggs()).collect
         )
