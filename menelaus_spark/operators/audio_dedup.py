@@ -337,6 +337,7 @@ def transcript_blocked_neardup(
     min_mask_bits: int = 16,
     block_cap: int = 50,
     fp: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-modal near-duplicate detection: block on transcript
     equality (same text, possibly different encodings of the same
@@ -372,7 +373,8 @@ def transcript_blocked_neardup(
 
     if fp is None:
         fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
-    pairs = transcript_candidate_pairs(df, key_col, transcript_col, block_cap)
+    if pairs is None:
+        pairs = transcript_candidate_pairs(df, key_col, transcript_col, block_cap)
     a = fp.select(F.col(key_col).alias("id_a"), F.col("codes").alias("ca"),
                   F.col("masks").alias("ma"), F.col("peaks").alias("pa"))
     b = fp.select(F.col(key_col).alias("id_b"), F.col("codes").alias("cb"),
@@ -431,6 +433,7 @@ def speed_blocked_neardup(
     min_frames: int = 8,
     block_cap: int = 50,
     fp: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Speed-perturbed (time-stretched) copy detection: a copy
     resampled WITHOUT relabeling its rate plays faster/slower and
@@ -470,7 +473,8 @@ def speed_blocked_neardup(
     """
     if fp is None:
         fp = audio_fingerprint_codes(df, key_col, bytes_col, codec_col)
-    pairs = transcript_candidate_pairs(df, key_col, transcript_col, block_cap)
+    if pairs is None:
+        pairs = transcript_candidate_pairs(df, key_col, transcript_col, block_cap)
     a = fp.select(F.col(key_col).alias("id_a"), F.col("peaks").alias("pa"),
                   F.col("n_fp").alias("__la"))
     b = fp.select(F.col(key_col).alias("id_b"), F.col("peaks").alias("pb"),
@@ -544,20 +548,27 @@ def audio_dedup_resolution(
     own_fp = fp is None
     if own_fp:
         fp = audio_fingerprints(df, key_col, bytes_col, codec_col).persist()
+    # paths 2 and 3 block on the SAME transcript-equality candidate
+    # pairs; computed once and pinned here, the union's materializing
+    # job (connected_components' signature action) evaluates the
+    # block-join subtree once instead of once per path. Released right
+    # after the pair graph is materialized.
+    tcp = transcript_candidate_pairs(df, key_col, transcript_col).persist()
     p1 = audio_neardup_pairs(
         df, key_col, bytes_col, codec_col, fp=fp,
         containment_threshold=containment_threshold,
     ).select("id_a", "id_b")
     p2 = transcript_blocked_neardup(
-        df, key_col, bytes_col, codec_col, transcript_col, fp=fp
+        df, key_col, bytes_col, codec_col, transcript_col, fp=fp, pairs=tcp
     ).select("id_a", "id_b")
     p3 = speed_blocked_neardup(
-        df, key_col, bytes_col, codec_col, transcript_col, fp=fp
+        df, key_col, bytes_col, codec_col, transcript_col, fp=fp, pairs=tcp
     ).select("id_a", "id_b")
     out = cluster_members(connected_components(p1.union(p2).union(p3)))
+    # connected_components already materialized the pair graph (its
+    # loop runs jobs against checkpointed edges), so the shared
+    # intermediates can be released before the caller's action
+    tcp.unpersist()
     if own_fp:
-        # connected_components already materialized the pair graph (its
-        # loop runs jobs against checkpointed edges), so the decode
-        # frame can be released before the caller's action
         fp.unpersist()
     return out
