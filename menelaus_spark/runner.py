@@ -1299,9 +1299,16 @@ class ValidationSuite:
         the same checks partition-by-partition; both paths produce
         byte-identical verdict tables.
         """
+        # sort driver-side: an orderBy here would add a range-partition
+        # exchange plus its sampling job to collect O(partitions) rows.
+        # Python's sort on the raw values matches Spark's orderBy for
+        # every partition-key type we accept (int/str/date).
         part_keys = [
-            str(r[0])
-            for r in df.select(self.partition_col).distinct().orderBy(self.partition_col).collect()
+            str(v)
+            for v in sorted(
+                (r[0] for r in df.select(self.partition_col).distinct().collect()),
+                key=lambda v: (v is not None, v),  # NULLS FIRST, like orderBy
+            )
         ]
         done = set(self.manifest.completed_keys())
         todo = [pk for pk in part_keys if pk not in done]
