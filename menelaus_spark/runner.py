@@ -49,6 +49,11 @@ from menelaus_spark.verdicts import (
 )
 
 KS_BINS = 1024
+# Total clean-row cap for the kdq small-table fast path (one Arrow
+# collect of the feature matrix replaces every per-drift-event
+# sample-collect + leaf-count job). 1M rows x 12 float64 features is
+# <100 MB on the driver; corpora above it take the distributed chain.
+KDQ_DRIVER_ROW_CAP = 1_000_000
 
 
 def _f0_clean():
@@ -1604,13 +1609,56 @@ class ValidationSuite:
         qcounts_future = None
         if self._quality_active():
             qcounts_future = pool.submit(self._quality_counts_by_part, feats, todo)
+        self._kdq_groups = None
         if self.kdq is not None:
             clean = feats.filter(_f0_clean())
             if self.kdq._tree is None:
-                tree = self._kdq_build_tree(
-                    self._kdq_clean_feats_for(df, feats, todo[0], todo)
-                )
-                counts_by = self._kdq_counts_by_part(clean, tree, todo)
+                # small-table fast path: when EVERY partition fits
+                # under the build-sample cap (so the sequential path's
+                # "sample" is the full clean partition — no seeded
+                # sampling whose row set depends on physical
+                # partitioning) and the total is driver-collectable,
+                # ONE Arrow collect of the clean feature matrix
+                # replaces the per-drift-event sample-collect +
+                # leaf-count JOBS: tree builds are row-order
+                # independent and the leaf assignment is the same
+                # numpy kernel the distributed fill broadcasts, so
+                # every tree, count vector and drift decision is
+                # bit-identical (asserted in tests). Above the caps —
+                # the 100-TB regime — the distributed chain below runs
+                # unchanged; same pattern as connected_components'
+                # driver_cap.
+                cap_ok = all(
+                    int(stats_by[pk]["__n"]) <= self.kdq.build_sample_cap
+                    for pk in todo
+                ) and sum(
+                    int(stats_by[pk]["__n"]) for pk in todo
+                ) <= KDQ_DRIVER_ROW_CAP
+                if cap_ok:
+                    fcols = [f"f{i}" for i in range(audio.N_FEATURES)]
+                    pdf = clean.select(
+                        F.col(self.partition_col).cast("string").alias("__pk"),
+                        *fcols,
+                    ).toPandas()
+                    groups = {
+                        str(g): sub[fcols].to_numpy(dtype=np.float64)
+                        for g, sub in pdf.groupby("__pk")
+                    }
+                    if all(groups.get(pk) is not None and len(groups[pk])
+                           for pk in todo):
+                        self._kdq_groups = groups
+                if self._kdq_groups is not None:
+                    tree = self.kdq.build_tree_from_sample(
+                        self._kdq_groups[todo[0]])
+                    counts_by = {
+                        pk: tree.fill_counts(self._kdq_groups[pk])
+                        for pk in todo
+                    }
+                else:
+                    tree = self._kdq_build_tree(
+                        self._kdq_clean_feats_for(df, feats, todo[0], todo)
+                    )
+                    counts_by = self._kdq_counts_by_part(clean, tree, todo)
                 self.kdq.install_reference(tree, counts_by[todo[0]])
                 self.kdq._input_cols = [f"f{i}" for i in range(audio.N_FEATURES)]
                 self._kdq_ref_pk = todo[0]
@@ -1671,16 +1719,28 @@ class ValidationSuite:
             if self.kdq is not None:
                 if self.kdq.drift_state == DRIFT:
                     ref_pk = self._kdq_ref_pk
-                    ref_feats = self._kdq_clean_feats_for(df, feats, ref_pk, todo)
-                    tree = self._kdq_build_tree(ref_feats)
-                    # one recount pass for the drifted reference + all
-                    # not-yet-decided partitions under the new tree
                     scope = ([ref_pk] if ref_pk in todo else []) + todo[i:]
-                    clean = feats.filter(_f0_clean())
-                    recount = self._kdq_counts_by_part(
-                        clean.filter(F.col(self.partition_col).cast("string").isin(scope)),
-                        tree, scope,
-                    )
+                    if self._kdq_groups is not None and ref_pk in self._kdq_groups:
+                        # small-table fast path: rebuild + recount from
+                        # the already-collected clean feature matrix —
+                        # zero Spark jobs per drift event (same trees,
+                        # same exact counts as the distributed chain)
+                        tree = self.kdq.build_tree_from_sample(
+                            self._kdq_groups[ref_pk])
+                        recount = {
+                            p: tree.fill_counts(self._kdq_groups[p])
+                            for p in scope
+                        }
+                    else:
+                        ref_feats = self._kdq_clean_feats_for(df, feats, ref_pk, todo)
+                        tree = self._kdq_build_tree(ref_feats)
+                        # one recount pass for the drifted reference + all
+                        # not-yet-decided partitions under the new tree
+                        clean = feats.filter(_f0_clean())
+                        recount = self._kdq_counts_by_part(
+                            clean.filter(F.col(self.partition_col).cast("string").isin(scope)),
+                            tree, scope,
+                        )
                     counts_by.update(recount)
                     if ref_pk in recount:
                         ref_counts = recount[ref_pk]

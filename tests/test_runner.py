@@ -903,3 +903,27 @@ def test_uniqueness_sketch_sidecar_invalidated_by_changed_partition(spark, tmp_p
     healed = _json.load(open(_os.path.join(sdir, fn0)))
     assert healed["fp"] == recs[fn0]["fp"]
     df.unpersist()
+
+
+def test_kdq_driver_fast_path_matches_distributed(spark, tmp_path, audio_df):
+    """The kdq small-table fast path (one Arrow collect + driver-side
+    tree builds / leaf counts) must reproduce the distributed chain's
+    verdict table byte-for-byte, including the drift-event rebuild
+    sequence on the drifted fixture."""
+    import menelaus_spark.runner as R
+
+    s1 = _suite(spark, tmp_path, "spec")
+    s1.run(audio_df)
+    assert s1._kdq_groups is not None  # fast path actually engaged
+    rows1 = [json.dumps(r["verdicts"], sort_keys=True) for r in s1.manifest.records]
+
+    cap = R.KDQ_DRIVER_ROW_CAP
+    R.KDQ_DRIVER_ROW_CAP = 0  # force the distributed chain
+    try:
+        s2 = _suite(spark, tmp_path, "dist")
+        s2.run(audio_df)
+        assert s2._kdq_groups is None
+        rows2 = [json.dumps(r["verdicts"], sort_keys=True) for r in s2.manifest.records]
+    finally:
+        R.KDQ_DRIVER_ROW_CAP = cap
+    assert rows1 == rows2
