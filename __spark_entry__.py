@@ -1656,16 +1656,37 @@ def q_kdq_lineitem(spark, sf_dir):
     proj, years = _lineitem_year_proj(spark, sf_dir)
     det = KdqTreeBatch(count_ubound=100, bootstrap_samples=100, seed=42)
 
-    from menelaus_spark.checks.kdqtree import distributed_leaf_counts_by_group
+    from menelaus_spark.checks.kdqtree import (
+        collect_group_features,
+        distributed_leaf_counts_by_group,
+    )
 
-    def counts_for(tree, scope_years):
-        return distributed_leaf_counts_by_group(
-            proj, "yr", list(_LI_DRIFT_COLS), tree, scope_years, det.n_salt
-        )
+    # driver fast path (r06): every year batch is far under the
+    # build-sample cap at test scale, so ONE bounded Arrow collect
+    # feeds every tree build AND every leaf count driver-side — zero
+    # Spark jobs per drift event, bit-identical trees/counts (the
+    # build is row-order independent and fill_counts is the same
+    # kernel the distributed fill broadcasts). Above the caps the
+    # grouped distributed pass runs as before.
+    groups_nd = collect_group_features(
+        proj, "yr", list(_LI_DRIFT_COLS), years, det.build_sample_cap
+    )
+    if groups_nd is not None:
+        def counts_for(tree, scope_years):
+            return {y: tree.fill_counts(groups_nd[y]) for y in scope_years}
 
-    def build_from(yr):
-        ary, _n = det._collect_build_sample(proj.filter(F.col("yr") == yr).drop("yr"))
-        return det.build_tree_from_sample(ary)
+        def build_from(yr):
+            return det.build_tree_from_sample(groups_nd[yr])
+    else:
+        def counts_for(tree, scope_years):
+            return distributed_leaf_counts_by_group(
+                proj, "yr", list(_LI_DRIFT_COLS), tree, scope_years, det.n_salt
+            )
+
+        def build_from(yr):
+            ary, _n = det._collect_build_sample(
+                proj.filter(F.col("yr") == yr).drop("yr"))
+            return det.build_tree_from_sample(ary)
 
     det._input_cols = list(_LI_DRIFT_COLS)
     tree = build_from(years[0])

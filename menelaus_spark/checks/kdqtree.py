@@ -321,6 +321,42 @@ def distributed_leaf_counts_by_group(
     return out
 
 
+def collect_group_features(
+    df: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    groups: list,
+    per_group_cap: int,
+    total_cap: int = 1_000_000,
+) -> dict | None:
+    """One bounded Arrow collect of (group, features) for driver-side
+    tree builds + leaf counts: returns {group: float64 ndarray} when
+    every group fits under ``per_group_cap`` (so a caller's tree
+    "sample" is the FULL group — the regime where
+    _collect_build_sample takes no seeded subsample and the driver
+    build is bit-identical) and the total fits under ``total_cap``;
+    None otherwise, in which case the caller runs the distributed
+    chain unchanged. The LIMIT bounds the driver transfer even when
+    the input is huge — the over-cap probe row just flips the
+    answer to None."""
+    pdf = (
+        df.filter(F.col(group_col).isin(list(groups)))
+        .select(F.col(group_col).alias("__g"), *feature_cols)
+        .limit(total_cap + 1)
+        .toPandas()
+    )
+    if len(pdf) > total_cap:
+        return None
+    out = {}
+    for g, sub in pdf.groupby("__g"):
+        if len(sub) > per_group_cap:
+            return None
+        out[g] = sub[list(feature_cols)].to_numpy(dtype=np.float64)
+    for g in groups:
+        out.setdefault(g, np.empty((0, len(feature_cols)), dtype=np.float64))
+    return out
+
+
 def bootstrap_critical_kld(
     ref_counts: np.ndarray,
     sample_size: int,
