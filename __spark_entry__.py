@@ -1582,16 +1582,47 @@ def _lineitem_year_proj(spark, sf_dir):
     return proj, years
 
 
-def _batch_summaries(df, batch_col: str, cols: list[str]) -> dict:
-    """ALL per-batch (value, count) summaries in ONE exploded salted
-    pass -> {batch_value: {col: (values, counts)}} — the same feed the
+def _batch_summaries(df, batch_col: str, cols: list[str],
+                     driver_row_cap: int = 1_000_000) -> dict:
+    """ALL per-batch (value, count) summaries in ONE pass ->
+    {batch_value: {col: (values, counts)}} — the same feed the
     ValidationSuite gives HDM, so a drift sequence over k batches costs
     one Spark job instead of one summary job per batch. Null values
-    are kept as groups (n/min/max derive from the summary)."""
+    are kept as groups (n/min/max derive from the summary).
+
+    Fast path (r06): under ``driver_row_cap`` rows (probed by the
+    LIMIT itself — no count job), ONE bounded Arrow collect of the raw
+    projection replaces the explode + two-stage salted aggregation,
+    and np.unique does the (value -> count) grouping driver-side. The
+    per-value counts are identical; null/NaN rows consolidate into one
+    NaN entry instead of Spark's separate null/NaN groups (both arrive
+    driver-side as NaN anyway), which every consumer treats
+    identically: n sums counts, min/max/histogram binning filter NaN
+    (hdm._minmax_count_from_summary, histograms.bin_weighted_driver).
+    Over the cap, the exploded aggregation runs unchanged."""
     import numpy as np
 
     from menelaus_spark.operators import histograms as H
 
+    sel = df.select(
+        F.col(batch_col).alias("__b"),
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    ).limit(driver_row_cap + 1)
+    pdf = sel.toPandas()
+    out: dict = {}
+    if len(pdf) <= driver_row_cap:
+        for b, g in pdf.groupby("__b"):
+            d = {}
+            for c in cols:
+                a = g[c].to_numpy(np.float64)
+                nan_n = int(np.isnan(a).sum())
+                vals, cnts = np.unique(a[~np.isnan(a)], return_counts=True)
+                if nan_n:
+                    vals = np.append(vals, np.nan)
+                    cnts = np.append(cnts, nan_n)
+                d[c] = (vals.astype(np.float64), cnts.astype(np.float64))
+            out[b] = d
+        return out
     structs = [
         F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
         for c in cols
@@ -1600,7 +1631,6 @@ def _batch_summaries(df, batch_col: str, cols: list[str]) -> dict:
         F.col(batch_col).alias("__b"), F.explode(F.array(*structs)).alias("fv")
     ).select("__b", "fv.feature", "fv.value")
     pdf = H.salted_count(ex, ["__b", "feature", "value"]).toPandas()
-    out: dict = {}
     for (b, c), g in pdf.groupby(["__b", "feature"]):
         out.setdefault(b, {})[str(c)] = (
             g["value"].to_numpy(np.float64), g["count"].to_numpy(np.float64)
