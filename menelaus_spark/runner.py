@@ -54,6 +54,10 @@ KS_BINS = 1024
 # sample-collect + leaf-count job). 1M rows x 12 float64 features is
 # <100 MB on the driver; corpora above it take the distributed chain.
 KDQ_DRIVER_ROW_CAP = 1_000_000
+# Same economics for the KS/PSI/HDM summary pass: one bounded Arrow
+# collect + numpy-twin binning under the cap, exploded salted
+# aggregation above it.
+SUMMARY_DRIVER_ROW_CAP = 1_000_000
 
 
 def _f0_clean():
@@ -1410,6 +1414,78 @@ class ValidationSuite:
         to its own per-batch summary jobs.
 
         Returns (kspsi_by, hdm_sum_by)."""
+        hdm_cols = self.hdm_cols if self.hdm is not None else []
+        # Driver fast path: under the row cap (probed by the LIMIT
+        # itself), ONE bounded Arrow collect of the raw projection
+        # replaces the explode + salted aggregation, with the binning /
+        # counting done by the proven numpy twins
+        # (histograms.bin_weighted_driver replicates bin_index_col's
+        # IEEE arithmetic bit-for-bit). Gates, each preserving exact
+        # equivalence with the exploded pass:
+        # - psi column must be string-typed (cast-to-string is then
+        #   the identity; Java double->string formatting is not
+        #   replicated driver-side);
+        # - no NaN in the collected KS columns (a null clamps to the
+        #   range floor while NaN clamps to the ceiling in the JVM
+        #   expression, and pandas cannot tell them apart).
+        # Over the cap or on a gate miss, the exploded pass runs
+        # unchanged — the 100-TB path.
+        psi_ok = (not self.psi_col) or isinstance(
+            scoped.schema[self.psi_col].dataType, T.StringType
+        )
+        if psi_ok:
+            sel = [F.col(self.partition_col).cast("string").alias("__pk")]
+            sel += [F.col(c).cast("double").alias(f"__ks_{c}")
+                    for c in self.ks_cols]
+            if self.psi_col:
+                sel.append(F.col(self.psi_col).alias("__psi"))
+            sel += [F.col(c).cast("double").alias(f"__hdm_{c}")
+                    for c in hdm_cols]
+            pdf = scoped.select(*sel).limit(
+                SUMMARY_DRIVER_ROW_CAP + 1).toPandas()
+            ks_ok = len(pdf) <= SUMMARY_DRIVER_ROW_CAP and not any(
+                np.isnan(pdf[f"__ks_{c}"].to_numpy(np.float64)).any()
+                for c in self.ks_cols
+            )
+            if ks_ok:
+                kspsi_by: dict = {}
+                hdm_data: dict = {}
+                n_hdm_entries = 0
+                for pk, g in pdf.groupby("__pk"):
+                    mat = {c: np.zeros(KS_BINS) for c in self.ks_cols}
+                    freqs: dict = {}
+                    for c in self.ks_cols:
+                        lo, hi = float(ranges[c][0]), float(ranges[c][1])
+                        v = np.minimum(
+                            np.maximum(g[f"__ks_{c}"].to_numpy(np.float64), lo),
+                            hi,
+                        )
+                        mat[c] = H.bin_weighted_driver(
+                            v, np.ones(v.size), lo, hi, KS_BINS)
+                    if self.psi_col:
+                        vc = g["__psi"].value_counts(dropna=True)
+                        freqs = {str(k): int(n) for k, n in vc.items()}
+                    if self.ks_cols or self.psi_col:
+                        kspsi_by[str(pk)] = (mat, freqs)
+                    if hdm_cols:
+                        d = {}
+                        for c in hdm_cols:
+                            a = g[f"__hdm_{c}"].to_numpy(np.float64)
+                            vals, cnts = np.unique(
+                                a[~np.isnan(a)], return_counts=True)
+                            d[c] = (vals.astype(np.float64),
+                                    cnts.astype(np.float64))
+                            n_hdm_entries += vals.size
+                        hdm_data[str(pk)] = d
+                hdm_sum_by: dict = {}
+                if hdm_cols and n_hdm_entries <= self.hdm.driver_value_cap:
+                    hdm_sum_by = {
+                        pk: hdm_data.get(
+                            pk, {c: (np.array([]), np.array([]))
+                                 for c in hdm_cols})
+                        for pk in todo
+                    }
+                return kspsi_by, hdm_sum_by
         structs = []
         for c in self.ks_cols:
             col = F.least(

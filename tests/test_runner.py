@@ -927,3 +927,25 @@ def test_kdq_driver_fast_path_matches_distributed(spark, tmp_path, audio_df):
     finally:
         R.KDQ_DRIVER_ROW_CAP = cap
     assert rows1 == rows2
+
+
+def test_summary_driver_fast_path_matches_exploded(spark, tmp_path, audio_df):
+    """The summary-pass driver fast path (bounded raw collect + numpy
+    twin binning) must reproduce the exploded salted aggregation's
+    verdict table byte-for-byte (KS histograms + PSI frequencies on
+    the drifted fixture)."""
+    import menelaus_spark.runner as R
+
+    s1 = _suite(spark, tmp_path, "sum_fast")
+    s1.run(audio_df)
+    rows1 = [json.dumps(r["verdicts"], sort_keys=True) for r in s1.manifest.records]
+
+    cap = R.SUMMARY_DRIVER_ROW_CAP
+    R.SUMMARY_DRIVER_ROW_CAP = 0  # force the exploded aggregation
+    try:
+        s2 = _suite(spark, tmp_path, "sum_dist")
+        s2.run(audio_df)
+        rows2 = [json.dumps(r["verdicts"], sort_keys=True) for r in s2.manifest.records]
+    finally:
+        R.SUMMARY_DRIVER_ROW_CAP = cap
+    assert rows1 == rows2
