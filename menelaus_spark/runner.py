@@ -51,13 +51,17 @@ from menelaus_spark.verdicts import (
 KS_BINS = 1024
 # Total clean-row cap for the kdq small-table fast path (one Arrow
 # collect of the feature matrix replaces every per-drift-event
-# sample-collect + leaf-count job). 1M rows x 12 float64 features is
-# <100 MB on the driver; corpora above it take the distributed chain.
-KDQ_DRIVER_ROW_CAP = 1_000_000
+# sample-collect + leaf-count job). Sized so the driver work it
+# serializes (collect + tree builds + bincounts, ~10 MB / well under a
+# second at the cap) stays far below the per-job scheduling latency it
+# removes — and BELOW the scaling-witness table sizes (800k clips),
+# where the distributed counts must keep scaling with cores and do:
+# above the cap the distributed chain runs byte-for-byte unchanged.
+KDQ_DRIVER_ROW_CAP = 100_000
 # Same economics for the KS/PSI/HDM summary pass: one bounded Arrow
 # collect + numpy-twin binning under the cap, exploded salted
 # aggregation above it.
-SUMMARY_DRIVER_ROW_CAP = 1_000_000
+SUMMARY_DRIVER_ROW_CAP = 100_000
 
 
 def _f0_clean():
