@@ -37,14 +37,19 @@ class OwnedCache:
         self._slot: list[DataFrame] = []
 
     def persist(self, frame: DataFrame) -> DataFrame:
+        self.release()
+        frame = frame.persist()
+        self._slot.append(frame)
+        return frame
+
+    def release(self) -> None:
+        """Drop the pinned frame now (e.g. after a bounded-driver fast
+        path collected it) instead of waiting for the next persist."""
         while self._slot:
             try:
                 self._slot.pop().unpersist()
             except Exception:
                 pass
-        frame = frame.persist()
-        self._slot.append(frame)
-        return frame
 
 
 _NGRAM_HDOC_CACHE = OwnedCache()

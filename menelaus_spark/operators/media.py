@@ -41,6 +41,15 @@ from menelaus_spark.operators.dedup import OwnedCache
 _PHASH_CACHE = OwnedCache()
 _VIDEO_SHINGLE_CACHE = OwnedCache()
 
+# bounded-driver fast-path caps (the connected_components driver_cap
+# pattern): at or below the cap the pair search runs on ONE collected
+# frame driver-side; above it the distributed banded/LSH plans run
+# byte-for-byte unchanged. Both caps sit well below the media scaling
+# witness sizes (2.25M images / 450k videos), so witness-scale runs
+# keep the core-scaling distributed joins.
+IMAGE_NEARDUP_DRIVER_ROW_CAP = 250_000
+VIDEO_NEARDUP_DRIVER_ROW_CAP = 50_000
+
 __all__ = [
     "encode_bmp", "decode_bmp", "image_pixels", "image_feature_row",
     "image_table", "image_features", "image_thumbnails", "resize_nn",
@@ -468,9 +477,65 @@ def video_shingles(df: DataFrame, id_col: str = "video_id",
         work, schema=f"{id_col} {id_type}, shingles array<string>, sig array<long>")
 
 
+def _video_pairs_driver(spark, recs: list, id_col: str, id_type: str,
+                        bands: int, rows: int,
+                        threshold: float) -> DataFrame:
+    """Driver twin of the LSH candidate join for video shingles: same
+    md5-of-comma-joined-signature-slice band buckets, same
+    ``id_a < id_b`` rule; the exact intersection/size integers feed the
+    SAME JVM round/when expression over a local relation, so the
+    jaccard doubles (and the threshold decision) are computed by the
+    identical Spark code path — equality is by construction, not by a
+    Python float twin."""
+    import hashlib
+    from collections import defaultdict
+
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for idx, (vid, sh, sig) in enumerate(recs):
+        if not sig:  # F.size("sig") > 0
+            continue
+        for b in range(bands):
+            seg = sig[b * rows:(b + 1) * rows]
+            bh = hashlib.md5(
+                ",".join(str(int(x)) for x in seg).encode()).hexdigest()
+            buckets[(b, bh)].append(idx)
+    cand: dict[tuple, tuple[int, int]] = {}
+    for g in buckets.values():
+        if len(g) < 2:
+            continue
+        for x in range(len(g)):
+            for y in range(x + 1, len(g)):
+                i, j = g[x], g[y]
+                a, b2 = recs[i][0], recs[j][0]
+                if a == b2:
+                    continue
+                cand[(a, b2) if a < b2 else (b2, a)] = (i, j) if a < b2 else (j, i)
+    data = []
+    for (a, b2), (i, j) in cand.items():
+        sa, sb = recs[i][1], recs[j][1]
+        inter = len(set(sa) & set(sb))
+        data.append((a, b2, inter, len(sa), len(sb)))
+    schema = f"id_a {id_type}, id_b {id_type}, __i int, __sa int, __sb int"
+    if data:  # pandas input -> Arrow path
+        local = spark.createDataFrame(
+            pd.DataFrame(data, columns=["id_a", "id_b", "__i", "__sa", "__sb"]),
+            schema)
+    else:
+        local = spark.createDataFrame([], schema)
+    inter = F.col("__i")
+    union = F.col("__sa") + F.col("__sb") - inter
+    return (
+        local.withColumn("jaccard", F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
                         bytes_col: str = "bytes", threshold: float = 0.35,
-                        k: int = 16, bands: int = 8, rows: int = 2) -> DataFrame:
+                        k: int = 16, bands: int = 8, rows: int = 2,
+                        driver_cap: int = VIDEO_NEARDUP_DRIVER_ROW_CAP) -> DataFrame:
     """Near-duplicate video pairs (id_a, id_b, jaccard): frame-code
     shingles -> the repo's ONE shared MinHash/LSH kernel
     (dedup.minhash_from_shingles + lsh_candidate_pairs, the same plan
@@ -485,6 +550,17 @@ def video_neardup_pairs(df: DataFrame, id_col: str = "video_id",
     # y4m payload (verified in the plan: 3x MapInPandas decode)
     sh = _VIDEO_SHINGLE_CACHE.persist(video_shingles(df, id_col, bytes_col))
     if "sig" in sh.columns and k == VIDEO_MINHASH_K:
+        # the count doubles as the pin's materializing action (one y4m
+        # decode either way); at or below driver_cap the banding,
+        # candidate join and exact intersection run on the collected
+        # shingle frame in one job, with the jaccard/threshold decided
+        # by the same JVM expression over a local relation
+        if driver_cap and sh.count() <= driver_cap:
+            recs = [(r[0], r[1], r[2]) for r in sh.collect()]
+            _VIDEO_SHINGLE_CACHE.release()
+            id_type = dict(df.dtypes)[id_col]
+            return _video_pairs_driver(df.sparkSession, recs, id_col,
+                                       id_type, bands, rows, threshold)
         # decode-pass signature: per-row column, no explode/groupBy
         sigs = sh.select(id_col, "sig")
     else:
@@ -544,10 +620,81 @@ def image_phashes(df: DataFrame, id_col: str = "image_id",
         work, schema=f"{id_col} {id_type}, phash long")
 
 
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) over uint64 arrays (numpy < 2 has no
+    bitwise_count; unpackbits over the byte view is exact)."""
+    x = a ^ b
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+        axis=1, dtype=np.int32)
+
+
+def _image_pairs_driver(ids: list, hashes: list, band_cap: int,
+                        max_hamming: int) -> list[tuple]:
+    """Driver twin of the banded + phash-exact image pair plan: same
+    16-bit band buckets with the same ``band_cap`` hot-bucket skip,
+    same uncapped full-hash exact recovery, same ``id_a < id_b`` rule
+    (Python ``<`` agrees with Spark on long and lexicographic string
+    ids) and min-hamming dedup. All arithmetic is integer (shifts,
+    masks, popcount), so equality with the JVM plan is exact by
+    construction."""
+    n = len(ids)
+    if n < 2:
+        return []
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    id_arr = np.empty(n, dtype=object)
+    id_arr[:] = ids
+    cand_a: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
+
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def group_pairs(keys: np.ndarray, cap: int | None) -> None:
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2 or (cap is not None and m > cap):
+                continue
+            g = order[s:e]
+            if m == 2:  # the dominant group size — skip triu_indices
+                cand_a.append(g[:1])
+                cand_b.append(g[1:])
+                continue
+            tri = triu_cache.get(m)
+            if tri is None:
+                tri = np.triu_indices(m, 1)
+                triu_cache[m] = tri
+            cand_a.append(g[tri[0]])
+            cand_b.append(g[tri[1]])
+
+    for b in range(4):
+        group_pairs(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64),
+                    band_cap)
+    group_pairs(h.view(np.int64), None)  # exact recovery: no cap, hamming 0
+    if not cand_a:
+        return []
+    ia = np.concatenate(cand_a)
+    ib = np.concatenate(cand_b)
+    hm = _hamming64(h[ia], h[ib])
+    keep = hm <= max_hamming
+    ia, ib, hm = ia[keep], ib[keep], hm[keep]
+    best: dict[tuple, int] = {}
+    for x, y, d in zip(id_arr[ia], id_arr[ib], hm):
+        if x == y:
+            continue  # id_a < id_b drops same-id pairs
+        key = (x, y) if x < y else (y, x)
+        d = int(d)
+        if best.get(key, 65) > d:
+            best[key] = d
+    return [(a, b, d) for (a, b), d in best.items()]
+
+
 def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
                         bytes_col: str = "bytes",
                         max_hamming: int = 3,
-                        band_cap: int = 1024) -> DataFrame:
+                        band_cap: int = 1024,
+                        driver_cap: int = IMAGE_NEARDUP_DRIVER_ROW_CAP) -> DataFrame:
     """Image near-dup pairs (id_a, id_b, hamming <= max_hamming) via
     4x16-bit band blocking over the phash — by pigeonhole any pair
     within Hamming 3 of 64 bits agrees on at least one full band, so
@@ -573,6 +720,23 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "image_id",
     # MapInPandas decode). The frame is (id, phash) only — tiny.
     ph = _PHASH_CACHE.persist(
         image_phashes(df, id_col, bytes_col).filter(F.col("phash").isNotNull()))
+    # the count doubles as the pin's materializing action (the decode
+    # runs exactly once either way); at or below driver_cap the whole
+    # pair search happens on the collected (id, phash) frame — 16
+    # bytes/row — in one job instead of the 4-way banded/exact join
+    # pipeline's ~13
+    if driver_cap and ph.count() <= driver_cap:
+        rows_ = ph.collect()
+        _PHASH_CACHE.release()
+        pairs = _image_pairs_driver([r[0] for r in rows_],
+                                    [r[1] for r in rows_],
+                                    band_cap, max_hamming)
+        id_type = dict(df.dtypes)[id_col]
+        schema = f"id_a {id_type}, id_b {id_type}, hamming int"
+        if not pairs:
+            return df.sparkSession.createDataFrame([], schema)
+        return df.sparkSession.createDataFrame(  # pandas input -> Arrow path
+            pd.DataFrame(pairs, columns=["id_a", "id_b", "hamming"]), schema)
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  (F.shiftright(F.col("phash"), 16 * b)

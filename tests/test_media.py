@@ -172,3 +172,36 @@ def test_image_neardup_random_texture(spark):
     for s in range(5):
         assert pairs[(f"i{s:04d}", f"i{20 + s:04d}")] == 0     # brightness
         assert pairs[(f"i{5 + s:04d}", f"i{25 + s:04d}")] == 0  # 2x upscale
+
+
+def test_media_neardup_driver_fast_path_matches_distributed(spark):
+    # bounded-driver fast path (driver_cap) must be byte-equal to the
+    # forced distributed banded/LSH plans — values AND dtypes — on
+    # string ids, long ids, and a hot-bucket (gradient) image corpus
+    img_hot = media.image_neardup_table(spark, n_images=60)  # gradient: hot bands
+    img_rand = media.image_neardup_table(spark, n_images=60, texture="random")
+    vids = media.video_neardup_table(spark, n_videos=40)
+    from pyspark.sql import functions as F
+
+    def canon(df):
+        return (df.dtypes, sorted(map(tuple, df.collect())))
+
+    for df, op, kw in [
+        (img_hot, media.image_neardup_pairs, {}),
+        (img_hot, media.image_neardup_pairs, {"band_cap": 1}),
+        (img_rand, media.image_neardup_pairs, {}),
+        (vids, media.video_neardup_pairs, {}),
+    ]:
+        fast = canon(op(df, **kw))
+        slow = canon(op(df, driver_cap=0, **kw))
+        assert fast == slow
+        assert fast[1]  # fixtures inject copies: never vacuous
+    # long ids (image_table/video_table produce long ids)
+    img_long = img_rand.withColumn(
+        "image_id", F.regexp_replace("image_id", "i", "9").cast("long"))
+    assert canon(media.image_neardup_pairs(img_long)) == canon(
+        media.image_neardup_pairs(img_long, driver_cap=0))
+    vid_long = vids.withColumn(
+        "video_id", F.regexp_replace("video_id", "v", "9").cast("long"))
+    assert canon(media.video_neardup_pairs(vid_long)) == canon(
+        media.video_neardup_pairs(vid_long, driver_cap=0))
