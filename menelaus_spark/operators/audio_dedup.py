@@ -40,7 +40,9 @@ from menelaus_spark.audio import (
 from menelaus_spark.operators.dedup import (
     OwnedCache,
     jaccard_col,
+    local_pairs_frame,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_driver,
     minhash_from_shingles,
     minhash_sig_py,
 )
@@ -169,6 +171,7 @@ def audio_neardup_pairs(
     containment_threshold: float | None = None,
     prefix_keys: int = 4,
     prefix_cap: int = 200,
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate clip pairs: (id_a, id_b, jaccard, containment)
     with fingerprint-shingle Jaccard >= threshold. bands=8 x rows=2
@@ -200,37 +203,88 @@ def audio_neardup_pairs(
         # should pass a managed fp (audio_fingerprints(df).persist())
         # and unpersist it themselves, as audio_dedup_resolution does.
         sh = _SHINGLE_CACHE.persist(audio_shingles(df, key_col, bytes_col, codec_col))
-    if "sig" in sh.columns and k == FP_MINHASH_K:
-        # decode-pass signature: per-row column, no explode/groupBy
-        sigs = sh.select(key_col, "sig")
-    else:
-        sigs = minhash_from_shingles(sh, key_col, "shingles", k)
-    cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
-    if containment_threshold is not None:
-        pfx = sh.select(
-            F.col(key_col),
-            F.explode(F.slice("heads", 1, prefix_keys)).alias("__pfx"),
-        )
-        ok = pfx.groupBy("__pfx").count().filter(
-            F.col("count") <= prefix_cap).select("__pfx")
-        pfx = pfx.join(ok, on="__pfx")
-        pcands = (
-            pfx.select(F.col("__pfx"), F.col(key_col).alias("id_a"))
-            .join(pfx.select(F.col("__pfx"), F.col(key_col).alias("id_b")),
-                  on="__pfx")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cands = cands.unionByName(pcands).distinct()
+    cands = None
+    # fast path only for the containment variant: its head-bucket
+    # chain (explode + count + two joins + union + distinct) is what
+    # the driver generation removes; the plain LSH plan over the
+    # decode-pass signature column is already cheaper distributed
+    # (measured: 1.0 s vs 1.7 s at 16k clips)
+    if ("sig" in sh.columns and k == FP_MINHASH_K and driver_cap
+            and containment_threshold is not None and "heads" in sh.columns
+            and sh.count() <= driver_cap):
+        # bounded-driver fast path (the count doubles as the pin's /
+        # caller-persisted frame's materializing action — one decode
+        # either way): banding, bucket self-joins and the distinct all
+        # run on the collected (id, sig[, heads]) rows; the resulting
+        # LocalRelation broadcasts into the verify joins below, so the
+        # shingle frame is never shuffled. Above the cap (e.g. the
+        # 800k-clip scaling witness) the distributed plans run
+        # unchanged.
+        cols = [key_col, "sig"]
+        if containment_threshold is not None:
+            cols.append("heads")
+        pdf = sh.select(*cols).toPandas()  # Arrow collect off the pin
+        pairs = lsh_candidate_pairs_driver(
+            list(zip(pdf[key_col], pdf["sig"])), bands, rows)
+        if containment_threshold is not None:
+            # twin of the head-bucket union: explode(slice(heads, 1,
+            # prefix_keys)) keeps per-row duplicates, the bucket count
+            # counts ROWS, and same-id pairs fall to id_a < id_b
+            from collections import defaultdict
+
+            buckets: dict = defaultdict(list)
+            for rid, heads in zip(pdf[key_col], pdf["heads"]):
+                if heads is None:
+                    continue
+                for hshingle in heads[:prefix_keys]:
+                    buckets[hshingle].append(rid)
+            for g in buckets.values():
+                if len(g) < 2 or len(g) > prefix_cap:
+                    continue
+                for x in range(len(g)):
+                    for y in range(x + 1, len(g)):
+                        a, b2 = g[x], g[y]
+                        if a == b2:
+                            continue
+                        pairs.add((a, b2) if a < b2 else (b2, a))
+        cands = local_pairs_frame(df.sparkSession, pairs,
+                                  dict(sh.dtypes)[key_col])
+    if cands is None:
+        if "sig" in sh.columns and k == FP_MINHASH_K:
+            # decode-pass signature: per-row column, no explode/groupBy
+            sigs = sh.select(key_col, "sig")
+        else:
+            sigs = minhash_from_shingles(sh, key_col, "shingles", k)
+        cands = lsh_candidate_pairs(sigs, key_col, bands, rows)
+        if containment_threshold is not None:
+            pfx = sh.select(
+                F.col(key_col),
+                F.explode(F.slice("heads", 1, prefix_keys)).alias("__pfx"),
+            )
+            ok = pfx.groupBy("__pfx").count().filter(
+                F.col("count") <= prefix_cap).select("__pfx")
+            pfx = pfx.join(ok, on="__pfx")
+            pcands = (
+                pfx.select(F.col("__pfx"), F.col(key_col).alias("id_a"))
+                .join(pfx.select(F.col("__pfx"), F.col(key_col).alias("id_b")),
+                      on="__pfx")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            cands = cands.unionByName(pcands).distinct()
     keep = F.col("jaccard") >= threshold
     if containment_threshold is not None:
         keep = keep | (F.col("containment") >= containment_threshold)
+    paired = cands.join(
+        sh.select(F.col(key_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        on="id_a",
+    )
+    if cands.isLocal():
+        # bounded driver-generated candidates: broadcast the pair +
+        # sh_a intermediate so the shingle frame is never shuffled
+        paired = F.broadcast(paired)
     return (
-        cands.join(
-            sh.select(F.col(key_col).alias("id_a"), F.col("shingles").alias("sh_a")),
-            on="id_a",
-        )
-        .join(
+        paired.join(
             sh.select(F.col(key_col).alias("id_b"), F.col("shingles").alias("sh_b")),
             on="id_b",
         )
@@ -292,13 +346,24 @@ def transcript_candidate_pairs(
     key_col: str = "clip_id",
     transcript_col: str = "transcript",
     block_cap: int = 50,
+    driver_cap: int = 200_000,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from transcript-equality blocking:
     groupBy on md5(normalized transcript) with singleton and hot-block
     pruning (blocks past ``block_cap`` are skipped — a transcript
     shared by thousands of clips is the text-dedup path's job), so
-    candidate volume is bounded by cap x blocks."""
-    from menelaus_spark.operators.dedup import normalized_text
+    candidate volume is bounded by cap x blocks.
+
+    At or below ``driver_cap`` block rows (LIMIT-probed — the probe
+    reads only the pruned transcript column, never the payload) the
+    grouping and pair generation run driver-side on the collected
+    JVM-computed (id, md5 block) rows, and the resulting LocalRelation
+    broadcasts into the verify joins so the fingerprint frame is never
+    shuffled; above the cap the block self-join plan is unchanged.
+    The cap sits below the audio scaling-witness size (800k clips)."""
+    from menelaus_spark.operators.dedup import (capped_block_pairs_driver,
+                                                local_pairs_frame,
+                                                normalized_text)
 
     blocks = (
         df.filter(F.col(transcript_col).isNotNull())
@@ -310,6 +375,15 @@ def transcript_candidate_pairs(
             F.md5(normalized_text(F.col(transcript_col))).alias("__blk"),
         )
     )
+    if driver_cap and blocks.count() <= driver_cap:
+        # count + Arrow collect: two parallel one-pass jobs over the
+        # pruned transcript projection (a LIMIT probe would ramp
+        # through partitions sequentially)
+        pdf = blocks.toPandas()
+        pairs = capped_block_pairs_driver(
+            list(zip(pdf[key_col], pdf["__blk"])), block_cap)
+        return local_pairs_frame(df.sparkSession, pairs,
+                                 dict(df.dtypes)[key_col])
     sized = blocks.join(
         blocks.groupBy("__blk").count().filter(
             (F.col("count") >= 2) & (F.col("count") <= block_cap)
@@ -380,8 +454,15 @@ def transcript_blocked_neardup(
     b = fp.select(F.col(key_col).alias("id_b"), F.col("codes").alias("cb"),
                   F.col("masks").alias("mb"), F.col("peaks").alias("pb"))
     n = F.least(F.size("ca"), F.size("cb"))
+    # a driver-generated (LocalRelation) pair set is bounded by
+    # construction, so the pair+codes intermediate can broadcast and
+    # the fingerprint frame is never shuffled; distributed pair frames
+    # keep the shuffle join (their size scales with the corpus)
+    paired = pairs.join(a, on="id_a")
+    if pairs.isLocal():
+        paired = F.broadcast(paired)
     joined = (
-        pairs.join(a, on="id_a").join(b, on="id_b")
+        paired.join(b, on="id_b")
         # full-duplicate classes preserve duration exactly: equal frame
         # counts is the cheapest distinct-recording rejector (trimmed
         # copies are the exact-shingle path's job, via containment)
@@ -490,8 +571,11 @@ def speed_blocked_neardup(
             F.abs(pred - F.element_at("pb", j.cast("int") + 1)) <= peak_tol, 1
         ).otherwise(0)
 
+    paired = pairs.join(a, on="id_a")
+    if pairs.isLocal():  # bounded driver-generated pairs: see transcript path
+        paired = F.broadcast(paired)
     return (
-        pairs.join(a, on="id_a").join(b, on="id_b")
+        paired.join(b, on="id_b")
         .withColumn("__na", F.size("pa"))
         .withColumn("__nb", F.size("pb"))
         .filter((F.col("__na") >= min_frames) & (F.col("__nb") >= min_frames))
@@ -553,7 +637,12 @@ def audio_dedup_resolution(
     # job (connected_components' signature action) evaluates the
     # block-join subtree once instead of once per path. Released right
     # after the pair graph is materialized.
-    tcp = transcript_candidate_pairs(df, key_col, transcript_col).persist()
+    tcp = transcript_candidate_pairs(df, key_col, transcript_col)
+    if not tcp.isLocal():
+        # a driver-generated pair set is already materialized (and
+        # persisting it would hide isLocal from the verify joins'
+        # broadcast decision); only a distributed plan needs the pin
+        tcp = tcp.persist()
     p1 = audio_neardup_pairs(
         df, key_col, bytes_col, codec_col, fp=fp,
         containment_threshold=containment_threshold,

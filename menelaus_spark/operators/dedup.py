@@ -482,6 +482,78 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 8, rows: in
     )
 
 
+def lsh_candidate_pairs_driver(recs, bands: int, rows: int) -> set:
+    """Driver twin of :func:`lsh_candidate_pairs` over collected
+    ``(id, sig)`` rows: same md5-of-comma-joined-slice band buckets
+    (the signature longs come from the JVM, only the banding md5 is
+    recomputed — an exact string/int operation), same ``id_a < id_b``
+    rule, same distinct set. Used by the bounded-driver near-dup fast
+    paths; bucket pair volume is the same as the distributed join's."""
+    import hashlib
+    from collections import defaultdict
+
+    buckets: dict[tuple, list] = defaultdict(list)
+    for rid, sig in recs:
+        if sig is None or len(sig) == 0:  # F.size("sig") > 0
+            continue
+        for b in range(bands):
+            seg = sig[b * rows:(b + 1) * rows]
+            bh = hashlib.md5(
+                ",".join(str(int(x)) for x in seg).encode()).hexdigest()
+            buckets[(b, bh)].append(rid)
+    pairs: set = set()
+    for g in buckets.values():
+        if len(g) < 2:
+            continue
+        for x in range(len(g)):
+            for y in range(x + 1, len(g)):
+                a, b2 = g[x], g[y]
+                if a == b2:
+                    continue
+                pairs.add((a, b2) if a < b2 else (b2, a))
+    return pairs
+
+
+def capped_block_pairs_driver(rows_, cap: int | None) -> set:
+    """Driver twin of the capped block self-join pattern
+    (``block.join(sized-block filter).selfjoin -> id_a < id_b ->
+    distinct``) over collected ``(id, block)`` rows: groups with
+    fewer than 2 rows or more than ``cap`` rows emit nothing; the
+    block values themselves were computed by the JVM before the
+    collect, so no expression is twinned."""
+    from collections import defaultdict
+
+    groups: dict = defaultdict(list)
+    for rid, blk in rows_:
+        groups[blk].append(rid)
+    pairs: set = set()
+    for g in groups.values():
+        if len(g) < 2 or (cap is not None and len(g) > cap):
+            continue
+        for x in range(len(g)):
+            for y in range(x + 1, len(g)):
+                a, b2 = g[x], g[y]
+                if a == b2:
+                    continue
+                pairs.add((a, b2) if a < b2 else (b2, a))
+    return pairs
+
+
+def local_pairs_frame(spark, pairs, id_type: str):
+    """(id_a, id_b) LocalRelation from a driver pair set — sorted for
+    deterministic physical row order; its small known size lets the
+    planner broadcast it into the verify joins, so the fingerprint
+    frame is never shuffled."""
+    import pandas as pd
+
+    schema = f"id_a {id_type}, id_b {id_type}"
+    if not pairs:
+        return spark.createDataFrame([], schema)
+    data = sorted(pairs)
+    return spark.createDataFrame(  # pandas input -> Arrow path
+        pd.DataFrame(data, columns=["id_a", "id_b"]), schema)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,

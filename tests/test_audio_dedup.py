@@ -439,3 +439,37 @@ def test_minhash_sig_py_matches_kernel_on_text_shingles(spark):
             assert minhash_sig_py(list(r["shingles"]), 8) == kernel[r["doc_id"]]
     finally:
         sh.unpersist()
+
+
+def test_neardup_driver_fast_path_matches_distributed(spark):
+    # bounded-driver candidate generation (driver_cap) must be
+    # byte-equal — values AND dtypes — to the forced distributed
+    # LSH/block-join plans on every matching path
+    df = tables.audio_table(spark, n_rows=160, n_parts=4, drift={},
+                            neardup_frac=0.2, null_frac=0.05)
+    df_trim = tables.audio_table(spark, n_rows=80, n_parts=2, drift={},
+                                 neardup_frac=0.25, null_frac=0.0,
+                                 neardup_modes=("trim",))
+    df_speed = tables.audio_table(spark, n_rows=80, n_parts=2, drift={},
+                                  neardup_frac=0.25, null_frac=0.0,
+                                  neardup_modes=("speed",))
+
+    def canon(d):
+        return (d.dtypes, sorted(map(tuple, d.collect())))
+
+    from menelaus_spark.operators.audio_dedup import (
+        speed_blocked_neardup, transcript_candidate_pairs)
+
+    for name, fn in [
+        ("tcp", lambda cap: transcript_candidate_pairs(df, driver_cap=cap)),
+        ("lsh", lambda cap: audio_neardup_pairs(df, driver_cap=cap)),
+        ("containment", lambda cap: audio_neardup_pairs(
+            df_trim, containment_threshold=0.9, driver_cap=cap)),
+        ("transcript", lambda cap: transcript_blocked_neardup(
+            df, pairs=transcript_candidate_pairs(df, driver_cap=cap))),
+        ("speed", lambda cap: speed_blocked_neardup(
+            df_speed, pairs=transcript_candidate_pairs(df_speed, driver_cap=cap))),
+    ]:
+        fast, slow = canon(fn(200_000)), canon(fn(0))
+        assert fast == slow, name
+        assert fast[1], name  # fixtures inject duplicates: never vacuous
