@@ -411,7 +411,7 @@ def test_decode_pass_sig_matches_frame_kernel(spark):
         kernel = {
             r["clip_id"]: list(r["sig"])
             for r in minhash_from_shingles(sh, "clip_id", "shingles",
-                                           FP_MINHASH_K).collect()
+                                           FP_MINHASH_K, kernel="jvm").collect()
         }
         assert embedded == kernel
     finally:
@@ -434,7 +434,8 @@ def test_minhash_sig_py_matches_kernel_on_text_shingles(spark):
     sh = with_shingles(docs, "doc_id", "text", 3).persist()
     try:
         kernel = {r["doc_id"]: list(r["sig"])
-                  for r in minhash_from_shingles(sh, "doc_id", "shingles", 8).collect()}
+                  for r in minhash_from_shingles(sh, "doc_id", "shingles", 8,
+                                         kernel="jvm").collect()}
         for r in sh.collect():
             assert minhash_sig_py(list(r["shingles"]), 8) == kernel[r["doc_id"]]
     finally:
@@ -473,3 +474,29 @@ def test_neardup_driver_fast_path_matches_distributed(spark):
         fast, slow = canon(fn(200_000)), canon(fn(0))
         assert fast == slow, name
         assert fast[1], name  # fixtures inject duplicates: never vacuous
+
+
+def test_minhash_arrow_kernel_matches_jvm_kernel(spark):
+    # the default Arrow signature kernel (minhash_sig_py per row, no
+    # explode/groupBy) must be bit-equal to the JVM expression plan,
+    # including empty-shingle docs, at both entry widths
+    from menelaus_spark.operators.dedup import minhash_from_shingles, with_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs"),
+         (2, "pack my box with five dozen liquor jugs right now"),
+         (3, ""), (4, "one two"), (5, "the quick brown fox jumps over it")],
+        "doc_id long, text string",
+    )
+    sh = with_shingles(docs, "doc_id", "text", 3).persist()
+    try:
+        for k in (8, 32):
+            arrow = {r["doc_id"]: list(r["sig"]) for r in
+                     minhash_from_shingles(sh, "doc_id", "shingles", k).collect()}
+            jvm = {r["doc_id"]: list(r["sig"]) for r in
+                   minhash_from_shingles(sh, "doc_id", "shingles", k,
+                                         kernel="jvm").collect()}
+            assert arrow == jvm
+            assert arrow[3] == []  # empty-shingle contract
+    finally:
+        sh.unpersist()
