@@ -584,16 +584,39 @@ def minhash_lsh_dedup(
     bands: int = 8,
     rows: int = 4,
     threshold: float = 0.8,
+    driver_cap: int = 200_000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket
     join -> exact-Jaccard verification of candidates only.
-    Returns (id_a, id_b, jaccard >= threshold)."""
+    Returns (id_a, id_b, jaccard >= threshold).
+
+    At or below ``driver_cap`` documents (gated by a parquet-stats
+    count) the banding/bucket self-join/distinct runs driver-side on
+    the collected signature frame (lsh_candidate_pairs_driver — the
+    md5 banding is the only recomputed expression, an exact string
+    op), and the LocalRelation candidate set broadcasts its pair +
+    sh_a intermediate into the verify joins so the shingle frame is
+    never shuffled. Above the cap the distributed plans are
+    unchanged."""
     assert bands * rows == k
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     sh = with_shingles(df, id_col, text_col, n)
+    cands = None
+    if driver_cap and df.count() <= driver_cap:
+        pdf = minhash_from_shingles(sh, id_col, "shingles", k).toPandas()
+        pairs = lsh_candidate_pairs_driver(
+            list(zip(pdf[id_col], pdf["sig"])), bands, rows)
+        cands = local_pairs_frame(df.sparkSession, pairs,
+                                  dict(df.dtypes)[id_col])
+    if cands is None:
+        sigs = minhash_from_shingles(sh, id_col, "shingles", k)
+        cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    paired = cands.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        on="id_a")
+    if cands.isLocal():
+        paired = F.broadcast(paired)
     verified = (
-        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), on="id_a")
+        paired
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), on="id_b")
         .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)

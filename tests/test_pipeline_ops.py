@@ -528,3 +528,23 @@ def test_ngram_jaccard_hybrid_paths_bit_equal(spark):
         sdocs, "doc_id", "text", n=2, threshold=0.3, block_col="blk",
         kernel_block_rows=0).collect()))
     assert k2 == a2 and len(k2) == len(kernel)
+
+
+def test_minhash_lsh_driver_fast_path_matches_distributed(spark):
+    # driver-side banding (driver_cap) must be byte-equal to the
+    # distributed bucket self-join — values AND dtypes
+    rows = [(i, f"sentence number {i % 7} about topic {i % 5} repeated "
+                f"words {'x ' * (i % 11)}") for i in range(120)]
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]  # exact copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(d):
+        return (d.dtypes, sorted(map(tuple, d.collect())))
+
+    fast = canon(dedup.minhash_lsh_dedup(df, "doc_id", "text", n=3, k=8,
+                                         bands=4, rows=2, threshold=0.1))
+    slow = canon(dedup.minhash_lsh_dedup(df, "doc_id", "text", n=3, k=8,
+                                         bands=4, rows=2, threshold=0.1,
+                                         driver_cap=0))
+    assert fast == slow
+    assert fast[1]  # exact copies guarantee pairs
