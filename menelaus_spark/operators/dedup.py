@@ -631,6 +631,7 @@ def repeated_ngram_pairs(
     text_col: str = "text",
     n: int = 8,
     hot_cap: int = 64,
+    driver_cap: int = 20_000,
 ) -> DataFrame:
     """Document pairs sharing at least one EXACT n-token span — the
     substring-level exact-duplication signal (Lee et al. 2022,
@@ -662,6 +663,41 @@ def repeated_ngram_pairs(
         F.col(id_col),
         F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long").alias("__h"),
     )
+    # bounded-driver fast path (documents gated by a parquet-stats
+    # count; the span keys are JVM-computed before the collect): the
+    # doc-frequency cap, the inverted-index self-join and the
+    # shared-span count are all exact integer set logic, grouped in
+    # numpy instead of three exchanges. Above the cap the distributed
+    # plan is unchanged.
+    if driver_cap and df.count() <= driver_cap:
+        pdf = spans.toPandas()
+        h = pdf["__h"].to_numpy()
+        ids = np.empty(len(pdf), dtype=object)
+        ids[:] = list(pdf[id_col])
+        counts: dict[tuple, int] = {}
+        order = np.argsort(h, kind="stable")
+        sk = h[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2 or m > hot_cap:
+                continue
+            g = order[s:e]
+            for x in range(m):
+                for y in range(x + 1, m):
+                    a, b = ids[g[x]], ids[g[y]]
+                    if a == b:
+                        continue
+                    key = (a, b) if a < b else (b, a)
+                    counts[key] = counts.get(key, 0) + 1
+        id_type = dict(df.dtypes)[id_col]
+        schema = f"id_a {id_type}, id_b {id_type}, shared_spans long"
+        data = sorted((a, b, c) for (a, b), c in counts.items())
+        if not data:
+            return df.sparkSession.createDataFrame([], schema)
+        return df.sparkSession.createDataFrame(
+            pd.DataFrame(data, columns=["id_a", "id_b", "shared_spans"]),
+            schema)
     dfreq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     cold = spans.join(dfreq.filter(F.col("__df") <= hot_cap), on="__h")
     a = cold.select(F.col(id_col).alias("id_a"), "__h")

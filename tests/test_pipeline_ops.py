@@ -548,3 +548,19 @@ def test_minhash_lsh_driver_fast_path_matches_distributed(spark):
                                          driver_cap=0))
     assert fast == slow
     assert fast[1]  # exact copies guarantee pairs
+
+
+def test_repeated_ngram_driver_fast_path_matches_distributed(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} doc {i} " + "filler word " * (i % 5)) for i in range(40)]
+    rows += [(100 + i, rows[i][1] + " suffix") for i in range(10)]  # shared spans
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(d):
+        return (d.dtypes, sorted(map(tuple, d.collect())))
+
+    fast = canon(dedup.repeated_ngram_pairs(df, "doc_id", "text", n=8))
+    slow = canon(dedup.repeated_ngram_pairs(df, "doc_id", "text", n=8,
+                                            driver_cap=0))
+    assert fast == slow
+    assert fast[1]
