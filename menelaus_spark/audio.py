@@ -1018,11 +1018,12 @@ def fingerprint_codes(pcm: np.ndarray, sr_hz: int,
     # sub-bin refinement: parabola through the log-magnitudes at
     # (p-1, p, p+1); vertex offset clipped to the half-bin the argmax
     # guarantees. Degenerate (flat) neighborhoods keep offset 0.
-    lspec = np.log(spec + 1e-30)
+    # log only the 3 gathered bins per frame (identical np.log values;
+    # the full-spectrum lspec allocated ~500x the needed entries)
     rows = np.arange(n_frames)
-    al = lspec[rows, np.maximum(p_int - 1, 0)]
-    be = lspec[rows, p_int]
-    ga = lspec[rows, np.minimum(p_int + 1, spec.shape[1] - 1)]
+    al = np.log(spec[rows, np.maximum(p_int - 1, 0)] + 1e-30)
+    be = np.log(spec[rows, p_int] + 1e-30)
+    ga = np.log(spec[rows, np.minimum(p_int + 1, spec.shape[1] - 1)] + 1e-30)
     den = al - 2.0 * be + ga
     off = np.zeros_like(den)
     np.divide(0.5 * (al - ga), den, out=off, where=np.abs(den) > 1e-12)
